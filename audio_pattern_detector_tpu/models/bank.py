@@ -1,0 +1,282 @@
+"""Pattern bank: compiles clips into shape-static device programs.
+
+The reference iterates clips in Python and launches one native FFT per clip
+per chunk (reference: audio_pattern_detector.py:306-313). Here clips are
+grouped by (sliding_window, clip_len, strategy); each sliding-window class
+gets ONE jitted device program that:
+
+  1. loudness-normalises the class section (FFT-conv K-weighting + gating),
+  2. correlates the section against every group's whole bank in one
+     batched rfft·conj·irfft launch,
+  3. finds peaks (vectorised plateau maxima + greedy distance) and
+  4. verifies all candidates as masked, bank-batched tensor programs,
+
+returning only integer peak positions + accept masks (a few KB) to host.
+Every chunk of a stream — first, steady-state, and final short chunk —
+reuses the same executable via dynamic ``n_valid`` masking.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from numpy.typing import NDArray
+
+from audio_pattern_detector_tpu.models import hostpath
+from audio_pattern_detector_tpu.ops.correlate import (
+    CorrelationBankConsts,
+    bank_correlate,
+    build_correlation_bank,
+)
+from audio_pattern_detector_tpu.ops.loudness import (
+    LoudnessConsts,
+    build_loudness_consts,
+    integrated_loudness_device,
+    loudness_normalize_device,
+)
+from audio_pattern_detector_tpu.ops.peaks import find_peaks_device
+from audio_pattern_detector_tpu.ops.verify import (
+    MarkerVerifyConsts,
+    NormalVerifyConsts,
+    build_marker_verify_consts,
+    build_normal_verify_consts,
+    verify_marker,
+    verify_normal,
+)
+
+_BIG = np.int32(2**30)
+
+
+@dataclass
+class ClipGroup:
+    """Clips sharing (sliding_window, clip_len, strategy) — one device batch."""
+
+    names: list[str]
+    clip_len: int
+    sliding_window: int
+    kind: str  # 'normal' | 'marker'
+    k_detect: int
+    k_verify: int
+    corr: CorrelationBankConsts
+    verify: "NormalVerifyConsts | MarkerVerifyConsts"
+    # Host-side data for the exact fallback path.
+    clips_np: NDArray[np.float32]  # (G, m) normalised clips
+    corr_clips_np: NDArray[np.float32]  # (G, 2m-1)
+    self_max_np: NDArray[np.float64]  # (G,)
+    tone_freqs: list[float | None]
+    verification_params: list[dict[str, Any]]
+
+
+class PatternBank:
+    """Device-compiled pattern bank for one detector configuration."""
+
+    def __init__(
+        self,
+        clip_datas: dict[str, dict[str, Any]],
+        tone_frequencies: dict[str, float],
+        strategy_params: dict[str, dict[str, Any]],
+        sample_rate: int,
+        chunk_samples: int,
+        height_min: float,
+    ) -> None:
+        self.sample_rate = sample_rate
+        self.chunk_samples = chunk_samples
+        self.height_min = float(height_min)
+
+        # ── Group clips by (sliding_window, clip_len, strategy) ──
+        grouped: dict[tuple[int, int, str], list[str]] = {}
+        for name, cd in clip_datas.items():
+            kind = "marker" if name in tone_frequencies else "normal"
+            key = (cd["sliding_window"], len(cd["clip"]), kind)
+            grouped.setdefault(key, []).append(name)
+
+        self.classes: dict[int, dict[str, Any]] = {}
+        for (sw, m, kind), names in sorted(grouped.items()):
+            section_len = sw * sample_rate + chunk_samples
+            cls = self.classes.setdefault(
+                sw,
+                {
+                    "section_len": section_len,
+                    "loud": None,
+                    "groups": [],
+                },
+            )
+            if cls["loud"] is None:
+                cls["loud"] = build_loudness_consts(section_len, sample_rate)
+
+            clips_np = np.stack([clip_datas[n]["clip"] for n in names])
+            corr_clips_np = np.stack([clip_datas[n]["correlation_clip"] for n in names])
+            self_max_np = np.array(
+                [float(clip_datas[n]["correlation_clip_absolute_max"]) for n in names]
+            )
+            corr = build_correlation_bank(clips_np, self_max_np, section_len)
+
+            full_len = corr.full_len
+            # Post-distance survivors are bounded by full_len/m + 1; size the
+            # verify tier to that bound (never overflows) and the raw
+            # candidate tier with headroom (overflow -> exact host fallback).
+            k_verify = min(1024, full_len // m + 4)
+            k_detect = min(4096, max(64, 4 * (full_len // m) + 16))
+            k_detect = max(k_detect, k_verify)
+
+            if kind == "marker":
+                dom = np.array([tone_frequencies[n] for n in names])
+                vparams = [
+                    strategy_params.get(n, {}).get("verification", {}) for n in names
+                ]
+                verify = build_marker_verify_consts(m, sample_rate, dom, vparams)
+                tone_freqs: list[float | None] = [tone_frequencies[n] for n in names]
+            else:
+                verify = build_normal_verify_consts(corr_clips_np, m, sample_rate)
+                vparams = [{} for _ in names]
+                tone_freqs = [None for _ in names]
+
+            cls["groups"].append(
+                ClipGroup(
+                    names=names,
+                    clip_len=m,
+                    sliding_window=sw,
+                    kind=kind,
+                    k_detect=k_detect,
+                    k_verify=k_verify,
+                    corr=corr,
+                    verify=verify,
+                    clips_np=clips_np,
+                    corr_clips_np=corr_clips_np,
+                    self_max_np=self_max_np,
+                    tone_freqs=tone_freqs,
+                    verification_params=vparams,
+                )
+            )
+
+        # ── One jitted program per sliding-window class ──
+        self._programs: dict[int, Any] = {}
+        for sw, cls in self.classes.items():
+            metas = tuple(
+                (g.kind, g.clip_len, g.k_detect, g.k_verify) for g in cls["groups"]
+            )
+            self._programs[sw] = jax.jit(
+                functools.partial(_class_step, metas=metas, height_min=self.height_min)
+            )
+
+    # ── Per-chunk execution ──
+
+    def process_chunk(
+        self,
+        chunk: NDArray[np.float32],
+        previous_chunk: NDArray[np.float32] | None,
+    ) -> dict[str, list[int]]:
+        """Process one stream chunk; returns accepted 'full'-index peak
+        positions per clip name (ascending)."""
+        sr = self.sample_rate
+        results: dict[str, list[int]] = {}
+
+        for sw, cls in self.classes.items():
+            # Overlap-save section assembly
+            # (reference: audio_pattern_detector.py:400-412).
+            if previous_chunk is not None:
+                tail = previous_chunk[int(-sw * sr):]
+                raw_section = np.concatenate((tail, chunk))
+            else:
+                raw_section = chunk
+            n_valid = len(raw_section)
+            S = cls["section_len"]
+            section = np.zeros(S, dtype=np.float32)
+            section[:n_valid] = raw_section
+
+            group_consts = [(g.corr, g.verify) for g in cls["groups"]]
+            outs = self._programs[sw](
+                jnp.asarray(section), jnp.int32(n_valid), cls["loud"], group_consts
+            )
+
+            for g, out in zip(cls["groups"], outs):
+                pos = np.asarray(out["pos"])
+                alive = np.asarray(out["alive"])
+                accept = np.asarray(out["accept"])
+                overflow = np.asarray(out["detect_overflow"]) | np.asarray(
+                    out["verify_overflow"]
+                )
+                for ci, name in enumerate(g.names):
+                    if overflow[ci]:
+                        results[name] = self._host_fallback(g, ci, raw_section)
+                    else:
+                        sel = alive[ci] & accept[ci]
+                        results[name] = [int(p) for p in pos[ci][sel]]
+        return results
+
+    def _host_fallback(
+        self, g: ClipGroup, ci: int, raw_section: NDArray[np.float32]
+    ) -> list[int]:
+        """Exact host path for candidate-capacity overflow (rare)."""
+        return hostpath.process_section_host(
+            audio_section=raw_section,
+            clip=g.clips_np[ci],
+            correlation_clip=g.corr_clips_np[ci],
+            correlation_clip_absolute_max=float(g.self_max_np[ci]),
+            sr=self.sample_rate,
+            height_min=self.height_min,
+            is_short_clip=g.clip_len / self.sample_rate < 0.5,
+            tone_frequency=g.tone_freqs[ci],
+            verification_params=g.verification_params[ci],
+        )
+
+
+def _class_step(
+    section: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    loud: LoudnessConsts,
+    group_consts: list,
+    *,
+    metas: tuple,
+    height_min: float,
+) -> list[dict[str, jnp.ndarray]]:
+    """The full per-chunk device program for one sliding-window class."""
+    lufs = integrated_loudness_device(section, n_valid, loud)
+    norm = loudness_normalize_device(section, lufs)
+
+    outs = []
+    for (kind, m, k_detect, k_verify), (corr_consts, verify_consts) in zip(
+        metas, group_consts
+    ):
+        corr, valid_len = bank_correlate(norm, n_valid, corr_consts)
+        cand = find_peaks_device(corr, valid_len, height_min, m, k_detect)
+
+        # Candidate bound checks (reference: audio_pattern_detector.py:531-546):
+        # slice overshoot beyond ±5 around the correlation ends is skipped.
+        half = (2 * m - 1) // 2
+        after_bad = cand.pos + half > valid_len + 5
+        before_bad = cand.pos - half < -5
+        keep = cand.alive & ~after_bad & ~before_bad
+
+        # Compact survivors, ascending by position, into the verify tier.
+        score = jnp.where(keep, -cand.pos, -_BIG)
+        sv, _ = jax.lax.top_k(score, k_verify)
+        vpos = -sv
+        valive = sv > -_BIG
+        verify_overflow = jnp.sum(keep, axis=1) > k_verify
+
+        if kind == "marker":
+            accept = verify_marker(norm, vpos, valive, verify_consts)
+            sim = jnp.zeros_like(vpos, dtype=jnp.float32)
+            r = jnp.zeros_like(vpos, dtype=jnp.float32)
+        else:
+            accept, sim, r = verify_normal(corr, vpos, valive, verify_consts)
+
+        outs.append(
+            {
+                "pos": vpos,
+                "alive": valive,
+                "accept": accept,
+                "similarity": sim,
+                "pearson_r": r,
+                "detect_overflow": cand.overflow,
+                "verify_overflow": verify_overflow,
+                "lufs": lufs,
+            }
+        )
+    return outs

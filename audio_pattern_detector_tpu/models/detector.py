@@ -1,0 +1,286 @@
+"""Streaming audio pattern detector (the public engine API).
+
+API parity with the reference engine
+(reference: audio_pattern_detector/audio_pattern_detector.py): construct
+with a list of ``AudioClip``s, then ``find_clip_in_audio(AudioStream,
+on_pattern_detected=cb, accumulate_results=bool) -> (peaks | None,
+total_time)``.
+
+TPU-first internals: clips compile into shape-static groups (one jitted
+device program per sliding-window class, bank-batched over clips — see
+``models.bank``); the host loop streams chunks, assembles overlap-save
+sections, dispatches the device program, and converts integer peak
+positions back to timestamps in Python f64 so the timestamp algebra is
+bit-identical to the reference (audio_pattern_detector.py:406-452).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from collections import defaultdict
+from collections.abc import Callable
+from typing import Any, TypedDict
+
+import numpy as np
+from numpy.typing import NDArray
+
+from audio_pattern_detector_tpu.ops import hostref
+from audio_pattern_detector_tpu.ops.tone import get_pure_tone_frequency
+from audio_pattern_detector_tpu.utils.audio_io import DEFAULT_TARGET_SAMPLE_RATE
+from audio_pattern_detector_tpu.utils.clip import AudioClip, AudioStream
+
+import logging
+
+logger = logging.getLogger(__name__)
+
+# Default seconds per chunk for sliding-window processing
+# (reference: audio_pattern_detector.py:33).
+DEFAULT_SECONDS_PER_CHUNK = 60
+
+# Clips shorter than this use the whole-window (0-100%) verification variant
+# (reference: audio_pattern_detector.py:36).
+SHORT_CLIP_DURATION_THRESHOLD = 0.5  # seconds
+
+MARKER_TONE_STRATEGY = "marker_tone"
+
+PatternDetectedCallback = Callable[[str, float], None]
+
+
+class ClipConfig(TypedDict):
+    duration_seconds: float
+    sliding_window_seconds: int
+
+
+class DetectorConfig(TypedDict):
+    default_seconds_per_chunk: int
+    min_chunk_size_seconds: int
+    sample_rate: int
+    clips: dict[str, ClipConfig]
+
+
+class AudioPatternDetector:
+    """Two-step streaming pattern detector (FFT correlation + verification)."""
+
+    def __init__(
+        self,
+        audio_clips: list[AudioClip],
+        debug_mode: bool = False,
+        seconds_per_chunk: int | None = DEFAULT_SECONDS_PER_CHUNK,
+        target_sample_rate: int | None = None,
+        debug_dir: str = "./tmp",
+        height_min: float | None = None,
+    ) -> None:
+        self.audio_clips = audio_clips
+        self.debug_mode = debug_mode
+        self.debug_dir = debug_dir
+        self.height_min = height_min
+        self.normalize = True
+        self.target_sample_rate = (
+            target_sample_rate if target_sample_rate is not None else DEFAULT_TARGET_SAMPLE_RATE
+        )
+        self._similarity_debug: defaultdict[str, list[tuple[int, float]]] = defaultdict(list)
+
+        # ── Validation (reference: audio_pattern_detector.py:105-137) ──
+        clips_already: set[str] = set()
+        max_clip_length = 0
+        for audio_clip in self.audio_clips:
+            if audio_clip.name in clips_already:
+                raise ValueError(f"clip {audio_clip.name} needs to be unique")
+            if audio_clip.sample_rate != self.target_sample_rate:
+                raise ValueError(
+                    f"clip {audio_clip.name} needs to be {self.target_sample_rate} sample rate"
+                )
+            clips_already.add(audio_clip.name)
+            max_clip_length = max(max_clip_length, len(audio_clip.audio))
+
+        if seconds_per_chunk is None or seconds_per_chunk < 1:
+            seconds_per_chunk = math.ceil(max_clip_length / self.target_sample_rate) * 2
+            logger.warning(
+                f"seconds_per_chunk is not set or less than 1, setting it to longest clip * 2 "
+                f"seconds, which is {seconds_per_chunk} seconds"
+            )
+
+        max_min_chunk_size = 0
+        for audio_clip in self.audio_clips:
+            clip_seconds = len(audio_clip.audio) / self.target_sample_rate
+            sliding_window = math.ceil(clip_seconds)
+            min_chunk_size = sliding_window * 2
+            max_min_chunk_size = max(max_min_chunk_size, min_chunk_size)
+            if seconds_per_chunk < min_chunk_size:
+                raise ValueError(
+                    f"seconds_per_chunk {seconds_per_chunk} is too small for clip "
+                    f"'{audio_clip.name}' (duration: {clip_seconds:.2f}s, "
+                    f"sliding_window: {sliding_window}s, "
+                    f"minimum chunk size: {min_chunk_size}s)"
+                )
+        self._min_chunk_size = max_min_chunk_size
+        self.seconds_per_chunk = seconds_per_chunk
+
+        if seconds_per_chunk != 60:
+            logger.warning(
+                f"seconds_per_chunk {seconds_per_chunk} is not 60 seconds, turning off debug "
+                f"mode because it was made for 60 seconds only"
+            )
+            self.debug_mode = False
+
+        # ── Per-clip preprocessing (host, f64-exact) ──
+        # (reference: audio_pattern_detector.py:155-221)
+        self._clip_datas: dict[str, dict[str, Any]] = {}
+        self._clip_strategies: dict[str, str | None] = {}
+        self._clip_strategy_params: dict[str, dict[str, Any]] = {}
+        self._tone_frequencies: dict[str, float] = {}
+
+        for audio_clip in self.audio_clips:
+            clip = audio_clip.audio
+            clip_name = audio_clip.name
+            clip_seconds = len(clip) / self.target_sample_rate
+            sliding_window = math.ceil(clip_seconds)
+            if sliding_window != clip_seconds:
+                print(
+                    f"adjusted sliding_window from {clip_seconds} to {sliding_window} "
+                    f"for {clip_name}",
+                    file=sys.stderr,
+                )
+
+            if self.normalize:
+                block = clip_seconds if clip_seconds < 0.5 else 0.4
+                loudness = hostref.integrated_loudness(
+                    clip, self.target_sample_rate, block_size=block
+                )
+                clip = hostref.loudness_normalize(clip, loudness, -16.0)
+
+            correlation_clip = np.abs(hostref.fft_correlate_1d(clip, clip, mode="full"))
+            absolute_max = np.max(correlation_clip)
+            correlation_clip = correlation_clip / absolute_max
+
+            self._clip_datas[clip_name] = {
+                "clip": clip,
+                "clip_name": clip_name,
+                "sliding_window": sliding_window,
+                "correlation_clip": correlation_clip,
+                "correlation_clip_absolute_max": absolute_max,
+            }
+            self._clip_strategies[clip_name] = audio_clip.strategy
+            self._clip_strategy_params[clip_name] = dict(audio_clip.strategy_params)
+
+            if audio_clip.strategy == MARKER_TONE_STRATEGY:
+                freq = audio_clip.strategy_params.get("dominant_frequency_hz")
+                if freq is None:
+                    freq = get_pure_tone_frequency(clip, self.target_sample_rate)
+                if freq is not None:
+                    self._tone_frequencies[clip_name] = float(freq)
+
+        self._chunk_size = int(self.seconds_per_chunk * self.target_sample_rate) * 4
+
+        # Device pattern bank compiled lazily on first stream (chunk size known).
+        self._bank = None
+
+    # ── Introspection (reference: audio_pattern_detector.py:226-246) ──
+
+    def get_config(self) -> DetectorConfig:
+        clips_config: dict[str, ClipConfig] = {}
+        for clip_name, clip_data in self._clip_datas.items():
+            clip_duration = len(clip_data["clip"]) / self.target_sample_rate
+            clips_config[clip_name] = {
+                "duration_seconds": round(clip_duration, 6),
+                "sliding_window_seconds": clip_data["sliding_window"],
+            }
+        return {
+            "default_seconds_per_chunk": DEFAULT_SECONDS_PER_CHUNK,
+            "min_chunk_size_seconds": self._min_chunk_size,
+            "sample_rate": self.target_sample_rate,
+            "clips": clips_config,
+        }
+
+    # ── Streaming detection ──
+
+    def _ensure_bank(self):
+        if self._bank is None:
+            from audio_pattern_detector_tpu.models.bank import PatternBank
+
+            self._bank = PatternBank(
+                clip_datas=self._clip_datas,
+                tone_frequencies=self._tone_frequencies,
+                strategy_params=self._clip_strategy_params,
+                sample_rate=self.target_sample_rate,
+                chunk_samples=int(self.seconds_per_chunk * self.target_sample_rate),
+                height_min=self.height_min if self.height_min is not None else 0.25,
+            )
+        return self._bank
+
+    def find_clip_in_audio(
+        self,
+        audio_stream: AudioStream,
+        on_pattern_detected: PatternDetectedCallback | None = None,
+        accumulate_results: bool = True,
+    ) -> tuple[dict[str, list[float]] | None, float]:
+        """Find clip occurrences in the audio stream.
+
+        Returns (peak_times dict or None when accumulate_results=False,
+        total stream time in seconds). Callbacks fire in timestamp order
+        within each chunk (reference: audio_pattern_detector.py:248-331).
+        """
+        if audio_stream.sample_rate != self.target_sample_rate:
+            raise ValueError(
+                f"full_streaming_audio_clip {audio_stream.name} needs to be "
+                f"{self.target_sample_rate} sample rate"
+            )
+
+        bank = self._ensure_bank()
+        sr = self.target_sample_rate
+
+        previous_chunk: NDArray[np.float32] | None = None
+        if accumulate_results:
+            all_peak_times: dict[str, list[float]] | None = {
+                audio_clip.name: [] for audio_clip in self.audio_clips
+            }
+        else:
+            all_peak_times = None
+
+        stdout = audio_stream.audio_stream
+        self._similarity_debug = defaultdict(list)
+        total_time = 0.0
+        i = 0
+
+        while True:
+            in_bytes = stdout.read(self._chunk_size)
+            if not in_bytes:
+                break
+            chunk = np.frombuffer(in_bytes, dtype="float32")
+            total_time += len(chunk) / sr
+
+            # One device dispatch per sliding-window class; integer peak
+            # positions come back to host for exact timestamp algebra.
+            clip_peaks = bank.process_chunk(chunk, previous_chunk)
+
+            chunk_matches: list[tuple[float, str]] = []
+            for audio_clip in self.audio_clips:
+                name = audio_clip.name
+                sliding_window = self._clip_datas[name]["sliding_window"]
+                clip_seconds = len(self._clip_datas[name]["clip"]) / sr
+                subtract_seconds = sliding_window if previous_chunk is not None else 0
+
+                peak_times = []
+                for pos in clip_peaks.get(name, []):
+                    # t = pos/sr - subtract + i*chunk - clip_seconds, clamped
+                    # (reference: audio_pattern_detector.py:440-452).
+                    t = pos / sr - subtract_seconds + i * self.seconds_per_chunk
+                    t -= clip_seconds
+                    peak_times.append(t if t >= 0 else 0)
+
+                if on_pattern_detected and peak_times:
+                    for timestamp in peak_times:
+                        chunk_matches.append((timestamp, name))
+                if all_peak_times is not None:
+                    all_peak_times[name].extend(peak_times)
+
+            if on_pattern_detected and chunk_matches:
+                chunk_matches.sort(key=lambda x: x[0])
+                for timestamp, clip_name in chunk_matches:
+                    on_pattern_detected(clip_name, timestamp)
+
+            previous_chunk = chunk
+            i += 1
+
+        return all_peak_times, total_time

@@ -1,0 +1,94 @@
+"""Device Step-1 kernel: bank-batched FFT cross-correlation.
+
+TPU-first replacement for the reference's per-clip Python loop around the
+native ``fft_correlate_1d`` call (reference: audio_pattern_detector.py:306-313,
+487-494): the section is transformed once (`rfft`), multiplied against the
+precomputed conjugate bank spectra, and inverse-transformed for the whole
+bank in one launch. Output is laid out in the 'full' correlation ordering
+(index k = lag + m - 1) so downstream peak indices match the reference
+bit-for-bit in index space.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from numpy.typing import NDArray
+
+from audio_pattern_detector_tpu.ops._pytree import static_field
+
+
+def next_pow2(n: int) -> int:
+    size = 1
+    while size < n:
+        size *= 2
+    return size
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class CorrelationBankConsts:
+    """Precomputed spectra for one clip group (uniform clip length m)."""
+
+    bank_rfft_conj: jnp.ndarray  # (G, N//2 + 1) complex64
+    self_corr_max: jnp.ndarray  # (G,) f32 — abs max of each clip's
+    # self-correlation (reference: audio_pattern_detector.py:373-383)
+    clip_len: int = static_field()  # m
+    section_len: int = static_field()  # S (padded host section length)
+    fft_len: int = static_field()  # N >= S + m - 1
+    full_len: int = static_field()  # L = S + m - 1
+
+
+def build_correlation_bank(
+    clips: NDArray[np.float32],  # (G, m) loudness-normalised clips
+    self_corr_max: NDArray[np.floating],
+    section_len: int,
+) -> CorrelationBankConsts:
+    g, m = clips.shape
+    fft_len = next_pow2(section_len + m - 1)
+    bank = np.fft.rfft(clips.astype(np.float64), n=fft_len, axis=1).conj()
+    return CorrelationBankConsts(
+        clip_len=m,
+        section_len=section_len,
+        fft_len=fft_len,
+        full_len=section_len + m - 1,
+        bank_rfft_conj=jnp.asarray(bank, dtype=jnp.complex64),
+        self_corr_max=jnp.asarray(self_corr_max, dtype=jnp.float32),
+    )
+
+
+def bank_correlate(
+    section: jnp.ndarray,  # (S,) f32 — normalised, NaN-scrubbed, zero-padded
+    n_valid: jnp.ndarray,  # int32 — true sample count
+    consts: CorrelationBankConsts,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """abs full cross-correlation of the section against the whole bank.
+
+    Returns (corr, valid_len):
+      corr:      (G, L) f32, |correlate(section, clip_g, 'full')| normalised
+                 by max(self_corr_max_g, observed_max_g)
+                 (reference: audio_pattern_detector.py:487-494), zeroed at
+                 positions >= valid_len.
+      valid_len: int32 — n_valid + m - 1, the true 'full' length.
+    """
+    m = consts.clip_len
+    N = consts.fft_len
+    L = consts.full_len
+
+    spec = jnp.fft.rfft(section, n=N)  # (N//2+1,) c64
+    # Lag-domain circular correlation z[l] = sum_i section[i+l]·clip[i];
+    # rolling by (m-1) lays it out in 'full' ordering (k = lag + m - 1).
+    z = jnp.fft.irfft(spec[None, :] * consts.bank_rfft_conj, n=N, axis=1)
+    corr = jnp.abs(jnp.roll(z, m - 1, axis=1)[:, :L])
+
+    valid_len = n_valid + (m - 1)
+    in_range = jnp.arange(L, dtype=jnp.int32)[None, :] < valid_len
+    corr = jnp.where(in_range, corr, 0.0)
+
+    observed_max = jnp.max(corr, axis=1)  # (G,)
+    denom = jnp.maximum(consts.self_corr_max, observed_max)
+    corr = corr / jnp.maximum(denom, 1e-38)[:, None]
+    return corr, valid_len

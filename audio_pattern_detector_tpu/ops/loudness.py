@@ -1,0 +1,166 @@
+"""Device BS.1770 loudness + normalisation (JAX, fixed shapes).
+
+TPU-first re-architecture of the reference's sequential loudness path
+(reference: native-helper/src/lib.rs:84-214): the K-weighting biquad cascade
+— the one true sequential scan in the system — is replaced by an FFT
+convolution against a truncated impulse response (derived on host in f64 by
+``hostref.k_weighting_fir``; the 38 Hz pole decays below 1e-12 within a few
+thousand samples, so the truncation error is under float32 resolution).
+Gating blocks are computed as static gather windows so the whole op is one
+fused, shape-static XLA program that handles any valid length ``n <= S`` via
+masking (full chunks, the first lookback-free chunk, and the final short
+chunk all share one executable).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_pattern_detector_tpu.ops import hostref
+from audio_pattern_detector_tpu.ops._pytree import static_field
+
+LUFS_OFFSET = -0.691
+ABSOLUTE_GATE_LUFS = -70.0
+DEFAULT_TARGET_LUFS = -16.0
+_FIR_TAPS = 4096
+
+
+def _next_pow2(n: int) -> int:
+    size = 1
+    while size < n:
+        size *= 2
+    return size
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class LoudnessConsts:
+    """Host-precomputed constants for a (section_len, sample_rate) pair."""
+
+    fir_rfft: jnp.ndarray  # (fft_len//2 + 1,) complex64
+    block_lo: jnp.ndarray  # (max_blocks,) int32 — static block starts
+    block_end: jnp.ndarray  # (max_blocks,) int32 — static block ends (pre-clamp)
+    section_len: int = static_field()
+    sample_rate: int = static_field()
+    fft_len: int = static_field()
+    window_width: int = static_field()  # >= max block width
+    short_threshold: int = static_field()  # single-block path below
+
+
+def build_loudness_consts(section_len: int, sample_rate: int) -> LoudnessConsts:
+    """Precompute FIR spectrum and gating-block geometry for a section size."""
+    rate = float(sample_rate)
+    t_g = 0.4
+    fir = hostref.k_weighting_fir(rate, _FIR_TAPS)
+    fft_len = _next_pow2(section_len + _FIR_TAPS - 1)
+    fir_rfft = jnp.asarray(np.fft.rfft(fir, fft_len), dtype=jnp.complex64)
+
+    max_blocks = max(hostref.num_gating_blocks(section_len, rate, t_g), 1)
+    window_samples = t_g * rate
+    hop_samples = window_samples * 0.25
+    j = np.arange(max_blocks, dtype=np.float64)
+    lo = (j * hop_samples).astype(np.int64)
+    end = (j * hop_samples + window_samples).astype(np.int64)
+    width = int((end - lo).max())
+
+    return LoudnessConsts(
+        section_len=section_len,
+        sample_rate=sample_rate,
+        fft_len=fft_len,
+        fir_rfft=fir_rfft,
+        block_lo=jnp.asarray(lo, dtype=jnp.int32),
+        block_end=jnp.asarray(end, dtype=jnp.int32),
+        window_width=width,
+        short_threshold=int(math.ceil(0.5 * sample_rate)),
+    )
+
+
+def _num_blocks_dynamic(n: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
+    """Integer-exact block count: round((t - 0.4)/0.1) + 1 with t = n/sr.
+
+    Evaluates round_half_away((10n - 4·sr)/sr) + 1 in integer arithmetic
+    (valid for n >= 0.4·sr, which the caller's short-path select guarantees).
+    """
+    # int32 is safe: sections are bounded well below 2^31/20 samples.
+    p = 10 * n.astype(jnp.int32) - 4 * sample_rate
+    q = jnp.int32(sample_rate)
+    return (2 * p + q) // (2 * q) + 1
+
+
+def integrated_loudness_device(
+    section: jnp.ndarray, n_valid: jnp.ndarray, consts: LoudnessConsts
+) -> jnp.ndarray:
+    """Gated integrated loudness (LUFS, f32; -inf for silence) of
+    ``section[:n_valid]``; samples at and beyond ``n_valid`` must be zero."""
+    S = consts.section_len
+    sr = consts.sample_rate
+    idx = jnp.arange(S, dtype=jnp.int32)
+
+    # K-weighting as FFT convolution; truncate the acausal tail and mask the
+    # filter ringing that bleeds past the true signal end.
+    spec = jnp.fft.rfft(section, n=consts.fft_len)
+    filtered = jnp.fft.irfft(spec * consts.fir_rfft, n=consts.fft_len)[:S]
+    sq = jnp.where(idx < n_valid, filtered * filtered, 0.0).astype(jnp.float32)
+
+    total = jnp.sum(sq)
+    n_f = n_valid.astype(jnp.float32)
+
+    # Short path (< 0.5 s): reference passes block_size = section seconds,
+    # yielding exactly one gating block = the whole signal
+    # (reference: audio_pattern_detector.py:416-418, lib.rs:148-178).
+    ms_short = total / jnp.maximum(n_f, 1.0)
+    lufs_short = jnp.where(
+        ms_short > 0.0, LUFS_OFFSET + 10.0 * jnp.log10(ms_short), -jnp.inf
+    )
+    lufs_short = jnp.where(lufs_short >= ABSOLUTE_GATE_LUFS, lufs_short, -jnp.inf)
+
+    # Gated path: static block windows, masked to the dynamic signal length.
+    B = consts.block_lo.shape[0]
+    W = consts.window_width
+    num_blocks = _num_blocks_dynamic(jnp.maximum(n_valid, int(0.4 * sr) + 1), sr)
+    win_idx = consts.block_lo[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    hi = jnp.minimum(consts.block_end, n_valid)  # (B,)
+    in_window = win_idx < hi[:, None]
+    gathered = jnp.take(sq, jnp.minimum(win_idx, S - 1), axis=0)
+    block_sum = jnp.sum(jnp.where(in_window, gathered, 0.0), axis=1)  # (B,)
+    count = (hi - consts.block_lo).astype(jnp.float32)
+    block_valid = (
+        (jnp.arange(B, dtype=jnp.int32) < num_blocks)
+        & (consts.block_lo < hi)
+        & (block_sum > 0.0)
+    )
+    ms = block_sum / jnp.maximum(count, 1.0)
+    loud = LUFS_OFFSET + 10.0 * jnp.log10(jnp.maximum(ms, 1e-38))
+
+    abs_mask = block_valid & (loud >= ABSOLUTE_GATE_LUFS)
+    abs_count = jnp.sum(abs_mask)
+    z_avg = jnp.sum(jnp.where(abs_mask, ms, 0.0)) / jnp.maximum(abs_count, 1)
+    gamma_r = LUFS_OFFSET + 10.0 * jnp.log10(jnp.maximum(z_avg, 1e-38)) - 10.0
+
+    rel_mask = abs_mask & (loud > gamma_r)
+    rel_count = jnp.sum(rel_mask)
+    z_final = jnp.sum(jnp.where(rel_mask, ms, 0.0)) / jnp.maximum(rel_count, 1)
+    lufs_gated = LUFS_OFFSET + 10.0 * jnp.log10(jnp.maximum(z_final, 1e-38))
+    lufs_gated = jnp.where((abs_count > 0) & (rel_count > 0), lufs_gated, -jnp.inf)
+
+    return jnp.where(n_valid < consts.short_threshold, lufs_short, lufs_gated)
+
+
+def loudness_normalize_device(
+    section: jnp.ndarray, lufs: jnp.ndarray, target_lufs: float = DEFAULT_TARGET_LUFS
+) -> jnp.ndarray:
+    """Gain to target LUFS, hard clip to [-1, 1], NaN scrubbed to zero.
+
+    Matches the reference composition of loudness_normalize + nan_to_num
+    (reference: lib.rs:220-227 then audio_pattern_detector.py:489-490):
+    -inf input loudness yields infinite gain, so non-zero samples saturate to
+    ±1 and zero samples (0·inf = NaN) scrub to 0.
+    """
+    gain = jnp.power(jnp.float32(10.0), (target_lufs - lufs) / 20.0)
+    y = jnp.clip(section * gain, -1.0, 1.0)
+    return jnp.where(jnp.isnan(y), 0.0, y)

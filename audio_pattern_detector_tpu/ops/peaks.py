@@ -1,0 +1,137 @@
+"""Device peak finding: vectorised plateau maxima + greedy distance filter.
+
+scipy.signal.find_peaks semantics for the subset the detection engine uses
+(height + distance; reference: native-helper/src/lib.rs:380-485,
+audio_pattern_detector.py:520-522), reformulated for SIMD hardware:
+
+* local maxima with plateau-midpoint via two associative scans (run-start /
+  run-end indices through cummax), no data-dependent loops;
+* the inherently sequential greedy tallest-first distance suppression runs
+  over a fixed top-K candidate set (one fori_loop of K steps on (G, K)
+  vectors, shared across the whole bank); a per-clip overflow flag reports
+  when the candidate set exceeded K so the caller can fall back to the
+  exact host path (never hit by real program material).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PeakCandidates(NamedTuple):
+    pos: jnp.ndarray  # (G, K) int32 — 'full' correlation indices
+    height: jnp.ndarray  # (G, K) f32
+    alive: jnp.ndarray  # (G, K) bool
+    overflow: jnp.ndarray  # (G,) bool — more raw candidates than K
+
+
+def plateau_local_maxima_mask(
+    x: jnp.ndarray,  # (G, L) f32, sentinel -inf at/after valid_len
+) -> jnp.ndarray:
+    """Boolean mask of plateau-midpoint local maxima (scipy semantics).
+
+    A peak is a maximal run of equal values with strictly smaller neighbours
+    on both sides; the floor midpoint of the run is flagged.
+    """
+    G, L = x.shape
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+
+    neq_prev = jnp.concatenate(
+        [jnp.ones((G, 1), dtype=bool), x[:, 1:] != x[:, :-1]], axis=1
+    )
+    neq_next = jnp.concatenate(
+        [x[:, :-1] != x[:, 1:], jnp.ones((G, 1), dtype=bool)], axis=1
+    )
+    # Start index of the equal-value run containing i.
+    run_start = jax.lax.cummax(jnp.where(neq_prev, idx, 0), axis=1)
+    # End index of the run containing i (reverse cummin).
+    run_end = jax.lax.cummin(
+        jnp.where(neq_next, idx, L - 1), axis=1, reverse=True
+    )
+
+    left_ok = run_start > 0
+    right_ok = run_end < L - 1
+    prev_val = jnp.take_along_axis(
+        x, jnp.maximum(run_start - 1, 0), axis=1
+    )
+    next_val = jnp.take_along_axis(
+        x, jnp.minimum(run_end + 1, L - 1), axis=1
+    )
+    is_mid = idx == (run_start + run_end) // 2
+    finite = jnp.isfinite(x)
+    # A finite right neighbour is required: the last true sample before the
+    # -inf padding sentinel is the array edge, and scipy never reports edges.
+    return (
+        left_ok
+        & right_ok
+        & is_mid
+        & (prev_val < x)
+        & (next_val < x)
+        & finite
+        & jnp.isfinite(next_val)
+    )
+
+
+def select_candidates(
+    x: jnp.ndarray,  # (G, L)
+    peak_mask: jnp.ndarray,  # (G, L) bool
+    k: int,
+) -> PeakCandidates:
+    """Top-K candidates by height (ties → lower index, matching the
+    reference priority order, lib.rs:444-451)."""
+    scored = jnp.where(peak_mask, x, -jnp.inf)
+    height, pos = jax.lax.top_k(scored, k)
+    alive = jnp.isfinite(height)
+    overflow = jnp.sum(peak_mask, axis=1) > k
+    return PeakCandidates(pos.astype(jnp.int32), height, alive, overflow)
+
+
+def greedy_distance_filter(
+    cand: PeakCandidates, min_distance: int
+) -> jnp.ndarray:
+    """Greedy tallest-first suppression over height-sorted candidates.
+
+    Candidates arrive sorted by descending height (top_k order), so a single
+    pass i = 0..K-1 reproduces the sequential greedy of
+    scipy.signal.find_peaks' distance filter: an already-suppressed
+    candidate never suppresses others. Returns the surviving-alive mask.
+    """
+    k = cand.pos.shape[1]
+    lane = jnp.arange(k, dtype=jnp.int32)[None, :]
+
+    def body(i, keep):
+        cur_alive = jax.lax.dynamic_index_in_dim(
+            keep & cand.alive, i, axis=1
+        )  # (G, 1)
+        cur_pos = jax.lax.dynamic_index_in_dim(cand.pos, i, axis=1)  # (G, 1)
+        d = jnp.abs(cand.pos - cur_pos)  # (G, K)
+        suppress = cur_alive & (d < min_distance) & (lane != i)
+        return keep & ~suppress
+
+    keep = jax.lax.fori_loop(0, k, body, jnp.ones_like(cand.alive))
+    return keep & cand.alive
+
+
+def find_peaks_device(
+    corr: jnp.ndarray,  # (G, L) normalised correlation, zeros >= valid_len
+    valid_len: jnp.ndarray,  # int32 — true 'full' length
+    height_min: float,
+    distance: int,
+    k: int,
+) -> PeakCandidates:
+    """find_peaks(height=height_min, distance=distance) over a masked bank.
+
+    Positions at/after valid_len are sentinelled to -inf so runs cannot
+    extend into the padding and the final true sample can never register as
+    a peak (scipy never reports array edges).
+    """
+    L = corr.shape[1]
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    x = jnp.where(idx < valid_len, corr, -jnp.inf)
+    mask = plateau_local_maxima_mask(x) & (x >= height_min)
+    cand = select_candidates(x, mask, k)
+    keep = greedy_distance_filter(cand, distance)
+    return PeakCandidates(cand.pos, cand.height, keep, cand.overflow)
