@@ -1,0 +1,143 @@
+"""CLI entry point: ``audio-pattern-detector-tpu match | show-config``.
+
+Flag-for-flag parity with the reference CLI
+(reference: audio_pattern_detector/cli.py). Heavy modules import lazily so
+``--help`` stays fast.
+"""
+
+import argparse
+import sys
+
+
+def _lazy_cmd_match(args: argparse.Namespace) -> None:
+    from audio_pattern_detector_tpu.match import cmd_match
+
+    return cmd_match(args)
+
+
+def _lazy_cmd_show_config(args: argparse.Namespace) -> None:
+    from audio_pattern_detector_tpu.match import cmd_show_config
+
+    return cmd_show_config(args)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        prog="audio-pattern-detector-tpu",
+        description="TPU-native audio pattern detection tools",
+    )
+    subparsers = parser.add_subparsers(dest="command", help="Available commands")
+
+    match_parser = subparsers.add_parser("match", help="Find pattern matches in audio files")
+    match_parser.add_argument(
+        "--pattern-file",
+        metavar="pattern file",
+        required=False,
+        type=str,
+        action="append",
+        help="pattern file (can be specified multiple times)",
+    )
+    match_parser.add_argument(
+        "--pattern-folder",
+        metavar="pattern folder",
+        required=False,
+        type=str,
+        action="append",
+        help=(
+            "folder with pattern audio clips (can be specified multiple times, "
+            "can be combined with --pattern-file)"
+        ),
+    )
+    match_parser.add_argument(
+        "audio_file",
+        nargs="?",
+        default=None,
+        type=str,
+        help="single audio file to find pattern in (omit when using --stdin or --multiplexed-stdin)",
+    )
+    match_parser.add_argument(
+        "--stdin", action="store_true", help="read audio from stdin in WAV format"
+    )
+    match_parser.add_argument(
+        "--multiplexed-stdin",
+        action="store_true",
+        help=(
+            "read patterns and audio from stdin using multiplexed protocol "
+            "(always outputs JSONL). Protocol: [uint32 num_patterns] then for each "
+            "pattern [uint32 name_len][name][uint32 data_len][wav_data], followed by "
+            "audio stream (WAV)"
+        ),
+    )
+    match_parser.add_argument(
+        "--target-sample-rate",
+        metavar="rate",
+        type=int,
+        required=False,
+        help="target sample rate for processing in Hz (default: 8000)",
+    )
+    match_parser.add_argument(
+        "--timestamp-format",
+        choices=["ms", "formatted", "both"],
+        default="both",
+        help=(
+            'timestamp format in JSONL output: "both" for integer milliseconds and '
+            'HH:MM:SS.mmm strings (default), "ms" for integer milliseconds only, '
+            '"formatted" for HH:MM:SS.mmm strings only'
+        ),
+    )
+    match_parser.add_argument(
+        "--chunk-seconds",
+        metavar="seconds",
+        type=str,
+        default="60",
+        help=(
+            'seconds per chunk for sliding window (default: 60, use "auto" to '
+            "auto-compute based on pattern length)"
+        ),
+    )
+    match_parser.add_argument(
+        "--debug",
+        action=argparse.BooleanOptionalAction,
+        help="debug mode (audio file only)",
+        default=False,
+    )
+    match_parser.add_argument(
+        "--debug-dir",
+        metavar="dir",
+        type=str,
+        default="./tmp",
+        help="base directory for debug output (default: ./tmp)",
+    )
+    match_parser.add_argument(
+        "--height-min",
+        metavar="height",
+        type=float,
+        default=None,
+        help="override minimum correlation peak height (default: 0.25, lower to find weak matches)",
+    )
+    match_parser.set_defaults(func=_lazy_cmd_match)
+
+    show_config_parser = subparsers.add_parser(
+        "show-config", help="Show computed configuration for a pattern file"
+    )
+    show_config_parser.add_argument(
+        "pattern_file", metavar="pattern file", type=str, help="pattern file"
+    )
+    show_config_parser.add_argument(
+        "--target-sample-rate",
+        metavar="rate",
+        type=int,
+        required=False,
+        help="target sample rate for processing in Hz (default: 8000)",
+    )
+    show_config_parser.set_defaults(func=_lazy_cmd_show_config)
+
+    args = parser.parse_args()
+    if not args.command:
+        parser.print_help()
+        sys.exit(1)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

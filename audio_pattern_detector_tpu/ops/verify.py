@@ -304,7 +304,7 @@ def verify_marker(
         active_count = jnp.sum(active, axis=-1)
         # Longest consecutive active run: distance to the last inactive frame.
         fpos = jnp.arange(consts.frame_count, dtype=jnp.int32)
-        last_inactive = jax.lax.cummax(jnp.where(~active, fpos, -1), axis=-1)
+        last_inactive = jax.lax.cummax(jnp.where(~active, fpos, -1), axis=2)
         run_len = fpos - last_inactive
         longest_run = jnp.max(jnp.where(active, run_len, 0), axis=-1)
         mean_purity = jnp.where(
