@@ -18,7 +18,6 @@ reuses the same executable via dynamic ``n_valid`` masking.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Any
 
@@ -154,14 +153,14 @@ class PatternBank:
                 )
             )
 
-        # ── One jitted program per sliding-window class ──
-        self._programs: dict[int, Any] = {}
+        # ── One program per sliding-window class. The jitted entry is
+        # module-level with hashable static metadata, so compiled
+        # executables are shared across detector instances (the jit cache
+        # key is (shapes, metas, height_min)). ──
+        self._metas: dict[int, tuple] = {}
         for sw, cls in self.classes.items():
-            metas = tuple(
+            self._metas[sw] = tuple(
                 (g.kind, g.clip_len, g.k_detect, g.k_verify) for g in cls["groups"]
-            )
-            self._programs[sw] = jax.jit(
-                functools.partial(_class_step, metas=metas, height_min=self.height_min)
             )
 
     # ── Per-chunk execution ──
@@ -189,9 +188,14 @@ class PatternBank:
             section = np.zeros(S, dtype=np.float32)
             section[:n_valid] = raw_section
 
-            group_consts = [(g.corr, g.verify) for g in cls["groups"]]
-            outs = self._programs[sw](
-                jnp.asarray(section), jnp.int32(n_valid), cls["loud"], group_consts
+            group_consts = tuple((g.corr, g.verify) for g in cls["groups"])
+            outs = _class_step_jit(
+                jnp.asarray(section),
+                jnp.int32(n_valid),
+                cls["loud"],
+                group_consts,
+                metas=self._metas[sw],
+                height_min=self.height_min,
             )
 
             for g, out in zip(cls["groups"], outs):
@@ -230,7 +234,7 @@ def _class_step(
     section: jnp.ndarray,
     n_valid: jnp.ndarray,
     loud: LoudnessConsts,
-    group_consts: list,
+    group_consts: tuple,
     *,
     metas: tuple,
     height_min: float,
@@ -280,3 +284,9 @@ def _class_step(
             }
         )
     return outs
+
+
+# Module-level jit: executables are cached process-wide, keyed on section
+# shape + static metas, so repeated detector construction (tests, CLI runs
+# in one process) reuses compiled programs.
+_class_step_jit = jax.jit(_class_step, static_argnames=("metas", "height_min"))

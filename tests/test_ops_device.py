@@ -1,0 +1,252 @@
+"""Differential tests: device (JAX) kernels vs exact host implementations.
+
+The device path is the production hot path; every kernel must agree with
+the hostref/hostpath golden model on randomised inputs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_pattern_detector_tpu.models import hostpath
+from audio_pattern_detector_tpu.ops import hostref
+from audio_pattern_detector_tpu.ops.correlate import build_correlation_bank, bank_correlate
+from audio_pattern_detector_tpu.ops.loudness import (
+    build_loudness_consts,
+    integrated_loudness_device,
+    loudness_normalize_device,
+)
+from audio_pattern_detector_tpu.ops.peaks import find_peaks_device
+from audio_pattern_detector_tpu.ops.verify import (
+    build_marker_verify_consts,
+    build_normal_verify_consts,
+    verify_marker,
+    verify_normal,
+)
+
+SR = 8000
+
+
+class TestDeviceLoudness:
+    @pytest.mark.parametrize("seed,n_seconds", [(0, 10.0), (1, 6.54), (2, 2.0)])
+    def test_matches_host(self, seed, n_seconds):
+        S = 12 * SR
+        consts = build_loudness_consts(S, SR)
+        rng = np.random.default_rng(seed)
+        n = int(n_seconds * SR)
+        sig = (0.2 * rng.standard_normal(n)).astype(np.float32)
+        x = np.zeros(S, np.float32)
+        x[:n] = sig
+        dev = float(integrated_loudness_device(jnp.asarray(x), jnp.int32(n), consts))
+        host = hostref.integrated_loudness(sig, SR)
+        assert abs(dev - host) < 1e-4
+
+    def test_short_section(self):
+        S = 12 * SR
+        consts = build_loudness_consts(S, SR)
+        n = 3000  # < 0.5 s -> single-block path
+        sig = 0.3 * np.sin(2 * np.pi * 700 * np.arange(n) / SR).astype(np.float32)
+        x = np.zeros(S, np.float32)
+        x[:n] = sig
+        dev = float(integrated_loudness_device(jnp.asarray(x), jnp.int32(n), consts))
+        host = hostref.integrated_loudness(sig, SR, block_size=n / SR)
+        assert abs(dev - host) < 1e-4
+
+    def test_silence(self):
+        S = 12 * SR
+        consts = build_loudness_consts(S, SR)
+        x = jnp.zeros(S)
+        assert float(integrated_loudness_device(x, jnp.int32(S), consts)) == -np.inf
+
+    def test_normalize_matches_host(self):
+        sig = (0.05 * np.random.default_rng(3).standard_normal(SR)).astype(np.float32)
+        lufs = hostref.integrated_loudness(sig, SR)
+        host = hostref.loudness_normalize(sig, lufs, -16.0)
+        dev = np.asarray(loudness_normalize_device(jnp.asarray(sig), jnp.float32(lufs)))
+        host_scrubbed = np.nan_to_num(host, nan=0.0)
+        np.testing.assert_allclose(dev, host_scrubbed, atol=2e-6)
+
+
+class TestDeviceCorrelation:
+    def test_matches_host_full_correlation(self):
+        rng = np.random.default_rng(7)
+        S = 4 * SR
+        m = 2000
+        n = S - 512
+        clips = rng.standard_normal((3, m)).astype(np.float32)
+        self_max = np.array(
+            [np.abs(hostref.fft_correlate_1d(c, c)).max() for c in clips]
+        )
+        consts = build_correlation_bank(clips, self_max, S)
+        sig = rng.standard_normal(n).astype(np.float32)
+        section = np.zeros(S, np.float32)
+        section[:n] = sig
+        corr, valid_len = bank_correlate(jnp.asarray(section), jnp.int32(n), consts)
+        corr = np.asarray(corr)
+        assert int(valid_len) == n + m - 1
+        for gi in range(3):
+            host = np.abs(hostref.fft_correlate_1d(sig, clips[gi]))
+            host = host / max(self_max[gi], host.max())
+            np.testing.assert_allclose(
+                corr[gi, : n + m - 1], host, atol=2e-4
+            )
+            # Padding region is exactly zero.
+            assert np.all(corr[gi, n + m - 1 :] == 0)
+
+
+class TestDevicePeaks:
+    @pytest.mark.parametrize("seed", range(4))
+    def test_matches_host_find_peaks(self, seed):
+        rng = np.random.default_rng(seed)
+        L = 20000
+        n_valid = L - 700
+        x = np.zeros((1, L), np.float32)
+        sig = np.abs(rng.standard_normal(n_valid)).astype(np.float32)
+        # Smooth so peaks are sparse enough to fit the candidate tier.
+        sig = np.convolve(sig, np.ones(15) / 15, mode="same").astype(np.float32)
+        x[0, :n_valid] = sig
+        height, distance = 0.95, 100  # ~1.1k raw candidates: fits k
+        cand = find_peaks_device(
+            jnp.asarray(x), jnp.int32(n_valid), height, distance, k=2048
+        )
+        got = np.sort(np.asarray(cand.pos)[0][np.asarray(cand.alive)[0]])
+        want, _ = hostref.find_peaks(sig, height=height, distance=distance)
+        assert not bool(np.asarray(cand.overflow)[0])
+        np.testing.assert_array_equal(got, want)
+
+    def test_plateau_handling(self):
+        x = np.zeros((1, 64), np.float32)
+        x[0, :12] = [0, 1, 1, 1, 0, 2, 2, 0, 0, 3, 0, 0]
+        cand = find_peaks_device(jnp.asarray(x), jnp.int32(12), 0.5, 1, k=8)
+        got = np.sort(np.asarray(cand.pos)[0][np.asarray(cand.alive)[0]])
+        want, _ = hostref.find_peaks(x[0, :12], height=0.5, distance=1)
+        np.testing.assert_array_equal(got, want)
+
+    def test_overflow_flag(self):
+        # Alternating signal = maximal number of local maxima.
+        L = 1000
+        x = np.zeros((1, L), np.float32)
+        x[0, :L:2] = 1.0
+        cand = find_peaks_device(jnp.asarray(x), jnp.int32(L), 0.5, 1, k=16)
+        assert bool(np.asarray(cand.overflow)[0])
+
+    def test_greedy_distance_chain(self):
+        # A > B > C where A-B and B-C conflict but A-C don't: greedy keeps
+        # A and C (B's suppression must not also kill C).
+        x = np.zeros((1, 400), np.float32)
+        x[0, 100] = 3.0
+        x[0, 160] = 2.0
+        x[0, 220] = 1.0
+        cand = find_peaks_device(jnp.asarray(x), jnp.int32(400), 0.5, 100, k=8)
+        got = np.sort(np.asarray(cand.pos)[0][np.asarray(cand.alive)[0]])
+        want, _ = hostref.find_peaks(x[0], height=0.5, distance=100)
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(got, [100, 220])
+
+
+class TestDeviceVerifyNormal:
+    def _setup(self, m=1600, seed=0):
+        rng = np.random.default_rng(seed)
+        clip = rng.standard_normal(m).astype(np.float32)
+        cc = np.abs(hostref.fft_correlate_1d(clip, clip))
+        self_max = cc.max()
+        cc_n = (cc / self_max).astype(np.float32)
+        return clip, cc_n, self_max
+
+    @pytest.mark.parametrize("m", [1600, 3000])
+    def test_accept_and_reject_match_host(self, m):
+        clip, cc_n, self_max = self._setup(m)
+        S = 4 * SR
+        rng = np.random.default_rng(99)
+        n = S - 100
+        sig = (0.01 * rng.standard_normal(n)).astype(np.float32)
+        sig[5000 : 5000 + m] += clip  # true occurrence
+        sig[20000 : 20000 + m] += clip * np.linspace(1, 0, m).astype(np.float32)  # distorted
+
+        norm = hostpath.normalize_section(sig, SR)
+        corr_host = np.abs(hostref.fft_correlate_1d(norm, clip))
+        corr_host /= max(self_max, corr_host.max())
+        peaks, _ = hostref.find_peaks(corr_host, height=0.25, distance=m)
+
+        consts = build_normal_verify_consts(cc_n[None, :], m, SR)
+        bank = build_correlation_bank(clip[None, :], np.array([self_max]), S)
+        section = np.zeros(S, np.float32)
+        section[:n] = norm
+        corr_dev, valid_len = bank_correlate(jnp.asarray(section), jnp.int32(n), bank)
+
+        k = max(len(peaks), 1)
+        pos = np.full((1, k), 2**30, np.int32)
+        alive = np.zeros((1, k), bool)
+        pos[0, : len(peaks)] = peaks
+        alive[0, : len(peaks)] = True
+        accept, sim, r = verify_normal(
+            corr_dev, jnp.asarray(pos), jnp.asarray(alive), consts
+        )
+        accept = np.asarray(accept)[0]
+
+        for i, peak in enumerate(peaks):
+            cs = hostpath.slicing_with_zero_padding(corr_host, len(cc_n), int(peak))
+            cs = cs / cs.max()
+            want, _, _ = hostpath._verify_normal_host(cc_n, cs, is_short_clip=False)
+            assert bool(accept[i]) == want, f"peak {peak}: device {accept[i]} host {want}"
+
+
+class TestDeviceVerifyMarker:
+    def test_matches_host_decisions(self):
+        freq = 1040.0
+        m = round(0.228375 * SR)
+        t = np.arange(m) / SR
+        tone = np.sin(2 * np.pi * freq * t).astype(np.float32)
+        rng = np.random.default_rng(11)
+        S = 2 * SR
+
+        cases = []
+        # clean isolated beep (accept)
+        sec = (0.001 * rng.standard_normal(S)).astype(np.float32)
+        sec[4000 : 4000 + m] += 0.7 * tone
+        cases.append((sec, 4000, True))
+        # sustained tone (reject: dirty flanks)
+        sec2 = (0.001 * rng.standard_normal(S)).astype(np.float32)
+        tt = np.arange(3 * m) / SR
+        sec2[3000 : 3000 + 3 * m] += 0.7 * np.sin(2 * np.pi * freq * tt).astype(np.float32)
+        cases.append((sec2, 3000 + m, False))
+        # wrong frequency (reject)
+        sec3 = (0.001 * rng.standard_normal(S)).astype(np.float32)
+        sec3[4000 : 4000 + m] += 0.7 * np.sin(2 * np.pi * freq * 1.3 * t).astype(np.float32)
+        cases.append((sec3, 4000, False))
+
+        consts = build_marker_verify_consts(m, SR, np.array([freq]), [{}])
+        for sec, start, expected in cases:
+            peak = start + m - 1
+            host = hostpath._verify_marker_host(sec, peak, m, freq, SR, {})
+            assert host == expected
+            dev = verify_marker(
+                jnp.asarray(sec),
+                jnp.asarray([[peak]], dtype=jnp.int32),
+                jnp.asarray([[True]]),
+                consts,
+            )
+            assert bool(np.asarray(dev)[0, 0]) == expected
+
+    def test_per_clip_thresholds(self):
+        freq = 1040.0
+        m = round(0.228375 * SR)
+        t = np.arange(m) / SR
+        tone = np.sin(2 * np.pi * freq * t).astype(np.float32)
+        sec = np.zeros(2 * SR, np.float32)
+        sec[4000 : 4000 + m] = 0.7 * tone
+        peak = 4000 + m - 1
+        # Two clips, same tone; second has an impossible threshold.
+        consts = build_marker_verify_consts(
+            m, SR, np.array([freq, freq]), [{}, {"minimum_band_purity": 1.01}]
+        )
+        dev = verify_marker(
+            jnp.asarray(sec),
+            jnp.asarray([[peak], [peak]], dtype=jnp.int32),
+            jnp.asarray([[True], [True]]),
+            consts,
+        )
+        dev = np.asarray(dev)
+        assert bool(dev[0, 0]) is True
+        assert bool(dev[1, 0]) is False

@@ -1,0 +1,159 @@
+"""Synthetic-stream engine tests: chunking, lookback, timestamp algebra.
+
+The dominant reference test pattern (reference: tests/test_sliding_window.py):
+synthesise numpy audio, wrap raw float32 bytes in BytesIO, and check
+timestamps across chunk indices, boundary straddling, overlap duplicates,
+and chunk-size validation.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from audio_pattern_detector_tpu.models.detector import AudioPatternDetector
+from audio_pattern_detector_tpu.utils.clip import AudioClip, AudioStream
+
+SR = 8000
+
+
+def make_clip(seconds=1.0, seed=7, name="clip"):
+    """Aperiodic noise-burst test pattern (delta-like autocorrelation, so
+    partial/offset alignments can never verify — keeps chunk-boundary tests
+    unambiguous)."""
+    n = int(seconds * SR)
+    rng = np.random.default_rng(seed)
+    audio = (0.4 * rng.standard_normal(n)).astype(np.float32)
+    return AudioClip(name=name, audio=audio, sample_rate=SR)
+
+
+def make_stream(audio: np.ndarray, name="synth") -> AudioStream:
+    return AudioStream(
+        name=name,
+        audio_stream=io.BytesIO(audio.astype(np.float32).tobytes()),
+        sample_rate=SR,
+    )
+
+
+def embed(clip: AudioClip, offsets, total_seconds, noise=0.01, seed=0):
+    rng = np.random.default_rng(seed)
+    audio = (noise * rng.standard_normal(int(total_seconds * SR))).astype(np.float32)
+    for off in offsets:
+        o = int(off * SR)
+        audio[o : o + len(clip.audio)] += clip.audio
+    return audio
+
+
+def detect(clip, audio, seconds_per_chunk=60, **kwargs):
+    det = AudioPatternDetector(
+        audio_clips=[clip], seconds_per_chunk=seconds_per_chunk, **kwargs
+    )
+    peaks, total = det.find_clip_in_audio(make_stream(audio))
+    return peaks[clip.name], total
+
+
+class TestTimestampAccuracy:
+    def test_first_chunk(self):
+        clip = make_clip()
+        times, _ = detect(clip, embed(clip, [10.0], 70))
+        assert len(times) == 1
+        assert abs(times[0] - 10.0) < 0.01
+
+    def test_second_chunk(self):
+        clip = make_clip()
+        times, _ = detect(clip, embed(clip, [75.0], 130))
+        assert len(times) == 1
+        assert abs(times[0] - 75.0) < 0.01
+
+    def test_many_chunks_no_drift(self):
+        clip = make_clip()
+        offsets = [10.0 + 60 * k for k in range(10)]
+        times, _ = detect(clip, embed(clip, offsets, 60 * 10 + 20))
+        assert len(times) == len(offsets)
+        for t, o in zip(sorted(times), offsets):
+            assert abs(t - o) < 0.01, f"drift at {o}: {t}"
+
+    def test_boundary_straddling(self):
+        # Pattern spans the 60 s chunk boundary; the lookback window must
+        # contain it fully in the second chunk's section.
+        clip = make_clip()
+        times, _ = detect(clip, embed(clip, [59.5], 130))
+        assert any(abs(t - 59.5) < 0.01 for t in times), times
+
+    def test_match_at_zero(self):
+        clip = make_clip()
+        times, _ = detect(clip, embed(clip, [0.0], 70))
+        assert len(times) == 1
+        assert abs(times[0] - 0.0) < 0.01
+
+    def test_match_near_stream_end_short_final_chunk(self):
+        clip = make_clip()
+        times, _ = detect(clip, embed(clip, [63.0], 65.5))
+        assert len(times) == 1
+        assert abs(times[0] - 63.0) < 0.01
+
+    def test_overlap_duplicates_identical(self):
+        # A pattern inside the lookback region is seen by both chunks; the
+        # duplicate timestamps must be identical (reference:
+        # tests/test_sliding_window.py:1174-1228).
+        clip = make_clip()
+        times, _ = detect(clip, embed(clip, [59.2], 130))
+        close = [t for t in times if abs(t - 59.2) < 0.01]
+        assert len(close) in (1, 2)
+        if len(close) == 2:
+            assert close[0] == close[1]
+
+
+class TestChunkValidation:
+    def test_too_small_chunk_rejected(self):
+        clip = make_clip(seconds=3.0)
+        with pytest.raises(ValueError, match="too small"):
+            AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=5)
+
+    def test_auto_chunk_computation(self):
+        clip = make_clip(seconds=3.0)
+        det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=None)
+        assert det.seconds_per_chunk == 6  # ceil(3)*2
+
+    def test_auto_chunk_detection_works(self):
+        clip = make_clip(seconds=2.0)
+        det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=None)
+        audio = embed(clip, [5.0], 12)
+        peaks, _ = det.find_clip_in_audio(make_stream(audio))
+        assert len(peaks[clip.name]) == 1
+        assert abs(peaks[clip.name][0] - 5.0) < 0.01
+
+    def test_unique_names_required(self):
+        clip = make_clip()
+        with pytest.raises(ValueError, match="unique"):
+            AudioPatternDetector(audio_clips=[clip, make_clip(name="clip")])
+
+    def test_sample_rate_mismatch_rejected(self):
+        clip = make_clip()
+        wrong = AudioClip(name="wrong", audio=clip.audio, sample_rate=16000)
+        with pytest.raises(ValueError, match="sample rate"):
+            AudioPatternDetector(audio_clips=[wrong])
+
+    def test_stream_rate_mismatch_rejected(self):
+        clip = make_clip()
+        det = AudioPatternDetector(audio_clips=[clip])
+        stream = AudioStream(
+            name="x", audio_stream=io.BytesIO(b"\0" * 400), sample_rate=44100
+        )
+        with pytest.raises(ValueError, match="sample rate"):
+            det.find_clip_in_audio(stream)
+
+
+class TestTotalTime:
+    def test_total_time_exact(self):
+        clip = make_clip()
+        audio = embed(clip, [], 65.4321)
+        _, total = detect(clip, audio)
+        assert total == pytest.approx(len(audio) / SR, abs=1e-9)
+
+    def test_empty_stream(self):
+        clip = make_clip()
+        det = AudioPatternDetector(audio_clips=[clip])
+        peaks, total = det.find_clip_in_audio(make_stream(np.zeros(0)))
+        assert total == 0.0
+        assert peaks == {"clip": []}
