@@ -154,6 +154,16 @@ class AudioPatternDetector:
             absolute_max = np.max(correlation_clip)
             correlation_clip = correlation_clip / absolute_max
 
+            if self.debug_mode:
+                print(f"clip_length {clip_name}", len(clip), file=sys.stderr)
+                print(
+                    f"clip_length {clip_name} seconds",
+                    len(clip) / self.target_sample_rate,
+                    file=sys.stderr,
+                )
+                print("correlation_clip_length", len(correlation_clip), file=sys.stderr)
+                self._debug_sink().dump_clip_correlation(clip_name, correlation_clip)
+
             self._clip_datas[clip_name] = {
                 "clip": clip,
                 "clip_name": clip_name,
@@ -175,6 +185,13 @@ class AudioPatternDetector:
 
         # Device pattern bank compiled lazily on first stream (chunk size known).
         self._bank = None
+
+    def _debug_sink(self):
+        if getattr(self, "_debug_sink_obj", None) is None:
+            from audio_pattern_detector_tpu.models.debug import DebugSink
+
+            self._debug_sink_obj = DebugSink(self.debug_dir, self.target_sample_rate)
+        return self._debug_sink_obj
 
     # ── Introspection (reference: audio_pattern_detector.py:226-246) ──
 
@@ -252,7 +269,12 @@ class AudioPatternDetector:
 
             # One device dispatch per sliding-window class; integer peak
             # positions come back to host for exact timestamp algebra.
-            clip_peaks = bank.process_chunk(chunk, previous_chunk)
+            # Debug mode runs the exact host path instead, which emits the
+            # full artifact set (graphs/WAV/JSON) per candidate.
+            if self.debug_mode:
+                clip_peaks = self._process_chunk_debug(chunk, previous_chunk, i)
+            else:
+                clip_peaks = bank.process_chunk(chunk, previous_chunk)
 
             chunk_matches: list[tuple[float, str]] = []
             for audio_clip in self.audio_clips:
@@ -283,4 +305,52 @@ class AudioPatternDetector:
             previous_chunk = chunk
             i += 1
 
+        if self.debug_mode:
+            self._debug_sink().dump_similarity_scatter(
+                [c.name for c in self.audio_clips], audio_stream.name
+            )
+
         return all_peak_times, total_time
+
+    def _process_chunk_debug(
+        self,
+        chunk: NDArray[np.float32],
+        previous_chunk: NDArray[np.float32] | None,
+        index: int,
+    ) -> dict[str, list[int]]:
+        """Exact host path with full debug artifacts (one clip at a time,
+        like the reference's per-clip loop)."""
+        from audio_pattern_detector_tpu.models import hostpath
+        from audio_pattern_detector_tpu.utils.timefmt import seconds_to_time
+
+        sr = self.target_sample_rate
+        sink = self._debug_sink()
+        section_ts = seconds_to_time(
+            seconds=index * self.seconds_per_chunk, include_decimals=False
+        )
+        results: dict[str, list[int]] = {}
+        for audio_clip in self.audio_clips:
+            name = audio_clip.name
+            cd = self._clip_datas[name]
+            sw = cd["sliding_window"]
+            if previous_chunk is not None:
+                section = np.concatenate((previous_chunk[int(-sw * sr):], chunk))
+            else:
+                section = chunk
+            verification = self._clip_strategy_params.get(name, {}).get("verification", {})
+            results[name] = hostpath.process_section_host(
+                audio_section=section,
+                clip=cd["clip"],
+                correlation_clip=cd["correlation_clip"],
+                correlation_clip_absolute_max=float(cd["correlation_clip_absolute_max"]),
+                sr=sr,
+                height_min=self.height_min if self.height_min is not None else 0.25,
+                is_short_clip=len(cd["clip"]) / sr < SHORT_CLIP_DURATION_THRESHOLD,
+                tone_frequency=self._tone_frequencies.get(name),
+                verification_params=verification,
+                debug=sink,
+                clip_name=name,
+                index=index,
+                section_ts=section_ts,
+            )
+        return results

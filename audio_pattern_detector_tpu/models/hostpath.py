@@ -52,11 +52,14 @@ def _verify_normal_host(
     correlation_clip: NDArray[np.float32],
     correlation_slice: NDArray[np.float32],
     is_short_clip: bool,
+    debug_detail: "dict[str, Any] | None" = None,
 ) -> tuple[bool, float, float]:
     """10-partition MSE + centre-window Pearson
     (reference: audio_pattern_detector.py:752-903).
 
-    Returns (accept, similarity, pearson_r).
+    Returns (accept, similarity, pearson_r). When ``debug_detail`` is given
+    it is filled with the per-window breakdown (all three Pearson windows,
+    as the reference computes in debug mode).
     """
     partition_count = 10
     ps = len(correlation_clip) // partition_count
@@ -76,21 +79,51 @@ def _verify_normal_host(
     similarity_middle = float(np.mean(mses[4:6]))
     similarity_whole = float(np.mean(mses))
     similarity = similarity_whole if is_short_clip else min(similarity_whole, similarity_middle)
+    if debug_detail is not None:
+        debug_detail["whole"] = similarity_whole
+        debug_detail["middle"] = similarity_middle
 
     if similarity > SIMILARITY_HARD_LIMIT:
         return False, similarity, -1.0
 
     ds_base = 101
     if is_short_clip:
-        wl, wr, ds_n = 0, 10, round(ds_base * 10 / 2)
+        pearson_windows = [(0, 10, round(ds_base * 10 / 2))]
+        center_idx = 0
     else:
-        wl, wr, ds_n = 4, 6, ds_base
+        pearson_windows = [
+            (0, 5, round(ds_base * 5 / 2)),
+            (4, 6, ds_base),
+            (5, 10, round(ds_base * 5 / 2)),
+        ]
+        center_idx = 1
+    # Fast path computes only the decision-relevant centre window; debug
+    # computes all three like the reference's debug graphs.
+    windows = pearson_windows if debug_detail is not None else [pearson_windows[center_idx]]
+    if debug_detail is None:
+        center_idx = 0
+
     lc = len(correlation_clip)
-    lo, hi = round(lc * wl / 10), round(lc * wr / 10)
-    ds_clip = hostref.resample_preserve_maxima(correlation_clip[lo:hi], ds_n)
-    ds_slice = hostref.resample_preserve_maxima(correlation_slice[lo:hi], ds_n)
-    r = hostref.pearson_correlation(ds_clip, ds_slice)
-    return r >= PEARSON_R_THRESHOLD, similarity, r
+    r_center = -1.0
+    best_r, best_idx = -1.0, 0
+    win_dump = []
+    for wi, (wl, wr, ds_n) in enumerate(windows):
+        lo, hi = round(lc * wl / 10), round(lc * wr / 10)
+        ds_clip = hostref.resample_preserve_maxima(correlation_clip[lo:hi], ds_n)
+        ds_slice = hostref.resample_preserve_maxima(correlation_slice[lo:hi], ds_n)
+        r = hostref.pearson_correlation(ds_clip, ds_slice)
+        if wi == center_idx:
+            r_center = r
+        if r > best_r:
+            best_r, best_idx = r, wi
+        if debug_detail is not None:
+            debug_detail[f"pearson_w{wl}_{wr}"] = r
+            win_dump.append((wl, wr, ds_slice, ds_clip, r))
+    if debug_detail is not None:
+        debug_detail["pearson_r"] = r_center
+        debug_detail["best_window_idx"] = best_idx
+        debug_detail["windows"] = win_dump
+    return r_center >= PEARSON_R_THRESHOLD, similarity, r_center
 
 
 def _verify_marker_host(
@@ -159,21 +192,36 @@ def process_section_host(
     is_short_clip: bool,
     tone_frequency: float | None,
     verification_params: dict[str, Any],
+    debug: "Any | None" = None,  # models.debug.DebugSink
+    clip_name: str = "",
+    index: int = 0,
+    section_ts: str = "",
 ) -> list[int]:
     """Full Step-1 + Step-2 for one clip over one (raw) audio section.
 
     Returns accepted peak positions ('full' correlation indices, ascending).
+    With a DebugSink attached, emits the reference's debug artifacts
+    (correlation graphs, candidate WAV/slice dumps, JSON peak dumps).
     """
+    import sys
+
     section = normalize_section(audio_section, sr)
     correlation = np.abs(hostref.fft_correlate_1d(section, clip, mode="full"))
     absolute_max = np.max(correlation)
     max_choose = max(correlation_clip_absolute_max, absolute_max)
     correlation = correlation / max_choose
 
+    if debug is not None:
+        print("---", file=sys.stderr)
+        print(f"section_ts: {section_ts}, index {index}", file=sys.stderr)
+        debug.dump_chunk_correlation(clip_name, correlation, index, section_ts)
+
     clip_length = len(clip)
     peaks, _ = hostref.find_peaks(correlation, height=height_min, distance=clip_length)
 
     peaks_final: list[int] = []
+    seconds: list[float] = []
+    similarities: list[Any] = []
     half = len(correlation_clip) // 2
     for peak in peaks:
         peak = int(peak)
@@ -197,9 +245,59 @@ def process_section_host(
                     f"correlation_slice length {len(correlation_slice)} not equal to "
                     f"correlation_clip length {len(correlation_clip)}"
                 )
-            accepted, _, _ = _verify_normal_host(
-                correlation_clip, correlation_slice, is_short_clip
+            detail: "dict[str, Any] | None" = {} if debug is not None else None
+            accepted, similarity, r = _verify_normal_host(
+                correlation_clip, correlation_slice, is_short_clip, detail
             )
+            if debug is not None and detail is not None:
+                seconds.append(peak / sr)
+                debug.record_similarity(clip_name, index, similarity)
+                if similarity > SIMILARITY_HARD_LIMIT:
+                    similarities.append(
+                        (similarity, {"whole": detail["whole"], "middle": detail["middle"]}, None)
+                    )
+                    print(
+                        f"failed verification for {section_ts} due to similarity "
+                        f"{similarity} > {SIMILARITY_HARD_LIMIT}",
+                        file=sys.stderr,
+                    )
+                else:
+                    print(f"similarity {similarity} pearson_r {r}", file=sys.stderr)
+                    debug.dump_candidate_slice(
+                        clip_name, correlation_slice, correlation_clip,
+                        similarity, index, section_ts, peak,
+                    )
+                    debug.dump_pearson_windows(
+                        clip_name, detail["windows"], index, section_ts, peak,
+                        detail["best_window_idx"],
+                    )
+                    similarities.append(
+                        (
+                            similarity,
+                            {"whole": detail["whole"], "middle": detail["middle"]},
+                            {
+                                k: v
+                                for k, v in detail.items()
+                                if k.startswith("pearson") or k == "pearson_r"
+                            },
+                        )
+                    )
+                    if not accepted:
+                        print(
+                            f"failed verification for {section_ts} due to similarity "
+                            f"{similarity} pearson_r {r}",
+                            file=sys.stderr,
+                        )
             if accepted:
                 peaks_final.append(peak)
+
+        if debug is not None:
+            debug.dump_candidate_audio(
+                clip_name, section, peak, clip_length, index, section_ts
+            )
+
+    if debug is not None and len(peaks) > 0:
+        debug.dump_peaks_json(clip_name, peaks, seconds, similarities, index, section_ts)
+        print("---", file=sys.stderr)
+
     return peaks_final
