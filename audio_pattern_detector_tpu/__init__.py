@@ -27,6 +27,7 @@ from audio_pattern_detector_tpu.models.detector import (
     SHORT_CLIP_DURATION_THRESHOLD,
     AudioPatternDetector,
     PatternDetectedCallback,
+    StreamCheckpoint,
 )
 
 __version__ = "0.1.0"
@@ -36,6 +37,7 @@ __all__ = [
     "AudioStream",
     "AudioPatternDetector",
     "PatternDetectedCallback",
+    "StreamCheckpoint",
     "DEFAULT_SECONDS_PER_CHUNK",
     "SHORT_CLIP_DURATION_THRESHOLD",
     "MARKER_TONE_STRATEGY",

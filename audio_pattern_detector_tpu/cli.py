@@ -115,6 +115,19 @@ def main() -> None:
         default=None,
         help="override minimum correlation peak height (default: 0.25, lower to find weak matches)",
     )
+    match_parser.add_argument(
+        "--profile",
+        action="store_true",
+        default=False,
+        help="print per-stage wall-clock stats (JSON) to stderr after the run",
+    )
+    match_parser.add_argument(
+        "--trace-dir",
+        metavar="dir",
+        type=str,
+        default=None,
+        help="write a jax.profiler device trace of the run to this directory",
+    )
     match_parser.set_defaults(func=_lazy_cmd_match)
 
     show_config_parser = subparsers.add_parser(

@@ -269,6 +269,30 @@ class _WavFileStreamWrapper:
         self._wav.close()
 
 
+
+
+def _run_detector(
+    detector: AudioPatternDetector,
+    stream: AudioStream,
+    on_pattern_detected: PatternDetectedCallback | None,
+    accumulate_results: bool,
+    profile: bool,
+    trace_dir: "str | None",
+) -> tuple[dict[str, list[float]] | None, float]:
+    from audio_pattern_detector_tpu.utils.profiling import device_trace
+
+    with device_trace(trace_dir):
+        result = detector.find_clip_in_audio(
+            stream,
+            on_pattern_detected=on_pattern_detected,
+            accumulate_results=accumulate_results,
+        )
+    if profile:
+        stats = getattr(detector, "last_run_stats", None)
+        if stats is not None:
+            print(f"profile: {json.dumps(stats.as_dict())}", file=sys.stderr)
+    return result
+
 def match_pattern(
     audio_source: str | None,
     pattern_files: list[str],
@@ -280,11 +304,15 @@ def match_pattern(
     target_sample_rate: int | None = None,
     debug_dir: str = "./tmp",
     height_min: float | None = None,
+    profile: bool = False,
+    trace_dir: str | None = None,
 ) -> tuple[dict[str, list[float]] | None, float]:
     """Find pattern matches in an audio file or stdin stream.
 
     Library entry point with the reference's contract
-    (reference: match.py:98-212).
+    (reference: match.py:98-212). ``profile`` prints per-stage wall-clock
+    stats to stderr after the run; ``trace_dir`` wraps the run in a
+    jax.profiler device trace.
     """
     if not from_stdin:
         if audio_source is None or not os.path.exists(audio_source):
@@ -321,6 +349,8 @@ def match_pattern(
             target_sample_rate=sr,
             debug_dir=debug_dir,
             height_min=height_min,
+            profile=profile,
+            trace_dir=trace_dir,
         )
 
     assert audio_source is not None
@@ -341,10 +371,9 @@ def match_pattern(
                 debug_dir=debug_dir,
                 height_min=height_min,
             )
-            peak_times, total_time = detector.find_clip_in_audio(
-                full_streaming_audio,
-                on_pattern_detected=on_pattern_detected,
-                accumulate_results=accumulate_results,
+            peak_times, total_time = _run_detector(
+                detector, full_streaming_audio, on_pattern_detected,
+                accumulate_results, profile, trace_dir,
             )
         finally:
             stream_wrapper.close()
@@ -361,10 +390,9 @@ def match_pattern(
             target_sample_rate=sr,
             debug_dir=debug_dir,
         )
-        peak_times, total_time = detector.find_clip_in_audio(
-            full_streaming_audio,
-            on_pattern_detected=on_pattern_detected,
-            accumulate_results=accumulate_results,
+        peak_times, total_time = _run_detector(
+            detector, full_streaming_audio, on_pattern_detected,
+            accumulate_results, profile, trace_dir,
         )
     return peak_times, total_time
 
@@ -378,6 +406,8 @@ def _match_pattern_wav_stdin(
     target_sample_rate: int,
     debug_dir: str = "./tmp",
     height_min: float | None = None,
+    profile: bool = False,
+    trace_dir: "str | None" = None,
 ) -> tuple[dict[str, list[float]] | None, float]:
     stream_wrapper = _WavStdinStreamWrapper(target_sample_rate)
     audio_name = "stdin"
@@ -393,10 +423,9 @@ def _match_pattern_wav_stdin(
         debug_dir=debug_dir,
         height_min=height_min,
     )
-    return detector.find_clip_in_audio(
-        full_streaming_audio,
-        on_pattern_detected=on_pattern_detected,
-        accumulate_results=accumulate_results,
+    return _run_detector(
+        detector, full_streaming_audio, on_pattern_detected,
+        accumulate_results, profile, trace_dir,
     )
 
 
@@ -482,6 +511,8 @@ def _run_match_with_output(
     target_sample_rate: int | None = None,
     debug_dir: str = "./tmp",
     height_min: float | None = None,
+    profile: bool = False,
+    trace_dir: "str | None" = None,
 ) -> tuple[None, float]:
     timestamp_format: str = getattr(args, "timestamp_format", "both")
     callback = _make_jsonl_callback(timestamp_format)
@@ -498,6 +529,8 @@ def _run_match_with_output(
         target_sample_rate=target_sample_rate,
         debug_dir=debug_dir,
         height_min=height_min,
+        profile=profile,
+        trace_dir=trace_dir,
     )
     print(f"Total time processed: {seconds_to_time(seconds=total_time)}", file=sys.stderr)
     _emit_jsonl_end(total_time, timestamp_format)
@@ -524,6 +557,8 @@ def cmd_match(args: argparse.Namespace) -> None:
     sr = target_sample_rate if target_sample_rate is not None else DEFAULT_TARGET_SAMPLE_RATE
     debug_dir: str = getattr(args, "debug_dir", "./tmp")
     height_min: float | None = getattr(args, "height_min", None)
+    profile: bool = getattr(args, "profile", False)
+    trace_dir: "str | None" = getattr(args, "trace_dir", None)
     multiplexed_stdin = getattr(args, "multiplexed_stdin", False)
     timestamp_format: str = getattr(args, "timestamp_format", "both")
 
@@ -573,6 +608,8 @@ def cmd_match(args: argparse.Namespace) -> None:
             target_sample_rate=target_sample_rate,
             debug_dir=debug_dir,
             height_min=height_min,
+            profile=profile,
+            trace_dir=trace_dir,
         )
     elif args.audio_file:
         _run_match_with_output(
@@ -583,6 +620,8 @@ def cmd_match(args: argparse.Namespace) -> None:
             target_sample_rate=target_sample_rate,
             debug_dir=debug_dir,
             height_min=height_min,
+            profile=profile,
+            trace_dir=trace_dir,
         )
     else:
         print("Please provide an audio file or --stdin or --multiplexed-stdin", file=sys.stderr)

@@ -164,17 +164,20 @@ class PatternBank:
             )
 
     # ── Per-chunk execution ──
+    #
+    # dispatch_chunk enqueues the device programs and returns immediately
+    # (JAX async dispatch); collect_chunk blocks on the results. The
+    # streaming engine uses the pair to double-buffer host I/O against
+    # device compute; process_chunk is the synchronous convenience wrapper.
 
-    def process_chunk(
+    def dispatch_chunk(
         self,
         chunk: NDArray[np.float32],
         previous_chunk: NDArray[np.float32] | None,
-    ) -> dict[str, list[int]]:
-        """Process one stream chunk; returns accepted 'full'-index peak
-        positions per clip name (ascending)."""
+    ) -> list[tuple[int, Any, NDArray[np.float32]]]:
+        """Enqueue one stream chunk. Returns opaque per-class records."""
         sr = self.sample_rate
-        results: dict[str, list[int]] = {}
-
+        dispatched = []
         for sw, cls in self.classes.items():
             # Overlap-save section assembly
             # (reference: audio_pattern_detector.py:400-412).
@@ -197,7 +200,17 @@ class PatternBank:
                 metas=self._metas[sw],
                 height_min=self.height_min,
             )
+            dispatched.append((sw, outs, raw_section))
+        return dispatched
 
+    def collect_chunk(
+        self, dispatched: list[tuple[int, Any, NDArray[np.float32]]]
+    ) -> dict[str, list[int]]:
+        """Block on a dispatched chunk; returns accepted 'full'-index peak
+        positions per clip name (ascending)."""
+        results: dict[str, list[int]] = {}
+        for sw, outs, raw_section in dispatched:
+            cls = self.classes[sw]
             for g, out in zip(cls["groups"], outs):
                 pos = np.asarray(out["pos"])
                 alive = np.asarray(out["alive"])
@@ -212,6 +225,14 @@ class PatternBank:
                         sel = alive[ci] & accept[ci]
                         results[name] = [int(p) for p in pos[ci][sel]]
         return results
+
+    def process_chunk(
+        self,
+        chunk: NDArray[np.float32],
+        previous_chunk: NDArray[np.float32] | None,
+    ) -> dict[str, list[int]]:
+        """Synchronous dispatch + collect of one chunk."""
+        return self.collect_chunk(self.dispatch_chunk(chunk, previous_chunk))
 
     def _host_fallback(
         self, g: ClipGroup, ci: int, raw_section: NDArray[np.float32]

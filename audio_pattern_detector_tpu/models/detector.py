@@ -20,6 +20,7 @@ import math
 import sys
 from collections import defaultdict
 from collections.abc import Callable
+from dataclasses import dataclass
 from typing import Any, TypedDict
 
 import numpy as np
@@ -45,6 +46,46 @@ SHORT_CLIP_DURATION_THRESHOLD = 0.5  # seconds
 MARKER_TONE_STRATEGY = "marker_tone"
 
 PatternDetectedCallback = Callable[[str, float], None]
+
+
+@dataclass
+class StreamCheckpoint:
+    """Resume point for an interrupted stream: O(1) state.
+
+    The engine's state between chunks is exactly (next chunk index, the
+    lookback tail of the previous chunk, accumulated stream time) — the
+    overlap-save algebra needs nothing else (SURVEY.md §5: checkpoint /
+    resume). The caller owns stream positioning: resume by handing the
+    detector a stream positioned at ``chunk_index * seconds_per_chunk``.
+    """
+
+    chunk_index: int
+    previous_tail: "NDArray[np.float32] | None"
+    total_time: float
+
+    def to_bytes(self) -> bytes:
+        """Serialise (portable little-endian layout)."""
+        import struct
+
+        tail = (
+            self.previous_tail.astype("<f4").tobytes()
+            if self.previous_tail is not None
+            else b""
+        )
+        head = struct.pack("<qdq", self.chunk_index, self.total_time, len(tail))
+        return head + tail
+
+    @staticmethod
+    def from_bytes(raw: bytes) -> "StreamCheckpoint":
+        import struct
+
+        chunk_index, total_time, tail_len = struct.unpack("<qdq", raw[:24])
+        tail = (
+            np.frombuffer(raw[24 : 24 + tail_len], dtype="<f4").copy()
+            if tail_len
+            else None
+        )
+        return StreamCheckpoint(chunk_index, tail, total_time)
 
 
 class ClipConfig(TypedDict):
@@ -231,12 +272,23 @@ class AudioPatternDetector:
         audio_stream: AudioStream,
         on_pattern_detected: PatternDetectedCallback | None = None,
         accumulate_results: bool = True,
+        checkpoint: "StreamCheckpoint | None" = None,
+        on_checkpoint: "Callable[[StreamCheckpoint], None] | None" = None,
     ) -> tuple[dict[str, list[float]] | None, float]:
         """Find clip occurrences in the audio stream.
 
         Returns (peak_times dict or None when accumulate_results=False,
         total stream time in seconds). Callbacks fire in timestamp order
         within each chunk (reference: audio_pattern_detector.py:248-331).
+
+        The host loop is double-buffered: while the device crunches chunk
+        i, the host reads/decodes chunk i+1 and emits chunk i-1's results,
+        so I/O, compute, and output overlap (the TPU analogue of the
+        reference pipelining only ffmpeg's decode against Python).
+
+        ``checkpoint``/``on_checkpoint`` give O(1) resume for unbounded
+        streams: pass a previously observed StreamCheckpoint together with
+        a stream positioned at its chunk boundary.
         """
         if audio_stream.sample_rate != self.target_sample_rate:
             raise ValueError(
@@ -248,6 +300,13 @@ class AudioPatternDetector:
         sr = self.target_sample_rate
 
         previous_chunk: NDArray[np.float32] | None = None
+        total_time = 0.0
+        i = 0
+        if checkpoint is not None:
+            previous_chunk = checkpoint.previous_tail
+            total_time = checkpoint.total_time
+            i = checkpoint.chunk_index
+
         if accumulate_results:
             all_peak_times: dict[str, list[float]] | None = {
                 audio_clip.name: [] for audio_clip in self.audio_clips
@@ -257,37 +316,29 @@ class AudioPatternDetector:
 
         stdout = audio_stream.audio_stream
         self._similarity_debug = defaultdict(list)
-        total_time = 0.0
-        i = 0
+        max_sw = max(
+            (cd["sliding_window"] for cd in self._clip_datas.values()), default=1
+        )
 
-        while True:
-            in_bytes = stdout.read(self._chunk_size)
-            if not in_bytes:
-                break
-            chunk = np.frombuffer(in_bytes, dtype="float32")
-            total_time += len(chunk) / sr
+        from audio_pattern_detector_tpu.utils.profiling import RunStats, Stopwatch
 
-            # One device dispatch per sliding-window class; integer peak
-            # positions come back to host for exact timestamp algebra.
-            # Debug mode runs the exact host path instead, which emits the
-            # full artifact set (graphs/WAV/JSON) per candidate.
-            if self.debug_mode:
-                clip_peaks = self._process_chunk_debug(chunk, previous_chunk, i)
-            else:
-                clip_peaks = bank.process_chunk(chunk, previous_chunk)
+        stats = RunStats()
+        watch = Stopwatch(stats)
+        self.last_run_stats = stats
 
+        def emit(index: int, had_prev: bool, clip_peaks: dict[str, list[int]]) -> None:
             chunk_matches: list[tuple[float, str]] = []
             for audio_clip in self.audio_clips:
                 name = audio_clip.name
                 sliding_window = self._clip_datas[name]["sliding_window"]
                 clip_seconds = len(self._clip_datas[name]["clip"]) / sr
-                subtract_seconds = sliding_window if previous_chunk is not None else 0
+                subtract_seconds = sliding_window if had_prev else 0
 
                 peak_times = []
                 for pos in clip_peaks.get(name, []):
                     # t = pos/sr - subtract + i*chunk - clip_seconds, clamped
                     # (reference: audio_pattern_detector.py:440-452).
-                    t = pos / sr - subtract_seconds + i * self.seconds_per_chunk
+                    t = pos / sr - subtract_seconds + index * self.seconds_per_chunk
                     t -= clip_seconds
                     peak_times.append(t if t >= 0 else 0)
 
@@ -301,9 +352,51 @@ class AudioPatternDetector:
                 chunk_matches.sort(key=lambda x: x[0])
                 for timestamp, clip_name in chunk_matches:
                     on_pattern_detected(clip_name, timestamp)
+            stats.detections += sum(len(v) for v in clip_peaks.values())
+
+        # pending = (index, had_prev, dispatched_handles, tail, cum_time)
+        pending: "tuple[int, bool, Any, NDArray[np.float32], float] | None" = None
+
+        while True:
+            with watch.segment("read"):
+                in_bytes = stdout.read(self._chunk_size)
+            if not in_bytes:
+                break
+            chunk = np.frombuffer(in_bytes, dtype="float32")
+            total_time += len(chunk) / sr
+            stats.chunks += 1
+            stats.audio_seconds += len(chunk) / sr
+
+            if self.debug_mode:
+                # Debug runs the exact host path serially (full artifacts).
+                emit(i, previous_chunk is not None, self._process_chunk_debug(chunk, previous_chunk, i))
+            else:
+                with watch.segment("dispatch"):
+                    dispatched = bank.dispatch_chunk(chunk, previous_chunk)
+                if pending is not None:
+                    p_i, p_prev, p_disp, p_tail, p_time = pending
+                    with watch.segment("collect"):
+                        emit(p_i, p_prev, bank.collect_chunk(p_disp))
+                    if on_checkpoint is not None:
+                        on_checkpoint(StreamCheckpoint(p_i + 1, p_tail, p_time))
+                pending = (
+                    i,
+                    previous_chunk is not None,
+                    dispatched,
+                    chunk[int(-max_sw * sr):].copy(),
+                    total_time,
+                )
 
             previous_chunk = chunk
             i += 1
+
+        if pending is not None:
+            p_i, p_prev, p_disp, p_tail, p_time = pending
+            with watch.segment("collect"):
+                emit(p_i, p_prev, bank.collect_chunk(p_disp))
+            if on_checkpoint is not None:
+                on_checkpoint(StreamCheckpoint(p_i + 1, p_tail, p_time))
+        watch.finish()
 
         if self.debug_mode:
             self._debug_sink().dump_similarity_scatter(
