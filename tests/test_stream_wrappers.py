@@ -1,0 +1,119 @@
+"""Stream wrapper unit coverage: file wrapper decode/resample/warnings,
+no-ffmpeg operation, duration accounting.
+
+Mirrors reference wrapper coverage (reference:
+tests/test_integration_matching.py:1040-1341, 1239-1260).
+"""
+
+import io
+import wave
+
+import numpy as np
+import pytest
+
+from audio_pattern_detector_tpu.match import _WavFileStreamWrapper
+from audio_pattern_detector_tpu.utils import audio_io
+
+SR = 8000
+
+
+def write_wav(path, audio, sr, sampwidth=2, channels=1):
+    with wave.open(str(path), "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(sampwidth)
+        wf.setframerate(sr)
+        if channels > 1:
+            audio = audio.reshape(-1)
+        if sampwidth == 2:
+            data = np.clip(audio * 32767, -32768, 32767).astype(np.int16)
+        elif sampwidth == 1:
+            data = np.clip(audio * 127 + 128, 0, 255).astype(np.uint8)
+        else:
+            data = np.clip(audio * 2147483647, -(2**31), 2**31 - 1).astype(np.int32)
+        wf.writeframes(data.tobytes())
+
+
+class TestWavFileStreamWrapper:
+    def test_reads_float32_at_target_rate(self, tmp_path):
+        t = np.arange(2 * SR) / SR
+        audio = 0.5 * np.sin(2 * np.pi * 440 * t)
+        p = tmp_path / "a.wav"
+        write_wav(p, audio, SR)
+        w = _WavFileStreamWrapper(str(p), SR)
+        out = np.frombuffer(w.read(2 * SR * 4), dtype=np.float32)
+        w.close()
+        np.testing.assert_allclose(out, audio, atol=1e-3)
+
+    def test_incremental_resample_16k_to_8k(self, tmp_path):
+        t = np.arange(2 * 16000) / 16000
+        audio = 0.5 * np.sin(2 * np.pi * 440 * t)
+        p = tmp_path / "b.wav"
+        write_wav(p, audio, 16000)
+        w = _WavFileStreamWrapper(str(p), SR)
+        assert w.needs_resample
+        chunks = []
+        while True:
+            b = w.read(SR * 4)  # 1 s at target rate per read
+            if not b:
+                break
+            chunks.append(np.frombuffer(b, dtype=np.float32))
+        w.close()
+        out = np.concatenate(chunks)
+        assert len(out) == 2 * SR
+        spec = np.abs(np.fft.rfft(out))
+        freqs = np.fft.rfftfreq(len(out), 1 / SR)
+        assert abs(freqs[np.argmax(spec)] - 440) < 2
+
+    def test_stereo_mean_mix(self, tmp_path, capsys):
+        n = SR
+        left = 0.5 * np.ones(n)
+        inter = np.empty(2 * n)
+        inter[0::2] = left
+        inter[1::2] = -left
+        p = tmp_path / "st.wav"
+        write_wav(p, inter, SR, channels=2)
+        w = _WavFileStreamWrapper(str(p), SR)
+        out = np.frombuffer(w.read(n * 4), dtype=np.float32)
+        w.close()
+        np.testing.assert_allclose(out, 0.0, atol=1e-4)
+
+    def test_all_zero_first_chunk_warns(self, tmp_path, capsys):
+        p = tmp_path / "z.wav"
+        write_wav(p, np.zeros(SR), SR)
+        w = _WavFileStreamWrapper(str(p), SR)
+        w.read(SR * 4)
+        w.close()
+        assert "all zeros" in capsys.readouterr().err
+
+    def test_invalid_file_raises(self, tmp_path):
+        p = tmp_path / "bad.wav"
+        p.write_bytes(b"definitely not a wav")
+        with pytest.raises(ValueError, match="Failed to read WAV"):
+            _WavFileStreamWrapper(str(p), SR)
+
+    def test_8bit_decode(self, tmp_path):
+        t = np.arange(SR) / SR
+        audio = 0.5 * np.sin(2 * np.pi * 440 * t)
+        p = tmp_path / "u8.wav"
+        write_wav(p, audio, SR, sampwidth=1)
+        w = _WavFileStreamWrapper(str(p), SR)
+        out = np.frombuffer(w.read(SR * 4), dtype=np.float32)
+        w.close()
+        np.testing.assert_allclose(out, audio, atol=2e-2)
+
+
+class TestNoFfmpeg:
+    def test_wav_patterns_work_without_ffmpeg(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(audio_io, "_ffmpeg_available", False)
+        t = np.arange(SR) / SR
+        p = tmp_path / "c.wav"
+        write_wav(p, 0.5 * np.sin(2 * np.pi * 700 * t), SR)
+        data = audio_io.load_wave_file(str(p), SR)
+        assert len(data) == SR
+
+    def test_non_wav_without_ffmpeg_raises(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(audio_io, "_ffmpeg_available", False)
+        p = tmp_path / "c.mp3"
+        p.write_bytes(b"\xff\xfb" + b"\x00" * 100)
+        with pytest.raises(ValueError, match="ffmpeg not available"):
+            audio_io.load_wave_file(str(p), SR)
