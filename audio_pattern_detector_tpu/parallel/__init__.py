@@ -14,10 +14,16 @@ This package distributes exactly that algebra over a ``jax.sharding.Mesh``:
   devices when it outgrows one chip's HBM.
 """
 
+from audio_pattern_detector_tpu.parallel.bankshard import BankShardedBank
 from audio_pattern_detector_tpu.parallel.mesh import make_mesh
 from audio_pattern_detector_tpu.parallel.sequence import (
     ShardedDetector,
     detections_from_sharded,
 )
 
-__all__ = ["make_mesh", "ShardedDetector", "detections_from_sharded"]
+__all__ = [
+    "BankShardedBank",
+    "make_mesh",
+    "ShardedDetector",
+    "detections_from_sharded",
+]
