@@ -234,6 +234,76 @@ class PatternBank:
         """Synchronous dispatch + collect of one chunk."""
         return self.collect_chunk(self.dispatch_chunk(chunk, previous_chunk))
 
+    # ── Batched offline execution ──
+    #
+    # Chunk sections only depend on host-known data (chunk i + tail of
+    # chunk i-1), so an offline scan can assemble B sections up front and
+    # run them as one vmapped launch — amortising launch overhead and
+    # filling the chip for small banks.
+
+    def process_chunks_batch(
+        self,
+        chunks: list[NDArray[np.float32]],
+        previous_tail: NDArray[np.float32] | None,
+    ) -> list[dict[str, list[int]]]:
+        """Process consecutive stream chunks in one batched device launch.
+
+        ``chunks[0]``'s lookback comes from ``previous_tail`` (None for the
+        stream head); later chunks take it from their predecessor in the
+        list. Returns per-chunk result dicts (same contract as
+        process_chunk). All chunks but the last must be full-size.
+        """
+        sr = self.sample_rate
+        b = len(chunks)
+        if b == 0:
+            return []
+        results: list[dict[str, list[int]]] = [dict() for _ in range(b)]
+        raw_sections_per_class: dict[int, list[NDArray[np.float32]]] = {}
+
+        for sw, cls in self.classes.items():
+            S = cls["section_len"]
+            sections = np.zeros((b, S), dtype=np.float32)
+            n_valids = np.zeros(b, dtype=np.int32)
+            raws = []
+            for bi, chunk in enumerate(chunks):
+                prev = chunks[bi - 1] if bi > 0 else previous_tail
+                if prev is not None:
+                    raw = np.concatenate((prev[int(-sw * sr):], chunk))
+                else:
+                    raw = chunk
+                raws.append(raw)
+                sections[bi, : len(raw)] = raw
+                n_valids[bi] = len(raw)
+            raw_sections_per_class[sw] = raws
+
+            group_consts = tuple((g.corr, g.verify) for g in cls["groups"])
+            outs = _class_step_batch_jit(
+                jnp.asarray(sections),
+                jnp.asarray(n_valids),
+                cls["loud"],
+                group_consts,
+                metas=self._metas[sw],
+                height_min=self.height_min,
+            )
+
+            for g, out in zip(cls["groups"], outs):
+                pos = np.asarray(out["pos"])  # (B, G, K)
+                sel = np.asarray(out["alive"]) & np.asarray(out["accept"])
+                overflow = np.asarray(out["detect_overflow"]) | np.asarray(
+                    out["verify_overflow"]
+                )
+                for bi in range(b):
+                    for ci, name in enumerate(g.names):
+                        if overflow[bi, ci]:
+                            results[bi][name] = self._host_fallback(
+                                g, ci, raw_sections_per_class[sw][bi]
+                            )
+                        else:
+                            results[bi][name] = [
+                                int(p) for p in pos[bi, ci][sel[bi, ci]]
+                            ]
+        return results
+
     def _host_fallback(
         self, g: ClipGroup, ci: int, raw_section: NDArray[np.float32]
     ) -> list[int]:
@@ -311,3 +381,17 @@ def _class_step(
 # shape + static metas, so repeated detector construction (tests, CLI runs
 # in one process) reuses compiled programs.
 _class_step_jit = jax.jit(_class_step, static_argnames=("metas", "height_min"))
+
+# Batched variant: vmap over (section, n_valid); constants broadcast.
+def _class_step_batch(sections, n_valids, loud, group_consts, *, metas, height_min):
+    import functools
+
+    step = functools.partial(_class_step, metas=metas, height_min=height_min)
+    return jax.vmap(step, in_axes=(0, 0, None, None))(
+        sections, n_valids, loud, group_consts
+    )
+
+
+_class_step_batch_jit = jax.jit(
+    _class_step_batch, static_argnames=("metas", "height_min")
+)
