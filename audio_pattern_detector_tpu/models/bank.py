@@ -212,18 +212,16 @@ class PatternBank:
         for sw, outs, raw_section in dispatched:
             cls = self.classes[sw]
             for g, out in zip(cls["groups"], outs):
-                pos = np.asarray(out["pos"])
-                alive = np.asarray(out["alive"])
-                accept = np.asarray(out["accept"])
-                overflow = np.asarray(out["detect_overflow"]) | np.asarray(
-                    out["verify_overflow"]
-                )
+                packed = np.asarray(out["packed"])  # one transfer per group
+                k = g.k_verify
+                pos = packed[:, :k]
+                sel = packed[:, k : 2 * k].astype(bool)
+                overflow = packed[:, 2 * k].astype(bool) | packed[:, 2 * k + 1].astype(bool)
                 for ci, name in enumerate(g.names):
                     if overflow[ci]:
                         results[name] = self._host_fallback(g, ci, raw_section)
                     else:
-                        sel = alive[ci] & accept[ci]
-                        results[name] = [int(p) for p in pos[ci][sel]]
+                        results[name] = [int(p) for p in pos[ci][sel[ci]]]
         return results
 
     def process_chunk(
@@ -287,11 +285,13 @@ class PatternBank:
             )
 
             for g, out in zip(cls["groups"], outs):
-                pos = np.asarray(out["pos"])  # (B, G, K)
-                sel = np.asarray(out["alive"]) & np.asarray(out["accept"])
-                overflow = np.asarray(out["detect_overflow"]) | np.asarray(
-                    out["verify_overflow"]
-                )
+                packed = np.asarray(out["packed"])  # (B, G, 2K+2), one transfer
+                k = g.k_verify
+                pos = packed[:, :, :k]
+                sel = packed[:, :, k : 2 * k].astype(bool)
+                overflow = packed[:, :, 2 * k].astype(bool) | packed[
+                    :, :, 2 * k + 1
+                ].astype(bool)
                 for bi in range(b):
                     for ci, name in enumerate(g.names):
                         if overflow[bi, ci]:
@@ -362,8 +362,21 @@ def _class_step(
         else:
             accept, sim, r = verify_normal(corr, vpos, valive, verify_consts)
 
+        # Pack the decision payload into one int32 tensor so the host pays
+        # a single device->host transfer per group:
+        # columns [0:K]=pos, [K:2K]=selected, [2K]=detect_ovf, [2K+1]=verify_ovf.
+        packed = jnp.concatenate(
+            [
+                vpos,
+                (valive & accept).astype(jnp.int32),
+                cand.overflow[:, None].astype(jnp.int32),
+                verify_overflow[:, None].astype(jnp.int32),
+            ],
+            axis=1,
+        )
         outs.append(
             {
+                "packed": packed,
                 "pos": vpos,
                 "alive": valive,
                 "accept": accept,

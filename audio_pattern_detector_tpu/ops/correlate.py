@@ -31,33 +31,92 @@ def next_pow2(n: int) -> int:
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class CorrelationBankConsts:
-    """Precomputed spectra for one clip group (uniform clip length m)."""
+    """Precomputed spectra for one clip group (uniform clip length m).
 
-    bank_rfft_conj: jnp.ndarray  # (G, N//2 + 1) complex64
+    Two execution modes share this structure:
+
+    * ``fft_len == full FFT size``: one rfft of the whole section,
+      bank-multiplied, one big irfft per clip.
+    * overlap-save (``num_segments > 1``): the section splits into
+      overlapping segments of ``fft_len`` with hop ``fft_len - m + 1``;
+      segment spectra are shared across the bank and each clip does small
+      batched irffts. Fewer FLOPs (no double-length padding), and small
+      batched FFTs map far better onto the TPU than one mega-FFT.
+    """
+
+    bank_rfft_conj: jnp.ndarray  # (G, fft_len//2 + 1) complex64
     self_corr_max: jnp.ndarray  # (G,) f32 — abs max of each clip's
     # self-correlation (reference: audio_pattern_detector.py:373-383)
     clip_len: int = static_field()  # m
     section_len: int = static_field()  # S (padded host section length)
-    fft_len: int = static_field()  # N >= S + m - 1
+    fft_len: int = static_field()  # segment/whole FFT size
     full_len: int = static_field()  # L = S + m - 1
+    num_segments: int = static_field(default=1)  # 1 = single-FFT mode
+
+
+def _overlap_save_geometry(section_len: int, m: int) -> tuple[int, int, int]:
+    """(fft_len, step, num_segments) for overlap-save correlation."""
+    fft_len = next_pow2(max(4 * m, 8192))
+    whole = next_pow2(section_len + m - 1)
+    if fft_len >= whole:
+        return whole, 0, 1
+    step = fft_len - m + 1
+    full_len = section_len + m - 1
+    num_segments = -(-full_len // step)
+    return fft_len, step, num_segments
 
 
 def build_correlation_bank(
     clips: NDArray[np.float32],  # (G, m) loudness-normalised clips
     self_corr_max: NDArray[np.floating],
     section_len: int,
+    overlap_save: bool = True,
 ) -> CorrelationBankConsts:
     g, m = clips.shape
-    fft_len = next_pow2(section_len + m - 1)
+    if overlap_save:
+        fft_len, _, num_segments = _overlap_save_geometry(section_len, m)
+    else:
+        fft_len, num_segments = next_pow2(section_len + m - 1), 1
     bank = np.fft.rfft(clips.astype(np.float64), n=fft_len, axis=1).conj()
     return CorrelationBankConsts(
         clip_len=m,
         section_len=section_len,
         fft_len=fft_len,
         full_len=section_len + m - 1,
+        num_segments=num_segments,
         bank_rfft_conj=jnp.asarray(bank, dtype=jnp.complex64),
         self_corr_max=jnp.asarray(self_corr_max, dtype=jnp.float32),
     )
+
+
+def _correlate_raw(section: jnp.ndarray, consts: CorrelationBankConsts) -> jnp.ndarray:
+    """|full cross-correlation| (G, L), unnormalised."""
+    m = consts.clip_len
+    N = consts.fft_len
+    L = consts.full_len
+
+    if consts.num_segments == 1:
+        spec = jnp.fft.rfft(section, n=N)  # (N//2+1,) c64
+        # Lag-domain circular correlation z[l] = sum_i section[i+l]·clip[i];
+        # rolling by (m-1) lays it out in 'full' ordering (k = lag + m - 1).
+        z = jnp.fft.irfft(spec[None, :] * consts.bank_rfft_conj, n=N, axis=1)
+        return jnp.abs(jnp.roll(z, m - 1, axis=1)[:, :L])
+
+    # Overlap-save: segment j starts at lag j·step; its circular correlation
+    # with the clip is valid (no wrap) for the first step = N - m + 1 lags.
+    # 'full' index k = lag + m - 1, so segment sources begin m - 1 samples
+    # before the section: pad left by m - 1.
+    step = N - m + 1
+    ns = consts.num_segments
+    padded = jnp.pad(section, (m - 1, ns * step + N - (len(section) + m - 1)))
+    starts = jnp.arange(ns, dtype=jnp.int32) * step
+    seg_idx = starts[:, None] + jnp.arange(N, dtype=jnp.int32)[None, :]
+    segments = padded[seg_idx]  # (ns, N)
+    seg_spec = jnp.fft.rfft(segments, axis=1)  # shared across the bank
+    y = jnp.fft.irfft(
+        seg_spec[None, :, :] * consts.bank_rfft_conj[:, None, :], n=N, axis=2
+    )  # (G, ns, N)
+    return jnp.abs(y[:, :, :step].reshape(y.shape[0], ns * step)[:, :L])
 
 
 def bank_correlate(
@@ -75,14 +134,8 @@ def bank_correlate(
       valid_len: int32 — n_valid + m - 1, the true 'full' length.
     """
     m = consts.clip_len
-    N = consts.fft_len
     L = consts.full_len
-
-    spec = jnp.fft.rfft(section, n=N)  # (N//2+1,) c64
-    # Lag-domain circular correlation z[l] = sum_i section[i+l]·clip[i];
-    # rolling by (m-1) lays it out in 'full' ordering (k = lag + m - 1).
-    z = jnp.fft.irfft(spec[None, :] * consts.bank_rfft_conj, n=N, axis=1)
-    corr = jnp.abs(jnp.roll(z, m - 1, axis=1)[:, :L])
+    corr = _correlate_raw(section, consts)
 
     valid_len = n_valid + (m - 1)
     in_range = jnp.arange(L, dtype=jnp.int32)[None, :] < valid_len

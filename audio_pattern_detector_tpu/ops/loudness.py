@@ -50,14 +50,26 @@ class LoudnessConsts:
     fft_len: int = static_field()
     window_width: int = static_field()  # >= max block width
     short_threshold: int = static_field()  # single-block path below
+    num_segments: int = static_field(default=1)  # overlap-save conv segments
 
 
-def build_loudness_consts(section_len: int, sample_rate: int) -> LoudnessConsts:
+def build_loudness_consts(
+    section_len: int, sample_rate: int, overlap_save: bool = True
+) -> LoudnessConsts:
     """Precompute FIR spectrum and gating-block geometry for a section size."""
     rate = float(sample_rate)
     t_g = 0.4
     fir = hostref.k_weighting_fir(rate, _FIR_TAPS)
-    fft_len = _next_pow2(section_len + _FIR_TAPS - 1)
+    whole = _next_pow2(section_len + _FIR_TAPS - 1)
+    if overlap_save:
+        fft_len = _next_pow2(4 * _FIR_TAPS)
+        if fft_len >= whole:
+            fft_len, num_segments = whole, 1
+        else:
+            step = fft_len - _FIR_TAPS + 1
+            num_segments = -(-section_len // step)
+    else:
+        fft_len, num_segments = whole, 1
     fir_rfft = jnp.asarray(np.fft.rfft(fir, fft_len), dtype=jnp.complex64)
 
     max_blocks = max(hostref.num_gating_blocks(section_len, rate, t_g), 1)
@@ -72,12 +84,33 @@ def build_loudness_consts(section_len: int, sample_rate: int) -> LoudnessConsts:
         section_len=section_len,
         sample_rate=sample_rate,
         fft_len=fft_len,
+        num_segments=num_segments,
         fir_rfft=fir_rfft,
         block_lo=jnp.asarray(lo, dtype=jnp.int32),
         block_end=jnp.asarray(end, dtype=jnp.int32),
         window_width=width,
         short_threshold=int(math.ceil(0.5 * sample_rate)),
     )
+
+
+def _k_weighted_conv(section: jnp.ndarray, consts: LoudnessConsts) -> jnp.ndarray:
+    """K-weighting FIR convolution, whole-signal or overlap-save."""
+    S = consts.section_len
+    N = consts.fft_len
+    if consts.num_segments == 1:
+        spec = jnp.fft.rfft(section, n=N)
+        return jnp.fft.irfft(spec * consts.fir_rfft, n=N)[:S]
+    # Overlap-save convolution: discard the first taps-1 wrapped outputs of
+    # each segment; segment j (padded coords, left pad taps-1) yields
+    # y[j·step : (j+1)·step).
+    taps = _FIR_TAPS
+    step = N - taps + 1
+    ns = consts.num_segments
+    padded = jnp.pad(section, (taps - 1, ns * step + N - (S + taps - 1)))
+    starts = jnp.arange(ns, dtype=jnp.int32) * step
+    seg_idx = starts[:, None] + jnp.arange(N, dtype=jnp.int32)[None, :]
+    z = jnp.fft.irfft(jnp.fft.rfft(padded[seg_idx], axis=1) * consts.fir_rfft, n=N, axis=1)
+    return z[:, taps - 1 :].reshape(ns * step)[:S]
 
 
 def _num_blocks_dynamic(n: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
@@ -101,10 +134,9 @@ def integrated_loudness_device(
     sr = consts.sample_rate
     idx = jnp.arange(S, dtype=jnp.int32)
 
-    # K-weighting as FFT convolution; truncate the acausal tail and mask the
-    # filter ringing that bleeds past the true signal end.
-    spec = jnp.fft.rfft(section, n=consts.fft_len)
-    filtered = jnp.fft.irfft(spec * consts.fir_rfft, n=consts.fft_len)[:S]
+    # K-weighting as FFT convolution; mask the filter ringing that bleeds
+    # past the true signal end.
+    filtered = _k_weighted_conv(section, consts)
     sq = jnp.where(idx < n_valid, filtered * filtered, 0.0).astype(jnp.float32)
 
     total = jnp.sum(sq)

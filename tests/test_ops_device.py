@@ -250,3 +250,45 @@ class TestDeviceVerifyMarker:
         dev = np.asarray(dev)
         assert bool(dev[0, 0]) is True
         assert bool(dev[1, 0]) is False
+
+
+class TestOverlapSaveCorrelation:
+    def test_matches_single_fft_and_host(self):
+        from audio_pattern_detector_tpu.ops.correlate import (
+            build_correlation_bank,
+        )
+        from audio_pattern_detector_tpu.ops.loudness import (
+            build_loudness_consts,
+            integrated_loudness_device,
+        )
+
+        rng = np.random.default_rng(17)
+        S = 9 * SR
+        n = S - 777
+        m = 1600
+        sig = rng.standard_normal(n).astype(np.float32)
+        x = np.zeros(S, np.float32)
+        x[:n] = sig
+        clips = rng.standard_normal((2, m)).astype(np.float32)
+        smax = np.array([np.abs(hostref.fft_correlate_1d(c, c)).max() for c in clips])
+
+        big = build_correlation_bank(clips, smax, S, overlap_save=False)
+        seg = build_correlation_bank(clips, smax, S, overlap_save=True)
+        assert seg.num_segments > 1
+        c_big, _ = bank_correlate(jnp.asarray(x), jnp.int32(n), big)
+        c_seg, vl = bank_correlate(jnp.asarray(x), jnp.int32(n), seg)
+        np.testing.assert_allclose(np.asarray(c_seg), np.asarray(c_big), atol=1e-6)
+
+        host = np.abs(hostref.fft_correlate_1d(sig, clips[0]))
+        host = host / max(smax[0], host.max())
+        np.testing.assert_allclose(
+            np.asarray(c_seg)[0, : n + m - 1], host, atol=2e-4
+        )
+
+        # Loudness overlap-save equals the whole-signal convolution.
+        lc_big = build_loudness_consts(S, SR, overlap_save=False)
+        lc_seg = build_loudness_consts(S, SR, overlap_save=True)
+        assert lc_seg.num_segments > 1
+        l_big = float(integrated_loudness_device(jnp.asarray(x), jnp.int32(n), lc_big))
+        l_seg = float(integrated_loudness_device(jnp.asarray(x), jnp.int32(n), lc_seg))
+        assert abs(l_big - l_seg) < 1e-5
