@@ -89,16 +89,15 @@ def select_candidates(
     return PeakCandidates(pos.astype(jnp.int32), height, alive, overflow)
 
 
-def greedy_distance_filter(
+# Above this candidate count the O(K^2) conflict matrix of the parallel
+# filter outweighs the sequential loop; fall back to the K-step scan.
+_PARALLEL_GREEDY_MAX_K = 2048
+
+
+def _greedy_distance_sequential(
     cand: PeakCandidates, min_distance: int
 ) -> jnp.ndarray:
-    """Greedy tallest-first suppression over height-sorted candidates.
-
-    Candidates arrive sorted by descending height (top_k order), so a single
-    pass i = 0..K-1 reproduces the sequential greedy of
-    scipy.signal.find_peaks' distance filter: an already-suppressed
-    candidate never suppresses others. Returns the surviving-alive mask.
-    """
+    """K-step sequential greedy (vector ops per step, shared across bank)."""
     k = cand.pos.shape[1]
     lane = jnp.arange(k, dtype=jnp.int32)[None, :]
 
@@ -113,6 +112,60 @@ def greedy_distance_filter(
 
     keep = jax.lax.fori_loop(0, k, body, jnp.ones_like(cand.alive))
     return keep & cand.alive
+
+
+def _greedy_distance_parallel(
+    cand: PeakCandidates, min_distance: int
+) -> jnp.ndarray:
+    """Parallel fixed point of the greedy recurrence.
+
+    The sequential greedy satisfies (and is the unique solution of, by
+    induction on priority rank):
+        keep(c) = alive(c) and no higher-priority kept candidate conflicts.
+    Iterating S' = alive & ~any(conflict_with_higher & S) from S = alive
+    converges to that fixed point in O(longest suppression chain) rounds —
+    a handful in practice — with each round one (G, K, K) masked any().
+    """
+    pos = cand.pos
+    g, k = pos.shape
+    # conflict[g, i, j]: candidate j (higher priority: lower lane index)
+    # within min_distance of candidate i.
+    d = jnp.abs(pos[:, :, None] - pos[:, None, :])  # (G, K, K)
+    higher = (
+        jnp.arange(k, dtype=jnp.int32)[None, :] < jnp.arange(k, dtype=jnp.int32)[:, None]
+    )  # (K, K), j < i
+    conflict = (d < min_distance) & higher[None] & cand.alive[:, None, :]
+
+    def cond(state):
+        s, changed = state
+        return changed
+
+    def body(state):
+        s, _ = state
+        suppressed = jnp.any(conflict & s[:, None, :], axis=2)
+        s_new = cand.alive & ~suppressed
+        return s_new, jnp.any(s_new != s)
+
+    init = cand.alive
+    s0_sup = jnp.any(conflict & init[:, None, :], axis=2)
+    state = (cand.alive & ~s0_sup, jnp.bool_(True))
+    keep, _ = jax.lax.while_loop(cond, body, state)
+    return keep & cand.alive
+
+
+def greedy_distance_filter(
+    cand: PeakCandidates, min_distance: int
+) -> jnp.ndarray:
+    """Greedy tallest-first suppression over height-sorted candidates.
+
+    Candidates arrive sorted by priority (descending height, ties to lower
+    index — matching the reference helper, lib.rs:444-451), so lane order
+    is priority order. Exactly reproduces scipy.signal.find_peaks'
+    sequential distance filter. Returns the surviving-alive mask.
+    """
+    if cand.pos.shape[1] <= _PARALLEL_GREEDY_MAX_K:
+        return _greedy_distance_parallel(cand, min_distance)
+    return _greedy_distance_sequential(cand, min_distance)
 
 
 def find_peaks_device(
