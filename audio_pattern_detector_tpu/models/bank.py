@@ -106,14 +106,27 @@ class PatternBank:
                 },
             )
             if cls["loud"] is None:
-                cls["loud"] = build_loudness_consts(section_len, sample_rate)
+                import os as _os
+
+                cls["loud"] = build_loudness_consts(
+                    section_len,
+                    sample_rate,
+                    overlap_save=_os.environ.get("APD_NO_OVERLAP_SAVE") != "1",
+                )
 
             clips_np = np.stack([clip_datas[n]["clip"] for n in names])
             corr_clips_np = np.stack([clip_datas[n]["correlation_clip"] for n in names])
             self_max_np = np.array(
                 [float(clip_datas[n]["correlation_clip_absolute_max"]) for n in names]
             )
-            corr = build_correlation_bank(clips_np, self_max_np, section_len)
+            import os as _os
+
+            corr = build_correlation_bank(
+                clips_np,
+                self_max_np,
+                section_len,
+                overlap_save=_os.environ.get("APD_NO_OVERLAP_SAVE") != "1",
+            )
 
             full_len = corr.full_len
             # Post-distance survivors are bounded by full_len/m + 1; size the

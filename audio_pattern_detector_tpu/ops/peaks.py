@@ -91,7 +91,12 @@ def select_candidates(
 
 # Above this candidate count the O(K^2) conflict matrix of the parallel
 # filter outweighs the sequential loop; fall back to the K-step scan.
-_PARALLEL_GREEDY_MAX_K = 2048
+# APD_SEQ_GREEDY=1 forces the sequential path (backend debugging knob).
+import os as _os
+
+_PARALLEL_GREEDY_MAX_K = (
+    0 if _os.environ.get("APD_SEQ_GREEDY") == "1" else 2048
+)
 
 
 def _greedy_distance_sequential(
