@@ -292,3 +292,24 @@ class TestOverlapSaveCorrelation:
         l_big = float(integrated_loudness_device(jnp.asarray(x), jnp.int32(n), lc_big))
         l_seg = float(integrated_loudness_device(jnp.asarray(x), jnp.int32(n), lc_seg))
         assert abs(l_big - l_seg) < 1e-5
+
+
+class TestMultiRateLoudness:
+    @pytest.mark.parametrize("rate", [16000, 44100])
+    def test_matches_host_at_rate(self, rate):
+        # 44100 exercises non-integer block-hop geometry (hop = 1102.5).
+        from audio_pattern_detector_tpu.ops.loudness import (
+            build_loudness_consts,
+            integrated_loudness_device,
+        )
+
+        S = 3 * rate
+        consts = build_loudness_consts(S, rate)
+        rng = np.random.default_rng(rate)
+        n = S - 1234
+        sig = (0.2 * rng.standard_normal(n)).astype(np.float32)
+        x = np.zeros(S, np.float32)
+        x[:n] = sig
+        dev = float(integrated_loudness_device(jnp.asarray(x), jnp.int32(n), consts))
+        host = hostref.integrated_loudness(sig, rate)
+        assert abs(dev - host) < 2e-4
