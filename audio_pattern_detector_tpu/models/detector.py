@@ -405,6 +405,53 @@ class AudioPatternDetector:
 
         return all_peak_times, total_time
 
+    def find_clip_in_array(
+        self,
+        audio: NDArray[np.float32],
+        batch_size: int = 4,
+    ) -> tuple[dict[str, list[float]], float]:
+        """Offline scan of an in-memory array via batched device launches.
+
+        Produces results identical to streaming the same samples through
+        ``find_clip_in_audio`` (same chunking, lookback, and timestamp
+        algebra), but processes ``batch_size`` chunks per vmapped launch —
+        the throughput-oriented path for file scanning.
+        """
+        bank = self._ensure_bank()
+        sr = self.target_sample_rate
+        chunk_samples = int(self.seconds_per_chunk * sr)
+        audio = np.ascontiguousarray(audio, dtype=np.float32)
+
+        chunks = [
+            audio[o : o + chunk_samples]
+            for o in range(0, len(audio), chunk_samples)
+        ]
+        all_peak_times: dict[str, list[float]] = {
+            c.name: [] for c in self.audio_clips
+        }
+        prev_tail: NDArray[np.float32] | None = None
+        base_index = 0
+        for start in range(0, len(chunks), batch_size):
+            batch = chunks[start : start + batch_size]
+            results = bank.process_chunks_batch(batch, prev_tail)
+            for bi, clip_peaks in enumerate(results):
+                index = base_index + bi
+                had_prev = index > 0
+                for audio_clip in self.audio_clips:
+                    name = audio_clip.name
+                    sliding_window = self._clip_datas[name]["sliding_window"]
+                    clip_seconds = len(self._clip_datas[name]["clip"]) / sr
+                    subtract = sliding_window if had_prev else 0
+                    for pos in clip_peaks.get(name, []):
+                        t = pos / sr - subtract + index * self.seconds_per_chunk
+                        t -= clip_seconds
+                        all_peak_times[name].append(t if t >= 0 else 0)
+            prev_tail = batch[-1]
+            base_index += len(batch)
+
+        total_time = len(audio) / sr
+        return all_peak_times, total_time
+
     def _process_chunk_debug(
         self,
         chunk: NDArray[np.float32],
