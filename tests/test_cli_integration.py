@@ -29,6 +29,9 @@ def run_cli(args, stdin_bytes=None, timeout=300):
         if k not in ("PYTHONPATH", "JAX_PLATFORMS")
     }
     env["PYTHONPATH"] = REPO_ROOT
+    # Force CPU: without this, an env-stripped subprocess can auto-detect a
+    # local TPU plugin and interfere with the shared accelerator tunnel.
+    env["JAX_PLATFORMS"] = "cpu"
     return subprocess.run(
         [sys.executable, "-m", "audio_pattern_detector_tpu", *args],
         input=stdin_bytes,
