@@ -157,3 +157,43 @@ class TestTotalTime:
         peaks, total = det.find_clip_in_audio(make_stream(np.zeros(0)))
         assert total == 0.0
         assert peaks == {"clip": []}
+
+
+class TestBoundaryEdgeCases:
+    def test_pattern_exactly_at_chunk_boundary_start(self):
+        # Clip starting exactly at the boundary belongs wholly to chunk 1.
+        clip = make_clip()
+        times, _ = detect(clip, embed(clip, [60.0], 130))
+        close = [t for t in times if abs(t - 60.0) < 0.01]
+        assert len(close) >= 1
+
+    def test_pattern_ending_exactly_at_boundary(self):
+        # Clip occupying [59, 60) is wholly in chunk 0 and also fully inside
+        # chunk 1's lookback window: expect the match (possibly duplicated
+        # with identical timestamps).
+        clip = make_clip()
+        times, _ = detect(clip, embed(clip, [59.0], 130))
+        close = [t for t in times if abs(t - 59.0) < 0.01]
+        assert len(close) in (1, 2)
+        assert len(set(close)) == 1
+
+    def test_chunk_equal_to_minimum_size(self):
+        clip = make_clip(seconds=5.0)
+        det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=10)
+        audio = embed(clip, [12.0], 30)
+        peaks, _ = det.find_clip_in_audio(make_stream(audio))
+        assert len(peaks["clip"]) >= 1
+        assert any(abs(t - 12.0) < 0.01 for t in peaks["clip"])
+
+    def test_stream_shorter_than_one_chunk(self):
+        clip = make_clip()
+        times, total = detect(clip, embed(clip, [2.0], 5.5))
+        assert total == 5.5
+        assert len(times) == 1
+        assert abs(times[0] - 2.0) < 0.01
+
+    def test_two_patterns_same_chunk_ordering(self):
+        clip = make_clip()
+        times, _ = detect(clip, embed(clip, [5.0, 20.0, 35.0], 60))
+        assert times == sorted(times)
+        assert len(times) == 3
