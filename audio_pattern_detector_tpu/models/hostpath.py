@@ -18,6 +18,7 @@ import numpy as np
 from numpy.typing import NDArray
 
 from audio_pattern_detector_tpu.ops import hostref
+from audio_pattern_detector_tpu import native
 from audio_pattern_detector_tpu.ops.tone import (
     analyze_pure_tone_candidate,
     extract_padded_segment,
@@ -43,8 +44,8 @@ def normalize_section(audio_section: NDArray[np.float32], sr: int) -> NDArray[np
     (reference: audio_pattern_detector.py:414-420, 489-490)."""
     seconds = len(audio_section) / sr
     block = seconds if seconds < 0.5 else 0.4
-    loudness = hostref.integrated_loudness(audio_section, sr, block_size=block)
-    normalized = hostref.loudness_normalize(audio_section, loudness, -16.0)
+    loudness = native.integrated_loudness(audio_section, sr, block_size=block)
+    normalized = native.loudness_normalize(audio_section, loudness, -16.0)
     return np.nan_to_num(normalized, nan=0.0)
 
 
@@ -109,9 +110,9 @@ def _verify_normal_host(
     win_dump = []
     for wi, (wl, wr, ds_n) in enumerate(windows):
         lo, hi = round(lc * wl / 10), round(lc * wr / 10)
-        ds_clip = hostref.resample_preserve_maxima(correlation_clip[lo:hi], ds_n)
-        ds_slice = hostref.resample_preserve_maxima(correlation_slice[lo:hi], ds_n)
-        r = hostref.pearson_correlation(ds_clip, ds_slice)
+        ds_clip = native.resample_preserve_maxima(correlation_clip[lo:hi], ds_n)
+        ds_slice = native.resample_preserve_maxima(correlation_slice[lo:hi], ds_n)
+        r = native.pearson_correlation(ds_clip, ds_slice)
         if wi == center_idx:
             r_center = r
         if r > best_r:
@@ -217,7 +218,7 @@ def process_section_host(
         debug.dump_chunk_correlation(clip_name, correlation, index, section_ts)
 
     clip_length = len(clip)
-    peaks, _ = hostref.find_peaks(correlation, height=height_min, distance=clip_length)
+    peaks, _ = native.find_peaks(correlation, height=height_min, distance=clip_length)
 
     peaks_final: list[int] = []
     seconds: list[float] = []
