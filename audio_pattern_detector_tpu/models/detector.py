@@ -79,7 +79,17 @@ class StreamCheckpoint:
     def from_bytes(raw: bytes) -> "StreamCheckpoint":
         import struct
 
+        if len(raw) < 24:
+            raise ValueError(
+                f"checkpoint truncated: {len(raw)} bytes < 24-byte header"
+            )
         chunk_index, total_time, tail_len = struct.unpack("<qdq", raw[:24])
+        if tail_len < 0 or tail_len % 4 != 0:
+            raise ValueError(f"checkpoint corrupt: tail length {tail_len}")
+        if len(raw) < 24 + tail_len:
+            raise ValueError(
+                f"checkpoint truncated: need {24 + tail_len} bytes, got {len(raw)}"
+            )
         tail = (
             np.frombuffer(raw[24 : 24 + tail_len], dtype="<f4").copy()
             if tail_len

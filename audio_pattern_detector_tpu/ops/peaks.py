@@ -91,12 +91,13 @@ def select_candidates(
 
 # Above this candidate count the O(K^2) conflict matrix of the parallel
 # filter outweighs the sequential loop; fall back to the K-step scan.
-# APD_SEQ_GREEDY=1 forces the sequential path (backend debugging knob).
+# APD_SEQ_GREEDY=1 forces the sequential path (backend debugging knob,
+# read at call time so it can be toggled after import).
 import os as _os
 
-_PARALLEL_GREEDY_MAX_K = (
-    0 if _os.environ.get("APD_SEQ_GREEDY") == "1" else 2048
-)
+
+def _parallel_greedy_max_k() -> int:
+    return 0 if _os.environ.get("APD_SEQ_GREEDY") == "1" else 2048
 
 
 def _greedy_distance_sequential(
@@ -168,7 +169,7 @@ def greedy_distance_filter(
     is priority order. Exactly reproduces scipy.signal.find_peaks'
     sequential distance filter. Returns the surviving-alive mask.
     """
-    if cand.pos.shape[1] <= _PARALLEL_GREEDY_MAX_K:
+    if cand.pos.shape[1] <= _parallel_greedy_max_k():
         return _greedy_distance_parallel(cand, min_distance)
     return _greedy_distance_sequential(cand, min_distance)
 
