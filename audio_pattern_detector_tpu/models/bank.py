@@ -212,6 +212,7 @@ class PatternBank:
                 group_consts,
                 metas=self._metas[sw],
                 height_min=self.height_min,
+                lean=True,
             )
             dispatched.append((sw, outs, raw_section))
         return dispatched
@@ -226,10 +227,7 @@ class PatternBank:
             cls = self.classes[sw]
             for g, out in zip(cls["groups"], outs):
                 packed = np.asarray(out["packed"])  # one transfer per group
-                k = g.k_verify
-                pos = packed[:, :k]
-                sel = packed[:, k : 2 * k].astype(bool)
-                overflow = packed[:, 2 * k].astype(bool) | packed[:, 2 * k + 1].astype(bool)
+                pos, sel, overflow = unpack_group(packed, g.k_verify)
                 for ci, name in enumerate(g.names):
                     if overflow[ci]:
                         results[name] = self._host_fallback(g, ci, raw_section)
@@ -295,16 +293,12 @@ class PatternBank:
                 group_consts,
                 metas=self._metas[sw],
                 height_min=self.height_min,
+                lean=True,
             )
 
             for g, out in zip(cls["groups"], outs):
                 packed = np.asarray(out["packed"])  # (B, G, 2K+2), one transfer
-                k = g.k_verify
-                pos = packed[:, :, :k]
-                sel = packed[:, :, k : 2 * k].astype(bool)
-                overflow = packed[:, :, 2 * k].astype(bool) | packed[
-                    :, :, 2 * k + 1
-                ].astype(bool)
+                pos, sel, overflow = unpack_group(packed, g.k_verify)
                 for bi in range(b):
                     for ci, name in enumerate(g.names):
                         if overflow[bi, ci]:
@@ -334,6 +328,19 @@ class PatternBank:
         )
 
 
+def unpack_group(
+    packed: NDArray[np.int32], k_verify: int
+) -> tuple[NDArray[np.int32], NDArray[np.bool_], NDArray[np.bool_]]:
+    """Split a group's packed payload (..., 2K+2) into (pos, selected,
+    overflow) host arrays; leading batch axes pass through."""
+    pos = packed[..., :k_verify]
+    sel = packed[..., k_verify : 2 * k_verify].astype(bool)
+    overflow = packed[..., 2 * k_verify].astype(bool) | packed[
+        ..., 2 * k_verify + 1
+    ].astype(bool)
+    return pos, sel, overflow
+
+
 def _class_step(
     section: jnp.ndarray,
     n_valid: jnp.ndarray,
@@ -342,8 +349,14 @@ def _class_step(
     *,
     metas: tuple,
     height_min: float,
+    lean: bool = False,
 ) -> list[dict[str, jnp.ndarray]]:
-    """The full per-chunk device program for one sliding-window class."""
+    """The full per-chunk device program for one sliding-window class.
+
+    With ``lean=True`` (the production streaming configuration) each group
+    returns only the packed int32 decision payload — (G, 2K+2), a few KB —
+    so no other per-candidate tensor is materialised in HBM as a program
+    output. The rich variant serves tests/debug introspection."""
     lufs = integrated_loudness_device(section, n_valid, loud)
     norm = loudness_normalize_device(section, lufs)
 
@@ -387,37 +400,46 @@ def _class_step(
             ],
             axis=1,
         )
-        outs.append(
-            {
-                "packed": packed,
-                "pos": vpos,
-                "alive": valive,
-                "accept": accept,
-                "similarity": sim,
-                "pearson_r": r,
-                "detect_overflow": cand.overflow,
-                "verify_overflow": verify_overflow,
-                "lufs": lufs,
-            }
-        )
+        if lean:
+            outs.append({"packed": packed})
+        else:
+            outs.append(
+                {
+                    "packed": packed,
+                    "pos": vpos,
+                    "alive": valive,
+                    "accept": accept,
+                    "similarity": sim,
+                    "pearson_r": r,
+                    "detect_overflow": cand.overflow,
+                    "verify_overflow": verify_overflow,
+                    "lufs": lufs,
+                }
+            )
     return outs
 
 
 # Module-level jit: executables are cached process-wide, keyed on section
 # shape + static metas, so repeated detector construction (tests, CLI runs
 # in one process) reuses compiled programs.
-_class_step_jit = jax.jit(_class_step, static_argnames=("metas", "height_min"))
+_class_step_jit = jax.jit(
+    _class_step, static_argnames=("metas", "height_min", "lean")
+)
 
 # Batched variant: vmap over (section, n_valid); constants broadcast.
-def _class_step_batch(sections, n_valids, loud, group_consts, *, metas, height_min):
+def _class_step_batch(
+    sections, n_valids, loud, group_consts, *, metas, height_min, lean=False
+):
     import functools
 
-    step = functools.partial(_class_step, metas=metas, height_min=height_min)
+    step = functools.partial(
+        _class_step, metas=metas, height_min=height_min, lean=lean
+    )
     return jax.vmap(step, in_axes=(0, 0, None, None))(
         sections, n_valids, loud, group_consts
     )
 
 
 _class_step_batch_jit = jax.jit(
-    _class_step_batch, static_argnames=("metas", "height_min")
+    _class_step_batch, static_argnames=("metas", "height_min", "lean")
 )

@@ -38,23 +38,22 @@ def get_pure_tone_frequency(
     Pure iff the normalised rfft magnitude has exactly one peak at
     prominence 0.05 and that peak matches the argmax bin within 1%.
     """
-    fft_result = np.fft.rfft(audio_data)
-    freqs = np.fft.rfftfreq(len(audio_data), d=1 / sample_rate)
-    magnitude = np.abs(fft_result)
-    dominant_idx = int(np.argmax(magnitude))
-    dominant_magnitude = magnitude[dominant_idx]
-    if dominant_magnitude == 0.0:
+    magnitude = np.abs(np.fft.rfft(audio_data))
+    top = int(np.argmax(magnitude))
+    if magnitude[top] == 0.0:
         return None
-    magnitude_normalized = magnitude / dominant_magnitude
     peaks, _ = hostref.find_peaks(
-        magnitude_normalized.astype(np.float32), prominence=0.05
+        (magnitude / magnitude[top]).astype(np.float32), prominence=0.05
     )
-    dominant_freq = float(freqs[dominant_idx])
-    if len(peaks) == 1 and math.isclose(
-        float(freqs[peaks[0]]), dominant_freq, rel_tol=0.01
-    ):
-        return dominant_freq
-    return None
+    if len(peaks) != 1:
+        return None
+    freqs = np.fft.rfftfreq(len(audio_data), d=1 / sample_rate)
+    dominant = float(freqs[top])
+    return (
+        dominant
+        if math.isclose(float(freqs[peaks[0]]), dominant, rel_tol=0.01)
+        else None
+    )
 
 
 def frame_grid(clip_length: int, sample_rate: int) -> tuple[int, int, int]:
@@ -71,6 +70,14 @@ def frame_grid(clip_length: int, sample_rate: int) -> tuple[int, int, int]:
     return window_len, hop, frame_count
 
 
+def _isclose_abs(values: NDArray[np.float64], target: float, abs_tol: float) -> NDArray[np.bool_]:
+    """Vectorised ``math.isclose(v, target, abs_tol=...)`` — including the
+    default rel_tol=1e-9 term, so thresholds flip on exactly the same
+    inputs as the scalar stdlib call."""
+    tol = np.maximum(1e-9 * np.maximum(np.abs(values), abs(target)), abs_tol)
+    return np.abs(values - target) <= tol
+
+
 def analyze_pure_tone_candidate(
     audio_data: NDArray[np.float32],
     sample_rate: int,
@@ -81,15 +88,19 @@ def analyze_pure_tone_candidate(
     Whole-window Hann rfft band purity within ±max(40 Hz, 8%·f), then 25 ms
     frames at 50% hop with per-frame dominant-frequency lock
     (±max(20 Hz, 4%·f)) and frame purity ≥ 0.55 driving active-frame stats.
+
+    Unlike the reference's sequential frame loop
+    (reference: detection_utils.py:87-112), all frames transform in one
+    batched rfft, with the run-length bookkeeping done as prefix scans —
+    the same shape as the device implementation in ``ops/verify.py``.
     """
     if len(audio_data) == 0:
         return PureToneMetrics(0.0, 0.0, 0.0, 0, 0.0)
 
-    target_band_hz = max(40.0, dominant_frequency * 0.08)
-    target_lock_hz = max(20.0, dominant_frequency * 0.04)
+    band_hz = max(40.0, dominant_frequency * 0.08)
+    lock_hz = max(20.0, dominant_frequency * 0.04)
 
-    windowed = audio_data * np.hanning(len(audio_data))
-    spectrum = np.abs(np.fft.rfft(windowed))
+    spectrum = np.abs(np.fft.rfft(audio_data * np.hanning(len(audio_data))))
     freqs = np.fft.rfftfreq(len(audio_data), d=1 / sample_rate)
     detected_frequency = float(freqs[int(np.argmax(spectrum))])
 
@@ -97,51 +108,50 @@ def analyze_pure_tone_candidate(
     if total_energy == 0.0:
         return PureToneMetrics(detected_frequency, 0.0, 0.0, 0, 0.0)
 
-    band = np.abs(freqs - dominant_frequency) <= target_band_hz
-    overall_band_purity = float(np.sum(spectrum[band] ** 2)) / total_energy
+    in_band = np.abs(freqs - dominant_frequency) <= band_hz
+    overall_band_purity = float(np.sum(spectrum[in_band] ** 2)) / total_energy
 
-    window_len, hop, _ = frame_grid(len(audio_data), sample_rate)
-    frame_window = np.hanning(window_len)
-    chunk_freqs = np.fft.rfftfreq(window_len, d=1 / sample_rate)
-    frame_band = np.abs(chunk_freqs - dominant_frequency) <= target_band_hz
+    window_len, hop, n_frames = frame_grid(len(audio_data), sample_rate)
+    if n_frames == 0:
+        return PureToneMetrics(detected_frequency, overall_band_purity, 0.0, 0, 0.0)
 
-    frame_count = 0
-    active_frame_count = 0
-    longest_active_run = 0
-    current_run = 0
-    active_purities: list[float] = []
+    # (F, W) frame matrix -> one batched rfft for every frame at once.
+    frames = np.lib.stride_tricks.sliding_window_view(audio_data, window_len)[
+        ::hop
+    ][:n_frames]
+    specs = np.abs(np.fft.rfft(frames * np.hanning(window_len), axis=1))
+    powers = specs**2
 
-    for start in range(0, len(audio_data) - window_len, hop):
-        chunk = audio_data[start : start + window_len] * frame_window
-        spec = np.abs(np.fft.rfft(chunk))
-        energy = float(np.sum(spec**2))
-        if energy == 0.0:
-            current_run = 0
-            continue
-        frame_count += 1
-        frame_freq = float(chunk_freqs[int(np.argmax(spec))])
-        frame_purity = float(np.sum(spec[frame_band] ** 2)) / energy
-        is_active = (
-            math.isclose(frame_freq, dominant_frequency, abs_tol=target_lock_hz)
-            and frame_purity >= 0.55
+    frame_freqs = np.fft.rfftfreq(window_len, d=1 / sample_rate)
+    frame_band = np.abs(frame_freqs - dominant_frequency) <= band_hz
+
+    energies = np.sum(powers, axis=1)  # (F,)
+    nonzero = energies != 0.0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        purities = np.where(
+            nonzero, np.sum(powers[:, frame_band], axis=1) / energies, 0.0
         )
-        if is_active:
-            active_frame_count += 1
-            current_run += 1
-            longest_active_run = max(longest_active_run, current_run)
-            active_purities.append(frame_purity)
-        else:
-            current_run = 0
+    locked = _isclose_abs(
+        frame_freqs[np.argmax(specs, axis=1)], dominant_frequency, lock_hz
+    )
+    active = nonzero & locked & (purities >= 0.55)
 
-    active_frame_ratio = active_frame_count / frame_count if frame_count > 0 else 0.0
-    active_frame_mean_purity = float(np.mean(active_purities)) if active_purities else 0.0
+    # Longest consecutive-active run via a last-reset prefix scan: a
+    # zero-energy or inactive frame resets, exactly like the serial loop.
+    idx = np.arange(n_frames)
+    last_reset = np.maximum.accumulate(np.where(active, -1, idx))
+    run_lengths = np.where(active, idx - last_reset, 0)
 
+    frame_count = int(np.sum(nonzero))
+    active_count = int(np.sum(active))
     return PureToneMetrics(
         detected_frequency=detected_frequency,
         overall_band_purity=overall_band_purity,
-        active_frame_ratio=active_frame_ratio,
-        longest_active_run=longest_active_run,
-        active_frame_mean_purity=active_frame_mean_purity,
+        active_frame_ratio=active_count / frame_count if frame_count else 0.0,
+        longest_active_run=int(run_lengths.max(initial=0)),
+        active_frame_mean_purity=(
+            float(np.mean(purities[active])) if active_count else 0.0
+        ),
     )
 
 
@@ -149,18 +159,16 @@ def extract_padded_segment(
     audio_data: NDArray[np.float32], start: int, length: int
 ) -> NDArray[np.float32]:
     """Fixed-length segment with zero padding at out-of-bounds edges."""
-    stop = start + length
-    left_pad = max(0, -start)
-    right_pad = max(0, stop - len(audio_data))
-    segment = audio_data[max(0, start) : min(len(audio_data), stop)]
-    if left_pad > 0 or right_pad > 0:
-        segment = np.pad(segment, (left_pad, right_pad))
-    return np.asarray(segment, dtype=np.float32)
+    out = np.zeros(length, dtype=np.float32)
+    src_lo = max(0, start)
+    src_hi = min(len(audio_data), start + length)
+    if src_hi > src_lo:
+        out[src_lo - start : src_hi - start] = audio_data[src_lo:src_hi]
+    return out
 
 
 def max_distance(sorted_data: list[float]) -> float:
     """Maximum gap between consecutive elements of sorted data."""
-    max_dist: float = 0
-    for i in range(1, len(sorted_data)):
-        max_dist = max(max_dist, sorted_data[i] - sorted_data[i - 1])
-    return max_dist
+    if len(sorted_data) < 2:
+        return 0
+    return float(np.max(np.diff(np.asarray(sorted_data))))

@@ -23,7 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from audio_pattern_detector_tpu.models.bank import PatternBank, _class_step_jit
+from audio_pattern_detector_tpu.models.bank import (
+    PatternBank,
+    _class_step_jit,
+    unpack_group,
+)
 from audio_pattern_detector_tpu.ops.correlate import CorrelationBankConsts
 from audio_pattern_detector_tpu.ops.verify import MarkerVerifyConsts, NormalVerifyConsts
 
@@ -127,13 +131,12 @@ class BankShardedBank:
                     self._sharded[sw],
                     metas=bank._metas[sw],
                     height_min=bank.height_min,
+                    lean=True,
                 )
 
             for g, out in zip(cls["groups"], outs):
-                pos = np.asarray(out["pos"])
-                sel = np.asarray(out["alive"]) & np.asarray(out["accept"])
-                overflow = np.asarray(out["detect_overflow"]) | np.asarray(
-                    out["verify_overflow"]
+                pos, sel, overflow = unpack_group(
+                    np.asarray(out["packed"]), g.k_verify
                 )
                 for ci, name in enumerate(g.names):
                     if overflow[ci]:

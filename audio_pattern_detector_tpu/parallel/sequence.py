@@ -10,8 +10,18 @@ chunk index — the FFT-correlation equivalent of ring attention's halo
 exchange. A second mesh axis ("stream") runs independent streams in
 parallel (DP).
 
-Timestamp algebra on the host matches the serial engine exactly: device 0
-is the lookback-free first chunk, every other device subtracts its
+Unbounded streams scan in successive slabs: a :class:`ShardedStreamSession`
+carries the lookback tail from one slab to the next (device 0 of slab k+1
+takes its halo from the host-carried tail rather than ppermute), and a
+short final slab is zero-padded with per-device validity masking — the
+distributed equivalents of the serial loop's ``previous_chunk`` carry and
+final-short-chunk handling. Candidate-capacity overflow on any
+(stream, device, clip) cell re-runs that cell's exact section on the host
+path, preserving the serial engine's exactness contract
+(reference: audio_pattern_detector.py:520-546).
+
+Timestamp algebra on the host matches the serial engine exactly: the
+stream's first chunk is lookback-free, every other chunk subtracts its
 sliding-window seconds.
 """
 
@@ -25,7 +35,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from numpy.typing import NDArray
 
-from audio_pattern_detector_tpu.models.bank import PatternBank, _class_step
+from audio_pattern_detector_tpu.models.bank import (
+    PatternBank,
+    _class_step,
+    unpack_group,
+)
 from audio_pattern_detector_tpu.models.detector import AudioPatternDetector
 from audio_pattern_detector_tpu.utils.clip import AudioClip
 
@@ -36,13 +50,15 @@ except AttributeError:  # pragma: no cover - older jax
 
 
 class ShardedDetector:
-    """Offline/batch detector over a (stream, time) device mesh.
+    """Detector over a (stream, time) device mesh.
 
-    ``detect(audio)`` takes a (B, T) float32 batch of equal-length streams,
-    shards B over the optional "stream" axis and T over the "time" axis
-    (T must equal time_axis_size · chunk_samples), and returns per-stream,
-    per-clip timestamps identical to running the serial engine with
-    ``seconds_per_chunk = chunk_seconds`` on each stream.
+    ``detect(audio)`` takes a (B, T) float32 batch of equal-length streams
+    of any positive length, shards B over the optional "stream" axis and
+    time over the "time" axis (one chunk per time-device, looping over
+    slabs for long streams), and returns per-stream, per-clip timestamps
+    identical to running the serial engine with ``seconds_per_chunk =
+    chunk_seconds`` on each stream. ``session()`` exposes the incremental
+    slab-feeding form for unbounded streams.
     """
 
     def __init__(
@@ -68,45 +84,75 @@ class ShardedDetector:
         )
         self.sample_rate = self._detector.target_sample_rate
         self.chunk_samples = chunk_seconds * self.sample_rate
+        self.slab_samples = self.time_size * self.chunk_samples
         self.bank: PatternBank = self._detector._ensure_bank()
-        self._jitted: dict[int, Any] = {}
+        self.max_halo = max(
+            sw * self.sample_rate for sw in self.bank.classes
+        )
+        # jit cache key: (sliding_window, slab-has-lookback-carry)
+        self._jitted: dict[tuple[int, bool], Any] = {}
 
     # ── device program ──
 
-    def _build_class_fn(self, sw: int):
-        """shard_map'ed program for one sliding-window class."""
+    def _build_class_fn(self, sw: int, has_prev: bool):
+        """shard_map'ed program for one sliding-window class.
+
+        ``has_prev`` selects the first-slab variant (device 0's section has
+        no lookback, like the serial stream head) vs the carried variant
+        (device 0's halo arrives from the host-carried previous-slab tail).
+        """
         cls = self.bank.classes[sw]
         metas = self.bank._metas[sw]
         height_min = self.bank.height_min
         halo = sw * self.sample_rate
-        S_local = self.chunk_samples
+        chunk = self.chunk_samples
         time_size = self.time_size
         has_stream = "stream" in self.mesh.axis_names
         blk_spec = P("stream" if has_stream else None, "time")
+        tail_spec = P("stream" if has_stream else None, None)
 
         loud = cls["loud"]
         group_consts = tuple((g.corr, g.verify) for g in cls["groups"])
 
-        def local_fn(blk, loud_c, gconsts):
-            # blk: (B_local, 1, S_local) — this device's time slice.
+        def local_fn(blk, prev_tail, t_actual, loud_c, gconsts):
+            # blk: (B_local, 1, chunk) — this device's time slice.
+            # prev_tail: (B_local, halo) — lookback for device 0.
+            # t_actual: () int32 — valid samples in the (padded) slab.
             local = blk[:, 0, :]
             tail = local[:, -halo:]
-            # Left-neighbour halo rides ICI; device 0 receives zeros.
+            # Left-neighbour halo rides ICI; device 0 takes the carried
+            # tail (or none at the stream head).
             perm = [(i, i + 1) for i in range(time_size - 1)]
             recv = jax.lax.ppermute(tail, "time", perm)
             t_idx = jax.lax.axis_index("time")
 
-            sec_with_halo = jnp.concatenate([recv, local], axis=1)
-            sec_first = jnp.concatenate(
-                [local, jnp.zeros_like(local[:, :halo])], axis=1
-            )
-            section = jnp.where(t_idx == 0, sec_first, sec_with_halo)
-            n_valid = jnp.where(
-                t_idx == 0, jnp.int32(S_local), jnp.int32(S_local + halo)
-            )
+            # Samples this device actually owns (short final slab masks
+            # trailing devices via n_valid, exactly like the serial
+            # engine's final short chunk).
+            owned = jnp.clip(t_actual - t_idx * chunk, 0, chunk)
+
+            if has_prev:
+                halo_src = jnp.where(t_idx == 0, prev_tail, recv)
+                section = jnp.concatenate([halo_src, local], axis=1)
+                n_valid = (owned + halo).astype(jnp.int32)
+            else:
+                sec_with_halo = jnp.concatenate([recv, local], axis=1)
+                sec_first = jnp.concatenate(
+                    [local, jnp.zeros_like(local[:, :halo])], axis=1
+                )
+                section = jnp.where(t_idx == 0, sec_first, sec_with_halo)
+                n_valid = (
+                    owned + jnp.where(t_idx == 0, 0, halo)
+                ).astype(jnp.int32)
 
             step = lambda s: _class_step(
-                s, n_valid, loud_c, gconsts, metas=metas, height_min=height_min
+                s,
+                n_valid,
+                loud_c,
+                gconsts,
+                metas=metas,
+                height_min=height_min,
+                lean=True,
             )
             outs = jax.vmap(step)(section)
             # Re-insert the time axis for the out_spec.
@@ -115,66 +161,193 @@ class ShardedDetector:
         mapped = shard_map(
             local_fn,
             mesh=self.mesh,
-            in_specs=(P(*blk_spec, None), P(), P()),
+            in_specs=(P(*blk_spec, None), tail_spec, P(), P(), P()),
             out_specs=P(*blk_spec),
             check_vma=False,
         )
-        return jax.jit(lambda blk: mapped(blk, loud, group_consts))
+        return jax.jit(
+            lambda blk, prev_tail, t_actual: mapped(
+                blk, prev_tail, t_actual, loud, group_consts
+            )
+        )
 
     # ── host API ──
 
+    def session(self) -> "ShardedStreamSession":
+        """Start an incremental scan: feed slab after slab of one stream
+        batch; results are serial-engine-identical across slab boundaries."""
+        return ShardedStreamSession(self)
+
     def detect(self, audio: NDArray[np.float32]) -> dict[str, list[list[float]]]:
-        """Scan a (B, T) batch of streams; returns name -> per-stream
-        sorted timestamp lists (serial-engine-identical algebra)."""
+        """Scan a (B, T) batch of streams of any length T > 0; returns
+        name -> per-stream sorted timestamp lists (serial-engine-identical
+        algebra). Long streams loop over mesh-sized slabs internally."""
         audio = np.asarray(audio, dtype=np.float32)
         if audio.ndim == 1:
             audio = audio[None, :]
         B, T = audio.shape
-        expect_t = self.time_size * self.chunk_samples
-        if T != expect_t:
-            raise ValueError(
-                f"stream length {T} must be time_axis({self.time_size}) x "
-                f"chunk_samples({self.chunk_samples}) = {expect_t}; pad with zeros"
-            )
-        if B % self.stream_size != 0:
-            raise ValueError(
-                f"batch {B} must be divisible by stream axis {self.stream_size}"
-            )
+        if T <= 0:
+            raise ValueError("stream length must be positive")
 
-        blocks = audio.reshape(B, self.time_size, self.chunk_samples)
-        has_stream = "stream" in self.mesh.axis_names
+        sess = self.session()
+        results: dict[str, list[list[float]]] = {
+            name: [[] for _ in range(B)]
+            for cls in self.bank.classes.values()
+            for g in cls["groups"]
+            for name in g.names
+        }
+        for start in range(0, T, self.slab_samples):
+            slab = audio[:, start : start + self.slab_samples]
+            part = sess.feed(slab)
+            for name, per_stream in part.items():
+                for b in range(B):
+                    results[name][b].extend(per_stream[b])
+        for name in results:
+            for b in range(B):
+                results[name][b].sort()
+        return results
+
+
+class ShardedStreamSession:
+    """Carries lookback state between successive slabs of one stream batch.
+
+    Every ``feed`` must supply a full slab (``time_axis × chunk_samples``
+    samples per stream) except the last, which may be shorter; after a
+    short slab the stream is finished and further feeds are rejected —
+    the same contract as the serial loop, where only the final chunk may
+    be short.
+    """
+
+    def __init__(self, sd: ShardedDetector) -> None:
+        self._sd = sd
+        self._carry: NDArray[np.float32] | None = None  # (B, max_halo)
+        self._base = 0  # global chunk index of the next slab's device 0
+        self._batch: int | None = None
+        self._finished = False
+
+    def feed(self, slab: NDArray[np.float32]) -> dict[str, list[list[float]]]:
+        sd = self._sd
+        slab = np.asarray(slab, dtype=np.float32)
+        if slab.ndim == 1:
+            slab = slab[None, :]
+        B, t_actual = slab.shape
+        if self._finished:
+            raise ValueError(
+                "stream already finished: a short slab must be the last"
+            )
+        if self._batch is None:
+            if B % sd.stream_size != 0:
+                raise ValueError(
+                    f"batch {B} must be divisible by stream axis {sd.stream_size}"
+                )
+            self._batch = B
+        elif B != self._batch:
+            raise ValueError(f"batch changed between slabs: {self._batch} -> {B}")
+        if t_actual <= 0 or t_actual > sd.slab_samples:
+            raise ValueError(
+                f"slab length {t_actual} must be in (0, {sd.slab_samples}]"
+            )
+        if t_actual < sd.slab_samples:
+            self._finished = True
+
+        padded = slab
+        if t_actual < sd.slab_samples:
+            padded = np.zeros((B, sd.slab_samples), dtype=np.float32)
+            padded[:, :t_actual] = slab
+        blocks = padded.reshape(B, sd.time_size, sd.chunk_samples)
+
+        has_stream = "stream" in sd.mesh.axis_names
         sharding = NamedSharding(
-            self.mesh, P("stream" if has_stream else None, "time", None)
+            sd.mesh, P("stream" if has_stream else None, "time", None)
         )
         blocks_dev = jax.device_put(blocks, sharding)
+        tail_sharding = NamedSharding(
+            sd.mesh, P("stream" if has_stream else None, None)
+        )
 
+        has_prev = self._carry is not None
+        sr = sd.sample_rate
+        chunk = sd.chunk_samples
         results: dict[str, list[list[float]]] = {}
-        sr = self.sample_rate
-        for sw, cls in self.bank.classes.items():
-            if sw not in self._jitted:
-                self._jitted[sw] = self._build_class_fn(sw)
-            outs = self._jitted[sw](blocks_dev)
+
+        for sw, cls in sd.bank.classes.items():
+            key = (sw, has_prev)
+            if key not in sd._jitted:
+                sd._jitted[key] = sd._build_class_fn(sw, has_prev)
+            halo = sw * sr
+            if has_prev:
+                assert self._carry is not None
+                prev_tail = np.ascontiguousarray(self._carry[:, -halo:])
+            else:
+                prev_tail = np.zeros((B, halo), dtype=np.float32)
+            prev_tail_dev = jax.device_put(prev_tail, tail_sharding)
+
+            outs = sd._jitted[key](blocks_dev, prev_tail_dev, jnp.int32(t_actual))
             for g, out in zip(cls["groups"], outs):
-                pos = np.asarray(out["pos"])  # (B, Dt, G, K)
-                sel = np.asarray(out["alive"]) & np.asarray(out["accept"])
+                packed = np.asarray(out["packed"])  # (B, Dt, G, 2K+2)
+                pos, sel, overflow = unpack_group(packed, g.k_verify)
                 for ci, name in enumerate(g.names):
                     clip_seconds = g.clip_len / sr
                     per_stream: list[list[float]] = []
                     for b in range(B):
                         times: list[float] = []
-                        for d in range(self.time_size):
-                            subtract = 0 if d == 0 else sw
-                            for k in np.nonzero(sel[b, d, ci])[0]:
+                        for d in range(sd.time_size):
+                            owned = min(max(t_actual - d * chunk, 0), chunk)
+                            if owned == 0:
+                                continue  # device past the stream end
+                            lookback = d > 0 or has_prev
+                            subtract = sw if lookback else 0
+                            index = self._base + d
+                            if overflow[b, d, ci]:
+                                raw = _device_section(
+                                    slab, prev_tail, b, d, chunk, halo,
+                                    owned, has_prev,
+                                )
+                                hits: "list[int]" = sd.bank._host_fallback(
+                                    g, ci, raw
+                                )
+                            else:
+                                hits = [
+                                    int(p) for p in pos[b, d, ci][sel[b, d, ci]]
+                                ]
+                            for p in hits:
                                 t = (
-                                    int(pos[b, d, ci, k]) / sr
+                                    p / sr
                                     - subtract
-                                    + d * self.chunk_seconds
+                                    + index * sd.chunk_seconds
                                     - clip_seconds
                                 )
                                 times.append(t if t >= 0 else 0)
                         per_stream.append(sorted(times))
                     results[name] = per_stream
+        # Advance carry/base for the next slab.
+        if not self._finished:
+            if has_prev and sd.slab_samples < sd.max_halo:
+                raise ValueError("slab shorter than the maximum lookback")
+            self._carry = np.ascontiguousarray(slab[:, -sd.max_halo :])
+            self._base += sd.time_size
         return results
+
+
+def _device_section(
+    slab: NDArray[np.float32],
+    prev_tail: NDArray[np.float32],
+    b: int,
+    d: int,
+    chunk: int,
+    halo: int,
+    owned: int,
+    has_prev: bool,
+) -> NDArray[np.float32]:
+    """Reconstruct the exact raw section device (b, d) scanned — the
+    host-fallback input for overflowed cells."""
+    start = d * chunk
+    end = start + owned
+    if d == 0:
+        if has_prev:
+            return np.concatenate([prev_tail[b, -halo:], slab[b, :end]])
+        return np.ascontiguousarray(slab[b, :end])
+    return np.ascontiguousarray(slab[b, start - halo : end])
 
 
 def detections_from_sharded(

@@ -4,6 +4,10 @@ Functional parity with the reference clip layer
 (reference: audio_pattern_detector/audio_clip.py): a frozen ``AudioClip``
 value object carrying float32 audio plus an optional verification strategy,
 and ``AudioStream`` — any named readable byte stream of float32 mono PCM.
+
+Construction is organised as free loader functions returning
+(name, audio, strategy, params) tuples, dispatched on extension, with the
+dataclass itself kept as a pure value type.
 """
 
 from __future__ import annotations
@@ -30,6 +34,33 @@ class ReadableStream(Protocol):
     def read(self, size: int, /) -> bytes: ...
 
 
+def _resampled_to(
+    audio: NDArray[np.float32], source_sr: int, target_sr: int
+) -> NDArray[np.float32]:
+    return audio if source_sr == target_sr else resample_audio(audio, source_sr, target_sr)
+
+
+def _load_pattern_clip(path: "str | Path", sample_rate: int) -> "AudioClip":
+    # Strip the compound extension ("x.apd.toml" -> "x").
+    name = Path(str(path)[: -len(APD_EXTENSION)]).name
+    cfg = load_apd_file(path, sample_rate=sample_rate)
+    return AudioClip(
+        name=name,
+        audio=cfg.audio,
+        sample_rate=sample_rate,
+        strategy=cfg.strategy,
+        strategy_params=cfg.strategy_params,
+    )
+
+
+def _load_audio_clip(path: "str | Path", sample_rate: int) -> "AudioClip":
+    return AudioClip(
+        name=Path(path).stem,
+        audio=load_wave_file(str(path), expected_sample_rate=sample_rate),
+        sample_rate=sample_rate,
+    )
+
+
 @dataclass(frozen=True)
 class AudioClip:
     name: str
@@ -41,38 +72,29 @@ class AudioClip:
     strategy_params: dict[str, Any] = field(default_factory=dict)
 
     @staticmethod
-    def from_audio_file(clip_path: "str | Path", sample_rate: int | None = None) -> "AudioClip":
+    def from_audio_file(
+        clip_path: "str | Path", sample_rate: int | None = None
+    ) -> "AudioClip":
         """Load a clip; `.apd.toml` files parse as pattern configs, other
         extensions decode as audio."""
-        if sample_rate is None:
-            sample_rate = DEFAULT_TARGET_SAMPLE_RATE
-        path_str = str(clip_path)
-        if path_str.lower().endswith(APD_EXTENSION):
-            # Strip the compound extension ("x.apd.toml" -> "x").
-            clip_name = Path(path_str[: -len(APD_EXTENSION)]).name
-            config = load_apd_file(clip_path, sample_rate=sample_rate)
-            return AudioClip(
-                name=clip_name,
-                audio=config.audio,
-                sample_rate=sample_rate,
-                strategy=config.strategy,
-                strategy_params=config.strategy_params,
-            )
-        clip_name = Path(clip_path).stem
-        clip = load_wave_file(path_str, expected_sample_rate=sample_rate)
-        return AudioClip(name=clip_name, audio=clip, sample_rate=sample_rate)
+        rate = DEFAULT_TARGET_SAMPLE_RATE if sample_rate is None else sample_rate
+        loader = (
+            _load_pattern_clip
+            if str(clip_path).lower().endswith(APD_EXTENSION)
+            else _load_audio_clip
+        )
+        return loader(clip_path, rate)
 
     @staticmethod
     def from_wav_bytes(
         wav_bytes: bytes, name: str, sample_rate: int | None = None
     ) -> "AudioClip":
         """Load a clip from in-memory WAV bytes, resampling to target rate."""
-        if sample_rate is None:
-            sample_rate = DEFAULT_TARGET_SAMPLE_RATE
+        rate = DEFAULT_TARGET_SAMPLE_RATE if sample_rate is None else sample_rate
         audio, source_sr = load_wav_from_bytes(wav_bytes, name)
-        if source_sr != sample_rate:
-            audio = resample_audio(audio, source_sr, sample_rate)
-        return AudioClip(name=name, audio=audio, sample_rate=sample_rate)
+        return AudioClip(
+            name=name, audio=_resampled_to(audio, source_sr, rate), sample_rate=rate
+        )
 
     def clip_length_seconds(self) -> float:
         return len(self.audio) / self.sample_rate

@@ -11,6 +11,10 @@ Schema parity with the reference loader
   optional declared dominant frequency and per-strategy thresholds.
 
 Unknown fields are rejected at every level so configs stay versionable.
+
+The implementation is table-driven: each section is described by a field
+table (allowed keys, expected types, coercions) and walked by one generic
+validator, so adding a schema field is a one-line table edit.
 """
 
 from __future__ import annotations
@@ -20,7 +24,7 @@ import binascii
 import tomllib
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, cast
+from typing import Any
 
 import numpy as np
 from numpy.typing import NDArray
@@ -31,19 +35,34 @@ APD_EXTENSION = ".apd.toml"
 VALID_STRATEGIES: frozenset[str] = frozenset({"marker_tone"})
 VALID_CLIP_SOURCES: frozenset[str] = frozenset({"sine", "wav_base64"})
 
-_SINE_FIELDS: frozenset[str] = frozenset({"frequency_hz", "duration_seconds", "amplitude"})
-_WAV_BASE64_FIELDS: frozenset[str] = frozenset({"data"})
+_NUMBER: tuple[type, ...] = (int, float)
 
-VALID_VERIFICATION_THRESHOLDS: frozenset[str] = frozenset(
-    {
-        "minimum_band_purity",
-        "minimum_active_frame_ratio",
-        "minimum_longest_active_run",
-        "minimum_active_frame_mean_purity",
-        "maximum_min_flank_purity",
-        "maximum_max_flank_purity",
-    }
-)
+# ── Field tables ────────────────────────────────────────────────────────
+# key -> accepted TOML types. One generic walker enforces these; the
+# "unknown field" checks derive their valid-key lists from the same tables.
+
+_CLIP_FIELDS_BY_SOURCE: dict[str, dict[str, tuple[type, ...]]] = {
+    "sine": {
+        "frequency_hz": _NUMBER,
+        "duration_seconds": _NUMBER,
+        "amplitude": _NUMBER,
+    },
+    "wav_base64": {
+        "data": (str,),
+    },
+}
+
+# threshold key -> coercion applied after type checking.
+_THRESHOLD_COERCE: dict[str, Any] = {
+    "minimum_band_purity": float,
+    "minimum_active_frame_ratio": float,
+    "minimum_longest_active_run": int,
+    "minimum_active_frame_mean_purity": float,
+    "maximum_min_flank_purity": float,
+    "maximum_max_flank_purity": float,
+}
+
+VALID_VERIFICATION_THRESHOLDS: frozenset[str] = frozenset(_THRESHOLD_COERCE)
 
 _VERIFICATION_FIELDS: frozenset[str] = VALID_VERIFICATION_THRESHOLDS | frozenset(
     {"strategy", "dominant_frequency_hz"}
@@ -61,78 +80,168 @@ class PatternConfig:
     audio: NDArray[np.float32]
 
 
-def _get_required(
-    obj: dict[str, Any], key: str, kind: "type | tuple[type, ...]", path: str
+# ── Generic table walking ───────────────────────────────────────────────
+
+
+def _typename(kind: "type | tuple[type, ...]") -> str:
+    if isinstance(kind, type):
+        return kind.__name__
+    return "/".join(k.__name__ for k in kind)
+
+
+def _field(
+    table: dict[str, Any],
+    key: str,
+    kind: "type | tuple[type, ...]",
+    path: str,
+    *,
+    required: bool = True,
 ) -> Any:
-    if key not in obj:
-        raise ValueError(f"{path}: missing required field '{key}'")
-    value = obj[key]
+    """Fetch + type-check one field; ``None`` when optional and absent."""
+    if key not in table:
+        if required:
+            raise ValueError(f"{path}: missing required field '{key}'")
+        return None
+    value = table[key]
     if not isinstance(value, kind):
-        kind_name = (
-            kind.__name__ if isinstance(kind, type) else "/".join(k.__name__ for k in kind)
-        )
         raise ValueError(
-            f"{path}: field '{key}' must be {kind_name}, got {type(value).__name__}"
+            f"{path}: field '{key}' must be {_typename(kind)}, "
+            f"got {type(value).__name__}"
         )
     return value
 
 
-def _clip_from_sine(
-    params: dict[str, Any], sample_rate: int, source_path: str
-) -> NDArray[np.float32]:
-    unknown = sorted(set(params) - _SINE_FIELDS - {"source"})
+def _reject_unknown(
+    present: "set[str] | frozenset[str]",
+    allowed: "set[str] | frozenset[str]",
+    label: str,
+    path: str,
+    note: str = "",
+) -> None:
+    unknown = sorted(present - allowed)
     if unknown:
         raise ValueError(
-            f"{source_path}: unknown [clip] field(s) for source='sine': {unknown}. "
-            f"Valid fields: {sorted(_SINE_FIELDS)}"
+            f"{path}: unknown {label} field(s): {unknown}. "
+            f"Valid fields: {sorted(allowed)}{note}"
         )
-    frequency_hz = float(_get_required(params, "frequency_hz", (int, float), source_path))
-    duration_seconds = float(
-        _get_required(params, "duration_seconds", (int, float), source_path)
-    )
-    amplitude = float(params.get("amplitude", 0.9))
-    if frequency_hz <= 0:
-        raise ValueError(f"{source_path}: frequency_hz must be positive, got {frequency_hz}")
-    if duration_seconds <= 0:
+
+
+# ── Clip sources ────────────────────────────────────────────────────────
+
+
+def _synthesise_sine(
+    table: dict[str, Any], sample_rate: int, path: str
+) -> NDArray[np.float32]:
+    frequency_hz = float(_field(table, "frequency_hz", _NUMBER, path))
+    duration_seconds = float(_field(table, "duration_seconds", _NUMBER, path))
+    amplitude_raw = _field(table, "amplitude", _NUMBER, path, required=False)
+    amplitude = 0.9 if amplitude_raw is None else float(amplitude_raw)
+
+    for name, value, ok in (
+        ("frequency_hz", frequency_hz, frequency_hz > 0),
+        ("duration_seconds", duration_seconds, duration_seconds > 0),
+    ):
+        if not ok:
+            raise ValueError(f"{path}: {name} must be positive, got {value}")
+    if frequency_hz * 2 >= sample_rate:
         raise ValueError(
-            f"{source_path}: duration_seconds must be positive, got {duration_seconds}"
-        )
-    if not (frequency_hz * 2 < sample_rate):
-        raise ValueError(
-            f"{source_path}: frequency_hz {frequency_hz} exceeds Nyquist "
+            f"{path}: frequency_hz {frequency_hz} exceeds Nyquist "
             f"({sample_rate / 2}) for sample_rate {sample_rate}"
         )
-    n_samples = int(round(duration_seconds * sample_rate))
-    t = np.arange(n_samples, dtype=np.float32) / np.float32(sample_rate)
-    return (amplitude * np.sin(2 * np.pi * frequency_hz * t)).astype(np.float32)
+
+    n = int(round(duration_seconds * sample_rate))
+    # f32 time grid, f64 sin/scale intermediates (bit-parity with the
+    # reference synthesiser, pattern_config.py:106-107).
+    t = np.arange(n, dtype=np.float32) / np.float32(sample_rate)
+    wave = np.sin((2.0 * np.pi * frequency_hz) * t)
+    return (amplitude * wave).astype(np.float32)
 
 
-def _clip_from_wav_base64(
-    params: dict[str, Any], sample_rate: int, source_path: str
+def _decode_wav_base64(
+    table: dict[str, Any], sample_rate: int, path: str
 ) -> NDArray[np.float32]:
     from audio_pattern_detector_tpu.utils.audio_io import (
         load_wav_from_bytes,
         resample_audio,
     )
 
-    unknown = sorted(set(params) - _WAV_BASE64_FIELDS - {"source"})
+    # Whitespace-tolerant so TOML triple-quoted strings can wrap the data.
+    compact = "".join(str(_field(table, "data", str, path)).split())
+    try:
+        wav_bytes = base64.b64decode(compact, validate=True)
+    except binascii.Error as e:
+        raise ValueError(f"{path}: invalid base64 in [clip].data: {e}") from e
+
+    audio, source_sr = load_wav_from_bytes(wav_bytes, name=path)
+    return (
+        audio
+        if source_sr == sample_rate
+        else resample_audio(audio, source_sr, sample_rate)
+    )
+
+
+_CLIP_BUILDERS = {
+    "sine": _synthesise_sine,
+    "wav_base64": _decode_wav_base64,
+}
+
+
+def _load_clip_audio(
+    table: dict[str, Any], sample_rate: int, path: str
+) -> NDArray[np.float32]:
+    source = _field(table, "source", str, path)
+    if source not in VALID_CLIP_SOURCES:
+        raise ValueError(
+            f"{path}: unknown [clip].source '{source}'. "
+            f"Valid sources: {sorted(VALID_CLIP_SOURCES)}"
+        )
+    fields = _CLIP_FIELDS_BY_SOURCE[source]
+    unknown = sorted(set(table) - set(fields) - {"source"})
     if unknown:
         raise ValueError(
-            f"{source_path}: unknown [clip] field(s) for source='wav_base64': {unknown}. "
-            f"Valid fields: {sorted(_WAV_BASE64_FIELDS)}"
+            f"{path}: unknown [clip] field(s) for source='{source}': {unknown}. "
+            f"Valid fields: {sorted(fields)}"
         )
-    data_str = _get_required(params, "data", str, source_path)
-    # Strip whitespace so TOML triple-quoted strings can wrap the base64.
-    cleaned = "".join(data_str.split())
-    try:
-        wav_bytes = base64.b64decode(cleaned, validate=True)
-    except binascii.Error as e:
-        raise ValueError(f"{source_path}: invalid base64 in [clip].data: {e}") from e
+    return _CLIP_BUILDERS[source](table, sample_rate, path)
 
-    audio, source_sr = load_wav_from_bytes(wav_bytes, name=source_path)
-    if source_sr != sample_rate:
-        audio = resample_audio(audio, source_sr, sample_rate)
-    return audio
+
+# ── Verification section ────────────────────────────────────────────────
+
+
+def _parse_verification(
+    table: dict[str, Any], clip_table: dict[str, Any], clip_source: str, path: str
+) -> tuple[str, dict[str, Any]]:
+    _reject_unknown(set(table), _VERIFICATION_FIELDS, "[verification]", path)
+
+    strategy = _field(table, "strategy", str, path)
+    if strategy not in VALID_STRATEGIES:
+        raise ValueError(
+            f"{path}: unknown strategy '{strategy}'. "
+            f"Valid strategies: {sorted(VALID_STRATEGIES)}"
+        )
+
+    params: dict[str, Any] = {}
+    declared = _field(table, "dominant_frequency_hz", _NUMBER, path, required=False)
+    if declared is not None:
+        params["dominant_frequency_hz"] = float(declared)
+    elif clip_source == "sine":
+        # The declared generator frequency is authoritative for sine clips;
+        # loaded audio otherwise gets its tone frequency derived on load.
+        params["dominant_frequency_hz"] = float(clip_table["frequency_hz"])
+
+    thresholds = {
+        key: coerce(
+            _field(table, key, (int,) if coerce is int else _NUMBER, path)
+        )
+        for key, coerce in sorted(_THRESHOLD_COERCE.items())
+        if key in table
+    }
+    if thresholds:
+        params["verification"] = thresholds
+    return strategy, params
+
+
+# ── Entry point ─────────────────────────────────────────────────────────
 
 
 def load_apd_file(path: "str | Path", sample_rate: int) -> PatternConfig:
@@ -140,68 +249,24 @@ def load_apd_file(path: "str | Path", sample_rate: int) -> PatternConfig:
     source_path = str(path)
     with open(path, "rb") as f:
         try:
-            obj = tomllib.load(f)
+            doc = tomllib.load(f)
         except tomllib.TOMLDecodeError as e:
             raise ValueError(f"{source_path}: invalid TOML: {e}") from e
 
-    unknown_top = sorted(set(obj) - _TOP_LEVEL_FIELDS)
-    if unknown_top:
-        raise ValueError(
-            f"{source_path}: unknown top-level field(s): {unknown_top}. "
-            f"Valid fields: {sorted(_TOP_LEVEL_FIELDS)} "
-            f"(note: 'strategy' moved into [verification] in the v2 schema)"
-        )
-
-    clip_section = cast(dict[str, Any], _get_required(obj, "clip", dict, source_path))
-    source_kind = _get_required(clip_section, "source", str, source_path)
-    if source_kind not in VALID_CLIP_SOURCES:
-        raise ValueError(
-            f"{source_path}: unknown [clip].source '{source_kind}'. "
-            f"Valid sources: {sorted(VALID_CLIP_SOURCES)}"
-        )
-
-    if source_kind == "sine":
-        audio = _clip_from_sine(clip_section, sample_rate, source_path)
-    else:
-        audio = _clip_from_wav_base64(clip_section, sample_rate, source_path)
-
-    verification = cast(
-        dict[str, Any], _get_required(obj, "verification", dict, source_path)
+    _reject_unknown(
+        set(doc),
+        _TOP_LEVEL_FIELDS,
+        "top-level",
+        source_path,
+        note=" (note: 'strategy' moved into [verification] in the v2 schema)",
     )
-    unknown_v = sorted(set(verification) - _VERIFICATION_FIELDS)
-    if unknown_v:
-        raise ValueError(
-            f"{source_path}: unknown [verification] field(s): {unknown_v}. "
-            f"Valid fields: {sorted(_VERIFICATION_FIELDS)}"
-        )
 
-    strategy = _get_required(verification, "strategy", str, source_path)
-    if strategy not in VALID_STRATEGIES:
-        raise ValueError(
-            f"{source_path}: unknown strategy '{strategy}'. "
-            f"Valid strategies: {sorted(VALID_STRATEGIES)}"
-        )
+    clip_table: dict[str, Any] = _field(doc, "clip", dict, source_path)
+    audio = _load_clip_audio(clip_table, sample_rate, source_path)
 
-    strategy_params: dict[str, Any] = {}
-    if "dominant_frequency_hz" in verification:
-        strategy_params["dominant_frequency_hz"] = float(
-            _get_required(verification, "dominant_frequency_hz", (int, float), source_path)
-        )
-    elif source_kind == "sine":
-        # The declared generator frequency is authoritative for sine clips.
-        strategy_params["dominant_frequency_hz"] = float(clip_section["frequency_hz"])
-    # else: detector derives the tone frequency from the loaded audio.
-
-    threshold_keys = sorted(set(verification) & VALID_VERIFICATION_THRESHOLDS)
-    if threshold_keys:
-        parsed: dict[str, float | int] = {}
-        for key in threshold_keys:
-            if key == "minimum_longest_active_run":
-                parsed[key] = int(_get_required(verification, key, int, source_path))
-            else:
-                parsed[key] = float(
-                    _get_required(verification, key, (int, float), source_path)
-                )
-        strategy_params["verification"] = parsed
+    verification: dict[str, Any] = _field(doc, "verification", dict, source_path)
+    strategy, strategy_params = _parse_verification(
+        verification, clip_table, str(clip_table["source"]), source_path
+    )
 
     return PatternConfig(strategy=strategy, strategy_params=strategy_params, audio=audio)

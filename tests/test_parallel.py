@@ -98,5 +98,91 @@ class TestShardedMatchesSerial:
         clip = make_clip()
         mesh = make_mesh({"time": 8})
         sd = ShardedDetector([clip], mesh, chunk_seconds=10)
-        with pytest.raises(ValueError, match="stream length"):
-            sd.detect(np.zeros((1, 1234), np.float32))
+        with pytest.raises(ValueError, match="positive"):
+            sd.detect(np.zeros((1, 0), np.float32))
+
+
+class TestShardedStreaming:
+    """Slab-carry streaming: successive feeds must equal one serial scan."""
+
+    def test_two_slabs_equal_serial(self):
+        clip = make_clip()
+        # 4-device x 5 s chunks = 20 s slabs; 40 s stream = 2 slabs, with
+        # one match straddling the slab boundary's lookback region.
+        audio = make_audio(clip, [3.0, 19.5, 21.25, 33.0], 40)
+        det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=5)
+        serial, _ = det.find_clip_in_audio(
+            AudioStream("s", io.BytesIO(audio.tobytes()), SR)
+        )
+        mesh = make_mesh({"time": 4})
+        sd = ShardedDetector([clip], mesh, chunk_seconds=5)
+        sess = sd.session()
+        r1 = sess.feed(audio[None, : 20 * SR])
+        r2 = sess.feed(audio[None, 20 * SR :])
+        got = sorted(r1["c"][0] + r2["c"][0])
+        assert got == serial["c"]
+
+    def test_short_final_slab_equal_serial(self):
+        clip = make_clip()
+        # 27 s stream on a 4x5 s mesh: slab 1 full (20 s), slab 2 is 7 s —
+        # one full chunk + a 2 s final short chunk + two idle devices.
+        audio = make_audio(clip, [3.0, 21.0, 25.5], 27)
+        det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=5)
+        serial, _ = det.find_clip_in_audio(
+            AudioStream("s", io.BytesIO(audio.tobytes()), SR)
+        )
+        mesh = make_mesh({"time": 4})
+        sd = ShardedDetector([clip], mesh, chunk_seconds=5)
+        par = detections_from_sharded(sd.detect(audio))
+        assert par["c"] == serial["c"]
+
+    def test_feed_after_short_slab_rejected(self):
+        clip = make_clip()
+        mesh = make_mesh({"time": 4})
+        sd = ShardedDetector([clip], mesh, chunk_seconds=5)
+        sess = sd.session()
+        sess.feed(np.zeros((1, 7 * SR), np.float32))
+        with pytest.raises(ValueError, match="finished"):
+            sess.feed(np.zeros((1, 20 * SR), np.float32))
+
+
+class TestShardedOverflowFallback:
+    def test_sharded_overflow_reroutes_to_host(self, monkeypatch):
+        """Candidate overflow on a (stream, device, clip) cell must re-run
+        that cell's exact section on the host path, keeping the sharded
+        scan serial-engine-identical (not silently dropping peaks)."""
+        from audio_pattern_detector_tpu.models import hostpath
+
+        rng = np.random.default_rng(0)
+        clip = make_clip()
+        sd = ShardedDetector([clip], make_mesh({"time": 4}), chunk_seconds=5)
+        bank = sd.bank
+
+        # Shrink the candidate tier so dense repetitions overflow it.
+        g = bank.classes[1]["groups"][0]
+        g.k_detect = 8
+        g.k_verify = 4
+        bank._metas[1] = (("normal", g.clip_len, 8, 4),)
+
+        audio = (0.01 * rng.standard_normal(20 * SR)).astype(np.float32)
+        for k in range(24):
+            o = int((0.2 + 0.75 * k) * SR)
+            audio[o : o + SR] += clip.audio[: min(SR, 20 * SR - o)]
+
+        calls = []
+        original = hostpath.process_section_host
+
+        def spy(*args, **kwargs):
+            calls.append(1)
+            return original(*args, **kwargs)
+
+        monkeypatch.setattr(hostpath, "process_section_host", spy)
+
+        par = detections_from_sharded(sd.detect(audio))
+        assert calls, "sharded overflow did not reroute to the host path"
+
+        det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=5)
+        serial, _ = det.find_clip_in_audio(
+            AudioStream("s", io.BytesIO(audio.tobytes()), SR)
+        )
+        assert par["c"] == serial["c"]
