@@ -1,0 +1,181 @@
+"""Per-stage device-time profile of the flagship 64-clip per-chunk program.
+
+Measures each stage of the class step (loudness -> correlate -> peaks ->
+verify) as a separately jitted program on the real section shapes, plus the
+fused lean step, and writes bench_results/stage_times.json. This is the
+measured roofline evidence for docs/scaling.md: stage times vs the HBM
+traffic each stage must move.
+
+Run standalone in a healthy tunnel window (serialize with other TPU work):
+    python scripts/profile_stages.py            # real chip
+    APD_PROFILE_CPU=1 python scripts/profile_stages.py   # CPU smoke
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+if os.environ.get("APD_PROFILE_CPU") == "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
+
+import jax.numpy as jnp
+import numpy as np
+
+from audio_pattern_detector_tpu.ops.correlate import bank_correlate
+from audio_pattern_detector_tpu.ops.loudness import (
+    integrated_loudness_device,
+    loudness_normalize_device,
+)
+from audio_pattern_detector_tpu.ops.peaks import find_peaks_device
+from audio_pattern_detector_tpu.ops.verify import verify_marker, verify_normal
+
+_BIG = np.int32(2**30)
+OUT_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "bench_results", "stage_times.json"
+)
+
+
+ITERS = int(os.environ.get("APD_PROFILE_ITERS", "20"))
+REPEATS = int(os.environ.get("APD_PROFILE_REPEATS", "3"))
+
+
+def _time_fn(fn, *args, iters=ITERS, repeats=REPEATS) -> float:
+    """Median wall seconds per call: dispatch `iters` back-to-back, block once."""
+    out = fn(*args)
+    jax.block_until_ready(out)  # warm/compile
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        samples.append((time.perf_counter() - t0) / iters)
+    return float(np.median(samples))
+
+
+def main() -> None:
+    from __graft_entry__ import _make_bank
+    from audio_pattern_detector_tpu.models.bank import _class_step_jit
+
+    sr = 8000
+    chunk_seconds = 60
+    height_min = 0.25
+    bank, _ = _make_bank(num_normal=32, num_marker=32, chunk_seconds=chunk_seconds)
+
+    sw = sorted(bank.classes)[0]
+    cls = bank.classes[sw]
+    S = cls["section_len"]
+    rng = np.random.default_rng(7)
+    section = jnp.asarray((0.05 * rng.standard_normal(S)).astype(np.float32))
+    n_valid = jnp.int32(S)
+
+    loud_fn = jax.jit(
+        lambda s, n, lc: loudness_normalize_device(
+            s, integrated_loudness_device(s, n, lc)
+        )
+    )
+    corr_fn = jax.jit(bank_correlate)
+
+    @partial(jax.jit, static_argnames=("m", "k_detect", "k_verify"))
+    def peaks_fn(corr, valid_len, m, k_detect, k_verify):
+        cand = find_peaks_device(corr, valid_len, height_min, m, k_detect)
+        half = (2 * m - 1) // 2
+        keep = (
+            cand.alive
+            & ~(cand.pos + half > valid_len + 5)
+            & ~(cand.pos - half < -5)
+        )
+        score = jnp.where(keep, -cand.pos, -_BIG)
+        sv, _ = jax.lax.top_k(score, k_verify)
+        return -sv, sv > -_BIG
+
+    marker_fn = jax.jit(verify_marker)
+    normal_fn = jax.jit(verify_normal)
+
+    result: dict = {
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "section_len": int(S),
+        "chunk_seconds": chunk_seconds,
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "stages": {},
+    }
+
+    t_loud = _time_fn(loud_fn, section, n_valid, cls["loud"])
+    norm = jax.block_until_ready(loud_fn(section, n_valid, cls["loud"]))
+    result["stages"]["loudness_normalize"] = {
+        "seconds_per_chunk": t_loud,
+        # FFT-conv K-weighting: rfft+irfft over S plus gating reductions.
+        "hbm_bytes_est": int(6 * S * 4),
+    }
+
+    stage_total = t_loud
+    for g, meta in zip(cls["groups"], bank._metas[sw]):
+        kind, m, k_detect, k_verify = meta
+        label = f"{kind}_G{g.corr.bank_size if hasattr(g.corr, 'bank_size') else len(g.names)}_m{m}"
+        G = len(g.names)
+        L = g.corr.full_len
+
+        t_corr = _time_fn(corr_fn, norm, n_valid, g.corr)
+        corr, valid_len = jax.block_until_ready(corr_fn(norm, n_valid, g.corr))
+        t_peaks = _time_fn(peaks_fn, corr, valid_len, m, k_detect, k_verify)
+        vpos, valive = jax.block_until_ready(
+            peaks_fn(corr, valid_len, m, k_detect, k_verify)
+        )
+        if kind == "marker":
+            t_verify = _time_fn(marker_fn, norm, vpos, valive, g.verify)
+        else:
+            t_verify = _time_fn(normal_fn, corr, vpos, valive, g.verify)
+
+        result["stages"][f"correlate_{label}"] = {
+            "seconds_per_chunk": t_corr,
+            # write (G, L) f32 + FFT intermediates (~3x read-write of that)
+            "hbm_bytes_est": int(4 * G * L * 4),
+        }
+        result["stages"][f"peaks_{label}"] = {
+            "seconds_per_chunk": t_peaks,
+            # cummax/cummin scans + greedy: ~5 passes over (G, L) f32
+            "hbm_bytes_est": int(5 * G * L * 4),
+        }
+        result["stages"][f"verify_{label}"] = {
+            "seconds_per_chunk": t_verify,
+            "hbm_bytes_est": int(G * k_verify * (2 * m) * 4),
+        }
+        stage_total += t_corr + t_peaks + t_verify
+
+    group_consts = tuple((g.corr, g.verify) for g in cls["groups"])
+    fused_fn = lambda s, n: _class_step_jit(  # noqa: E731
+        s,
+        n,
+        cls["loud"],
+        group_consts,
+        metas=bank._metas[sw],
+        height_min=bank.height_min,
+        lean=True,
+    )
+    t_fused = _time_fn(fused_fn, section, n_valid)
+
+    result["fused_lean_step_seconds"] = t_fused
+    result["stage_sum_seconds"] = stage_total
+    result["fused_x_realtime"] = chunk_seconds / t_fused
+    for name, st in result["stages"].items():
+        st["gbps_est"] = round(st["hbm_bytes_est"] / st["seconds_per_chunk"] / 1e9, 1)
+
+    os.makedirs(os.path.dirname(OUT_PATH), exist_ok=True)
+    with open(OUT_PATH, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -175,6 +175,129 @@ class TestMultiplexedStdin:
         assert r.returncode != 0
         assert b"No patterns" in r.stderr
 
+    def test_multiple_patterns(self):
+        sr = 8000
+        rng = np.random.default_rng(6)
+        clip_a = (0.4 * rng.standard_normal(sr)).astype(np.float32)
+        clip_b = (0.4 * rng.standard_normal(sr)).astype(np.float32)
+        audio = 0.01 * rng.standard_normal(8 * sr)
+        audio[1 * sr : 2 * sr] += clip_a
+        audio[5 * sr : 6 * sr] += clip_b
+        payload = self.build_payload(
+            {"pat_a": wav_bytes_int16(clip_a, sr), "pat_b": wav_bytes_int16(clip_b, sr)},
+            wav_bytes_int16(audio.astype(np.float32), sr),
+        )
+        r = run_cli(["match", "--multiplexed-stdin"], stdin_bytes=payload)
+        assert r.returncode == 0, r.stderr.decode()
+        detections = [
+            e for e in parse_jsonl(r.stdout) if e["type"] == "pattern_detected"
+        ]
+        got = {(e["clip_name"], round(e["timestamp_ms"], -2)) for e in detections}
+        assert got == {("pat_a", 1000), ("pat_b", 5000)}, detections
+
+
+class TestHelpAndUsage:
+    """Cheap argparse-level contracts (no engine import; reference:
+    tests/test_cli_integration.py:55-90,401-483)."""
+
+    def test_top_level_help(self):
+        r = run_cli(["--help"])
+        assert r.returncode == 0
+        assert b"match" in r.stdout and b"show-config" in r.stdout
+
+    def test_match_help(self):
+        r = run_cli(["match", "--help"])
+        assert r.returncode == 0
+        for flag in (
+            b"--pattern-file",
+            b"--pattern-folder",
+            b"--stdin",
+            b"--multiplexed-stdin",
+            b"--timestamp-format",
+            b"--chunk-seconds",
+            b"--height-min",
+        ):
+            assert flag in r.stdout, flag
+
+    def test_show_config_help(self):
+        r = run_cli(["show-config", "--help"])
+        assert r.returncode == 0
+
+    def test_no_audio_source_errors(self):
+        r = run_cli(["match", "--pattern-file", RTHK_PATTERN])
+        assert r.returncode == 1
+        assert b"--stdin" in r.stderr or b"audio file" in r.stderr
+
+    def test_nonexistent_audio_file_errors(self):
+        r = run_cli(["match", "/no/such/audio.wav", "--pattern-file", RTHK_PATTERN])
+        assert r.returncode != 0
+        assert b"does not exist" in r.stderr
+
+    def test_nonexistent_pattern_file_errors(self):
+        r = run_cli(["match", RTHK_AUDIO, "--pattern-file", "/no/such/clip.wav"])
+        assert r.returncode != 0
+        assert b"does not exist" in r.stderr
+
+    def test_invalid_chunk_seconds_errors(self):
+        r = run_cli(
+            ["match", RTHK_AUDIO, "--pattern-file", RTHK_PATTERN,
+             "--chunk-seconds", "sixty"]
+        )
+        assert r.returncode == 1
+        assert b"'auto' or a positive integer" in r.stderr
+
+
+class TestChunkSecondsFlag:
+    def test_auto_chunk_seconds(self):
+        r = run_cli(
+            ["match", RTHK_AUDIO, "--pattern-file", RTHK_PATTERN,
+             "--chunk-seconds", "auto"]
+        )
+        assert r.returncode == 0, r.stderr.decode()
+        detections = [
+            e for e in parse_jsonl(r.stdout) if e["type"] == "pattern_detected"
+        ]
+        assert len(detections) == 2
+
+    def test_explicit_small_chunk_seconds(self):
+        r = run_cli(
+            ["match", RTHK_AUDIO, "--pattern-file", RTHK_PATTERN,
+             "--chunk-seconds", "2"]
+        )
+        assert r.returncode == 0, r.stderr.decode()
+        detections = [
+            e for e in parse_jsonl(r.stdout) if e["type"] == "pattern_detected"
+        ]
+        # Same two beeps regardless of chunking (the JSONL layer dedups
+        # equal-ms overlap duplicates).
+        assert len(detections) == 2
+        assert abs(detections[0]["timestamp_ms"] - 1407) <= 10
+        assert abs(detections[1]["timestamp_ms"] - 2419) <= 10
+
+
+class TestNoMatchOutput:
+    def test_only_start_and_end_events(self):
+        cbs_pattern = os.path.join(SAMPLE_AUDIOS, "clips", "cbs_news.wav")
+        r = run_cli(["match", RTHK_AUDIO, "--pattern-file", cbs_pattern])
+        assert r.returncode == 0, r.stderr.decode()
+        events = parse_jsonl(r.stdout)
+        assert [e["type"] for e in events] == ["start", "end"]
+
+
+class Test16kAutoConvert:
+    def test_16khz_file_resampled(self):
+        audio_16k = os.path.join(
+            SAMPLE_AUDIOS, "test_16khz", "rthk_section_with_beep_16k.wav"
+        )
+        r = run_cli(["match", audio_16k, "--pattern-file", RTHK_PATTERN])
+        assert r.returncode == 0, r.stderr.decode()
+        detections = [
+            e for e in parse_jsonl(r.stdout) if e["type"] == "pattern_detected"
+        ]
+        assert len(detections) == 2
+        assert abs(detections[0]["timestamp_ms"] - 1407) <= 50
+        assert abs(detections[1]["timestamp_ms"] - 2419) <= 50
+
 
 class TestShowConfig:
     def test_schema(self):

@@ -72,6 +72,94 @@ class TestCrossPatternFalsePositives:
         for name, times in peaks.items():
             assert times == [], f"{name} false positive in {audio}: {times}"
 
+    def test_all_patterns_mixed_results(self):
+        """All three primary patterns in one bank against each section: each
+        pattern matches only its own audio, exact counts (reference:
+        test_integration_matching.py:302-333)."""
+        bank = [RTHK_PATTERN, CBS_PATTERN, AM1430_PATTERN]
+        expected = {
+            RTHK_AUDIO: {"rthk_beep": 2, "cbs_news": 0, "天空下的彩虹intro": 0},
+            CBS_AUDIO: {"rthk_beep": 0, "cbs_news": 1, "天空下的彩虹intro": 0},
+            AM1430_AUDIO: {"rthk_beep": 0, "cbs_news": 0, "天空下的彩虹intro": 1},
+        }
+        for audio, counts in expected.items():
+            peaks, _ = match_pattern(audio, bank)
+            got = {name: len(times) for name, times in peaks.items()}
+            assert got == counts, f"{os.path.basename(audio)}: {got} != {counts}"
+
+
+# The corpus-wide acceptance matrix: the FULL pattern bank (all six shipped
+# patterns — three stations' markers, the base64 variant, and both normal
+# clips) scanned over EVERY corpus audio in one run. Exactly the expected
+# pattern fires on each fixture; all 5 x 20 cross pairs stay silent. This
+# extends the reference's 3x3 matrix (test_integration_matching.py:302-384)
+# to the whole regression corpus — notably rthk_beep (1040.19 Hz) must NOT
+# fire on 881/903 openings whose beeps sit ~2% away (~1059/1062 Hz), inside
+# the marker verifier's ±5% frequency gate; the purity thresholds are what
+# reject them.
+ALL_PATTERNS = sorted(
+    os.path.join(SAMPLE_AUDIOS, "clips", f)
+    for f in os.listdir(os.path.join(SAMPLE_AUDIOS, "clips"))
+    if f.endswith((".wav", ".apd.toml"))
+)
+
+CORPUS_MATRIX = [
+    ("rthk_section_with_beep.wav", {"rthk_beep": 2}),
+    ("cbs_news_audio_section.wav", {"cbs_news": 1}),
+    ("am1430_section_with_rainbow_intro.wav", {"天空下的彩虹intro": 1}),
+    (
+        "regressions/881_beep_openings/radio881_2026-04-15_11_to_12_30m20s_opening.wav",
+        {"881_beep": 1, "881_beep_base64": 1},
+    ),
+    (
+        "regressions/881_beep_openings/radio881_2026-04-16_10_to_11_10s_opening.wav",
+        {"881_beep": 1, "881_beep_base64": 1},
+    ),
+    ("regressions/903_beep_openings/radio903_2026-04-17_06_to_07_no_opening_beep.wav", {}),
+    (
+        "regressions/903_beep_openings/radio903_2026-04-17_09_to_10_12s_opening.wav",
+        {"903_beep": 1},
+    ),
+    (
+        "regressions/903_beep_openings/radio903_2026-04-17_15_to_16_opening.wav",
+        {"903_beep": 1},
+    ),
+    (
+        "regressions/rthk_beep_hourly_leadins/radio1_2026-04-06_12_to_13_28m51_leadin.wav",
+        {"rthk_beep": 5},
+    ),
+    (
+        "regressions/rthk_beep_hourly_leadins/radio1_2026-04-06_17_to_18_59m01_leadin.wav",
+        {"rthk_beep": 5},
+    ),
+    (
+        "regressions/rthk_beep_hourly_openings/radio1_2026-04-06_12_to_13_28m49_opening.wav",
+        {"rthk_beep": 6},
+    ),
+    (
+        "regressions/rthk_beep_hourly_openings/radio1_2026-04-06_17_to_18_58m58_opening.wav",
+        {"rthk_beep": 6},
+    ),
+    ("regressions/rthk_beep_stray_clips_v2/tp_09-10_beep1.wav", {"rthk_beep": 2}),
+    ("regressions/rthk_beep_stray_clips_v2/tp_09-10_beep2.wav", {"rthk_beep": 3}),
+    ("regressions/rthk_beep_stray_clips_v2/tp_09-10_beep3.wav", {"rthk_beep": 4}),
+    ("regressions/rthk_beep_stray_clips_v2/v2_10-11_20m21s.wav", {}),
+    ("regressions/rthk_beep_stray_clips_v2/v2_10-11_50m40s.wav", {}),
+    ("regressions/rthk_beep_stray_clips_v2/v2_20-21_35m13s.wav", {}),
+    ("regressions/rthk_beep_stray_clips_v2/v2_22-23_19m48s.wav", {}),
+]
+
+
+class TestCorpusWideMatrix:
+    @pytest.mark.parametrize(
+        "audio_rel,expected", CORPUS_MATRIX, ids=[c[0].split("/")[-1] for c in CORPUS_MATRIX]
+    )
+    def test_full_bank_exact_counts(self, audio_rel, expected):
+        audio = os.path.join(SAMPLE_AUDIOS, audio_rel)
+        peaks, _ = match_pattern(audio, ALL_PATTERNS)
+        got = {name: len(times) for name, times in peaks.items() if times}
+        assert got == expected, f"{audio_rel}: {got} != {expected}"
+
 
 class TestResampling16k:
     """16 kHz inputs resampled to 8 kHz produce the same detections

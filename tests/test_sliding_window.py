@@ -197,3 +197,126 @@ class TestBoundaryEdgeCases:
         times, _ = detect(clip, embed(clip, [5.0, 20.0, 35.0], 60))
         assert times == sorted(times)
         assert len(times) == 3
+
+    def test_straddle_into_final_short_chunk(self):
+        # Regression pinned by the reference (tests/test_sliding_window.py:
+        # 363-404): the uniform sliding-window prepend applies to the final
+        # short chunk too. The final chunk here is 2.9 s of a 3 s chunk size
+        # — under the old "last chunk_size seconds of prev+chunk" rule the
+        # effective lookback would shrink to 0.1 s and the straddling
+        # pattern would be lost on both sides.
+        clip = make_clip(seconds=0.8)
+        det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=3)
+        audio = embed(clip, [2.9], 5.9)
+        peaks, _ = det.find_clip_in_audio(make_stream(audio))
+        assert any(abs(t - 2.9) < 0.01 for t in peaks["clip"]), peaks["clip"]
+
+
+class TestLargeSlidingWindowNoDrift:
+    """Long clips (multi-second sliding windows) across many chunks: the
+    timestamp algebra must not accumulate drift (reference:
+    tests/test_sliding_window.py:642-952)."""
+
+    def test_large_window_tenth_chunk(self):
+        clip = make_clip(seconds=2.5)
+        det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=10)
+        audio = embed(clip, [95.0], 110)
+        peaks, _ = det.find_clip_in_audio(make_stream(audio))
+        assert len(peaks["clip"]) >= 1
+        closest = min(peaks["clip"], key=lambda t: abs(t - 95.0))
+        assert abs(closest - 95.0) < 0.01, f"drift after 10 chunks: {closest}"
+
+    def test_first_vs_tenth_chunk_equal_error(self):
+        clip = make_clip(seconds=2.5)
+        det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=10)
+        audio = embed(clip, [5.0, 95.0], 110)
+        peaks, _ = det.find_clip_in_audio(make_stream(audio))
+        early = min(peaks["clip"], key=lambda t: abs(t - 5.0))
+        late = min(peaks["clip"], key=lambda t: abs(t - 95.0))
+        early_err, late_err = abs(early - 5.0), abs(late - 95.0)
+        assert abs(late_err - early_err) < 0.005, (
+            f"cumulative drift: early {early_err:.6f}s vs late {late_err:.6f}s"
+        )
+
+    def test_large_window_boundary_straddle(self):
+        clip = make_clip(seconds=2.5)
+        det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=10)
+        audio = embed(clip, [8.5], 30)  # spans the 10 s boundary
+        peaks, _ = det.find_clip_in_audio(make_stream(audio))
+        assert any(abs(t - 8.5) < 0.01 for t in peaks["clip"]), peaks["clip"]
+
+    def test_very_large_window_far_into_stream(self):
+        clip = make_clip(seconds=4.5)  # sliding window 5 s
+        det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=15)
+        audio = embed(clip, [50.0], 70)
+        peaks, _ = det.find_clip_in_audio(make_stream(audio))
+        assert len(peaks["clip"]) >= 1
+        closest = min(peaks["clip"], key=lambda t: abs(t - 50.0))
+        assert abs(closest - 50.0) < 0.01
+
+
+class TestOverlapDuplicateIdentity:
+    """A pattern inside the lookback region may be reported by both chunks;
+    when it is, the two timestamps must be bit-identical so the JSONL layer
+    can dedup on equal rounded ms (reference: tests/test_sliding_window.py:
+    955-1228)."""
+
+    @pytest.mark.parametrize("offset", [56.5, 57.0, 58.0, 59.0])
+    def test_duplicates_identical_at_offsets(self, offset):
+        clip = make_clip(seconds=3.5)  # sliding window 4 s; chunk 60 s
+        det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=60)
+        audio = embed(clip, [offset], 130)
+        peaks, _ = det.find_clip_in_audio(make_stream(audio))
+        close = [t for t in peaks["clip"] if abs(t - offset) < 0.01]
+        assert len(close) >= 1, peaks["clip"]
+        assert len(set(close)) == 1, f"duplicates differ: {close}"
+
+    def test_duplicate_count_at_most_two(self):
+        clip = make_clip(seconds=3.5)
+        det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=60)
+        audio = embed(clip, [58.0], 130)
+        peaks, _ = det.find_clip_in_audio(make_stream(audio))
+        close = [t for t in peaks["clip"] if abs(t - 58.0) < 0.01]
+        assert 1 <= len(close) <= 2, peaks["clip"]
+
+
+class TestChunkSizeRules:
+    """The ceil(sliding-window) and 2x-minimum rules, pinned across a table
+    of durations (reference: tests/test_sliding_window.py:1231-1494)."""
+
+    @pytest.mark.parametrize(
+        "duration,window",
+        [(0.1, 1), (0.5, 1), (1.0, 1), (1.1, 2), (2.0, 2), (2.5, 3), (4.9, 5)],
+    )
+    def test_minimum_is_twice_ceil_duration(self, duration, window):
+        clip = make_clip(seconds=duration)
+        det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=2 * window)
+        assert det.seconds_per_chunk == 2 * window
+        if 2 * window - 1 >= 1:  # below 1 the value auto-computes instead
+            with pytest.raises(ValueError, match="too small"):
+                AudioPatternDetector(
+                    audio_clips=[make_clip(seconds=duration)],
+                    seconds_per_chunk=2 * window - 1,
+                )
+
+    @pytest.mark.parametrize("value", [0, -5])
+    def test_nonpositive_chunk_auto_computes(self, value):
+        clip = make_clip(seconds=2.5)
+        det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=value)
+        assert det.seconds_per_chunk == 6  # ceil(2.5) * 2
+
+    def test_longest_clip_governs_validation(self):
+        clips = [make_clip(0.5, name="short"), make_clip(3.0, seed=9, name="long")]
+        with pytest.raises(ValueError, match="too small"):
+            AudioPatternDetector(audio_clips=clips, seconds_per_chunk=4)
+        det = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=8)
+        assert det.seconds_per_chunk == 8
+
+    def test_auto_compute_uses_longest(self):
+        clips = [
+            make_clip(1.0, name="a"),
+            make_clip(2.5, seed=9, name="b"),
+            make_clip(0.3, seed=11, name="c"),
+        ]
+        det = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=None)
+        assert det.seconds_per_chunk == 6
