@@ -11,8 +11,10 @@ import numpy as np
 import pytest
 
 from audio_pattern_detector_tpu.utils.audio_io import (
+    is_ffmpeg_available,
     load_wav_file,
     load_wav_from_bytes,
+    load_wave_file,
     resample_audio,
     slicing_with_zero_padding,
     write_wav_file,
@@ -101,6 +103,101 @@ class TestResampleAudio:
     def test_length_scaling(self):
         x = np.zeros(1000, dtype=np.float32)
         assert len(resample_audio(x, 16000, SR)) == 500
+
+    def test_upsample_length_and_frequency(self):
+        t = np.arange(SR) / SR
+        x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        y = resample_audio(x, SR, 16000)
+        assert len(y) == 16000
+        spec = np.abs(np.fft.rfft(y))
+        freqs = np.fft.rfftfreq(len(y), 1 / 16000)
+        assert abs(freqs[np.argmax(spec)] - 440) < 2
+
+
+class TestLoadWaveFile:
+    """The any-format loader: WAV native decode + resample; non-WAV needs
+    ffmpeg (reference: tests/test_audio_utils.py:57-127,274-307)."""
+
+    def _write(self, tmp_path, audio, sr, name="x.wav"):
+        p = str(tmp_path / name)
+        write_wav_file(p, audio.astype(np.float32), sr)
+        return p
+
+    def test_loads_at_expected_rate(self, tmp_path):
+        t = np.arange(SR) / SR
+        tone = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        path = self._write(tmp_path, tone, SR)
+        out = load_wave_file(path, SR)
+        assert len(out) == SR
+        assert out.dtype == np.float32
+
+    def test_resamples_when_rates_differ(self, tmp_path):
+        t = np.arange(16000) / 16000
+        tone = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        path = self._write(tmp_path, tone, 16000)
+        out = load_wave_file(path, SR)
+        assert len(out) == SR
+        spec = np.abs(np.fft.rfft(out))
+        freqs = np.fft.rfftfreq(len(out), 1 / SR)
+        assert abs(freqs[np.argmax(spec)] - 440) < 2
+
+    def test_nonexistent_file_raises(self):
+        with pytest.raises(ValueError, match="Failed to read WAV data"):
+            load_wave_file("/no/such/file.wav", SR)
+
+    def test_non_wav_without_ffmpeg_raises(self, tmp_path, monkeypatch):
+        import audio_pattern_detector_tpu.utils.audio_io as aio
+
+        monkeypatch.setattr(aio, "_ffmpeg_available", False)
+        p = tmp_path / "x.opus"
+        p.write_bytes(b"not audio")
+        with pytest.raises(ValueError, match="ffmpeg not available"):
+            load_wave_file(str(p), SR)
+
+    def test_wav_decodes_without_ffmpeg(self, tmp_path, monkeypatch):
+        """WAV patterns never need ffmpeg (reference:
+        tests/test_integration_matching.py:1239-1260)."""
+        import audio_pattern_detector_tpu.utils.audio_io as aio
+
+        monkeypatch.setattr(aio, "_ffmpeg_available", False)
+        tone = (0.5 * np.sin(2 * np.pi * 440 * np.arange(SR) / SR)).astype(np.float32)
+        path = self._write(tmp_path, tone, SR)
+        out = load_wave_file(path, SR)
+        assert len(out) == SR
+
+
+class TestFfmpegAvailability:
+    def test_returns_bool(self):
+        assert isinstance(is_ffmpeg_available(), bool)
+
+    def test_cached_across_calls(self, monkeypatch):
+        import audio_pattern_detector_tpu.utils.audio_io as aio
+
+        calls = []
+        monkeypatch.setattr(aio, "_ffmpeg_available", None)
+        monkeypatch.setattr(
+            aio.subprocess,
+            "run",
+            lambda *a, **k: calls.append(1) or type("R", (), {})(),
+        )
+        first = aio.is_ffmpeg_available()
+        second = aio.is_ffmpeg_available()
+        assert first is second is True
+        assert len(calls) == 1  # probe executed once, then cached
+
+
+class TestWriteWavFile:
+    @pytest.mark.parametrize("sr", [8000, 16000, 44100])
+    def test_roundtrip_at_rates(self, tmp_path, sr):
+        tone = (0.5 * np.sin(2 * np.pi * 440 * np.arange(sr // 2) / sr)).astype(
+            np.float32
+        )
+        p = str(tmp_path / f"t{sr}.wav")
+        write_wav_file(p, tone, sr)
+        audio, got_sr = load_wav_file(p)
+        assert got_sr == sr
+        assert len(audio) == len(tone)
+        assert np.max(np.abs(audio - tone)) < 1e-3  # 16-bit quantisation
 
 
 class TestSlicing:

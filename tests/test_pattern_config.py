@@ -127,6 +127,49 @@ dominant_frequency_hz = 700.0
 
 
 class TestSchemaRejections:
+    def test_legacy_generator_section_rejected(self, tmp_path):
+        """The pre-apd `[generator]` layout is versioned out by unknown-field
+        rejection (reference: tests/test_pattern_config.py:193-205)."""
+        doc = """
+[generator]
+type = "sine"
+frequency_hz = 1000.0
+[verification]
+strategy = "marker_tone"
+"""
+        with pytest.raises(ValueError):
+            load_apd_file(write_apd(tmp_path, doc), sample_rate=SR)
+
+    def test_unknown_clip_source_rejected(self, tmp_path):
+        doc = """
+[clip]
+source = "white_noise"
+[verification]
+strategy = "marker_tone"
+"""
+        with pytest.raises(ValueError, match="unknown .clip..source"):
+            load_apd_file(write_apd(tmp_path, doc), sample_rate=SR)
+
+    def test_missing_clip_section_rejected(self, tmp_path):
+        doc = """
+[verification]
+strategy = "marker_tone"
+"""
+        with pytest.raises(ValueError, match="clip"):
+            load_apd_file(write_apd(tmp_path, doc), sample_rate=SR)
+
+    def test_unknown_wav_base64_field_rejected(self, tmp_path):
+        doc = """
+[clip]
+source = "wav_base64"
+data = "AAAA"
+frequency_hz = 700.0
+[verification]
+strategy = "marker_tone"
+"""
+        with pytest.raises(ValueError, match="frequency_hz"):
+            load_apd_file(write_apd(tmp_path, doc), sample_rate=SR)
+
     def test_unknown_top_level(self, tmp_path):
         doc = "strategy = 'marker_tone'\n" + SINE_DOC
         with pytest.raises(ValueError, match="unknown top-level"):
