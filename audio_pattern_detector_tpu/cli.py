@@ -116,6 +116,17 @@ def main() -> None:
         help="override minimum correlation peak height (default: 0.25, lower to find weak matches)",
     )
     match_parser.add_argument(
+        "--offline-batch",
+        metavar="chunks",
+        type=int,
+        default=None,
+        help=(
+            "file mode only: scan the whole file through the batched device "
+            "path, N chunks per launch (streaming-identical results, higher "
+            "throughput; events emitted after the scan)"
+        ),
+    )
+    match_parser.add_argument(
         "--profile",
         action="store_true",
         default=False,

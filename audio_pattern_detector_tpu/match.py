@@ -293,6 +293,41 @@ def _run_detector(
             print(f"profile: {json.dumps(stats.as_dict())}", file=sys.stderr)
     return result
 
+
+def _run_detector_offline(
+    detector: AudioPatternDetector,
+    stream: AudioStream,
+    on_pattern_detected: PatternDetectedCallback | None,
+    accumulate_results: bool,
+    batch_chunks: int,
+    trace_dir: "str | None",
+) -> tuple[dict[str, list[float]] | None, float]:
+    """Offline batched scan: identical results to the streaming loop via
+    ``find_clip_in_array`` (same chunking/lookback/timestamp algebra), but
+    ``batch_chunks`` chunks per vmapped device launch. Events fire after the
+    scan, sorted by timestamp — the throughput mode for whole files, not for
+    live streams."""
+    from audio_pattern_detector_tpu.utils.profiling import device_trace
+
+    bufs = []
+    while True:
+        b = stream.audio_stream.read(1 << 22)
+        if not b:
+            break
+        bufs.append(b)
+    audio = np.frombuffer(b"".join(bufs), dtype=np.float32)
+    with device_trace(trace_dir):
+        peak_times, total_time = detector.find_clip_in_array(
+            audio, batch_size=batch_chunks
+        )
+    if on_pattern_detected is not None:
+        for t, name in sorted(
+            (t, name) for name, ts in peak_times.items() for t in ts
+        ):
+            on_pattern_detected(name, t)
+    return (peak_times if accumulate_results else None), total_time
+
+
 def match_pattern(
     audio_source: str | None,
     pattern_files: list[str],
@@ -306,14 +341,19 @@ def match_pattern(
     height_min: float | None = None,
     profile: bool = False,
     trace_dir: str | None = None,
+    offline_batch: int | None = None,
 ) -> tuple[dict[str, list[float]] | None, float]:
     """Find pattern matches in an audio file or stdin stream.
 
     Library entry point with the reference's contract
     (reference: match.py:98-212). ``profile`` prints per-stage wall-clock
     stats to stderr after the run; ``trace_dir`` wraps the run in a
-    jax.profiler device trace.
+    jax.profiler device trace. ``offline_batch`` (file mode only) scans the
+    whole file through the batched device path — N chunks per launch,
+    streaming-identical results, events emitted post-scan.
     """
+    if offline_batch is not None and (from_stdin or offline_batch < 1):
+        raise ValueError("offline_batch requires file mode and a positive batch size")
     if not from_stdin:
         if audio_source is None or not os.path.exists(audio_source):
             raise ValueError(f"Audio {audio_source} does not exist")
@@ -371,10 +411,16 @@ def match_pattern(
                 debug_dir=debug_dir,
                 height_min=height_min,
             )
-            peak_times, total_time = _run_detector(
-                detector, full_streaming_audio, on_pattern_detected,
-                accumulate_results, profile, trace_dir,
-            )
+            if offline_batch is not None:
+                peak_times, total_time = _run_detector_offline(
+                    detector, full_streaming_audio, on_pattern_detected,
+                    accumulate_results, offline_batch, trace_dir,
+                )
+            else:
+                peak_times, total_time = _run_detector(
+                    detector, full_streaming_audio, on_pattern_detected,
+                    accumulate_results, profile, trace_dir,
+                )
         finally:
             stream_wrapper.close()
         return peak_times, total_time
@@ -390,10 +436,16 @@ def match_pattern(
             target_sample_rate=sr,
             debug_dir=debug_dir,
         )
-        peak_times, total_time = _run_detector(
-            detector, full_streaming_audio, on_pattern_detected,
-            accumulate_results, profile, trace_dir,
-        )
+        if offline_batch is not None:
+            peak_times, total_time = _run_detector_offline(
+                detector, full_streaming_audio, on_pattern_detected,
+                accumulate_results, offline_batch, trace_dir,
+            )
+        else:
+            peak_times, total_time = _run_detector(
+                detector, full_streaming_audio, on_pattern_detected,
+                accumulate_results, profile, trace_dir,
+            )
     return peak_times, total_time
 
 
@@ -513,6 +565,7 @@ def _run_match_with_output(
     height_min: float | None = None,
     profile: bool = False,
     trace_dir: "str | None" = None,
+    offline_batch: int | None = None,
 ) -> tuple[None, float]:
     timestamp_format: str = getattr(args, "timestamp_format", "both")
     callback = _make_jsonl_callback(timestamp_format)
@@ -531,6 +584,7 @@ def _run_match_with_output(
         height_min=height_min,
         profile=profile,
         trace_dir=trace_dir,
+        offline_batch=offline_batch,
     )
     print(f"Total time processed: {seconds_to_time(seconds=total_time)}", file=sys.stderr)
     _emit_jsonl_end(total_time, timestamp_format)
@@ -612,6 +666,7 @@ def cmd_match(args: argparse.Namespace) -> None:
             trace_dir=trace_dir,
         )
     elif args.audio_file:
+        offline_batch: "int | None" = getattr(args, "offline_batch", None)
         _run_match_with_output(
             args,
             pattern_files,
@@ -622,6 +677,7 @@ def cmd_match(args: argparse.Namespace) -> None:
             height_min=height_min,
             profile=profile,
             trace_dir=trace_dir,
+            offline_batch=offline_batch,
         )
     else:
         print("Please provide an audio file or --stdin or --multiplexed-stdin", file=sys.stderr)

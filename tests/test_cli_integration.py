@@ -275,6 +275,18 @@ class TestChunkSecondsFlag:
         assert abs(detections[1]["timestamp_ms"] - 2419) <= 10
 
 
+class TestOfflineBatchFlag:
+    def test_offline_batch_same_events_as_streaming(self):
+        base = run_cli(["match", RTHK_AUDIO, "--pattern-file", RTHK_PATTERN])
+        assert base.returncode == 0, base.stderr.decode()
+        off = run_cli(
+            ["match", RTHK_AUDIO, "--pattern-file", RTHK_PATTERN,
+             "--offline-batch", "4"]
+        )
+        assert off.returncode == 0, off.stderr.decode()
+        assert parse_jsonl(off.stdout) == parse_jsonl(base.stdout)
+
+
 class TestNoMatchOutput:
     def test_only_start_and_end_events(self):
         cbs_pattern = os.path.join(SAMPLE_AUDIOS, "clips", "cbs_news.wav")

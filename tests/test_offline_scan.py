@@ -32,3 +32,46 @@ def test_offline_matches_streaming():
     # 4 embedded occurrences; the one at 29.0 sits in the lookback overlap
     # and is reported by both adjacent chunks (identical timestamps).
     assert len(set(streamed["c"])) == 4
+
+
+def test_match_pattern_offline_batch_parity(tmp_path):
+    """match_pattern(offline_batch=N) equals the streaming run on a real
+    WAV file, and fires the same callback events (post-scan, sorted)."""
+    from audio_pattern_detector_tpu.match import match_pattern
+    from audio_pattern_detector_tpu.utils.audio_io import write_wav_file
+
+    rng = np.random.default_rng(1)
+    clip_audio = (0.4 * rng.standard_normal(SR)).astype(np.float32)
+    audio = (0.01 * rng.standard_normal(26 * SR)).astype(np.float32)
+    for off in [2.0, 14.5, 21.0]:
+        o = int(off * SR)
+        audio[o : o + SR] += clip_audio
+
+    clip_path = str(tmp_path / "clip.wav")
+    audio_path = str(tmp_path / "audio.wav")
+    write_wav_file(clip_path, np.clip(clip_audio, -1, 1), SR)
+    write_wav_file(audio_path, np.clip(audio, -1, 1), SR)
+
+    stream_events: list = []
+    streamed, t1 = match_pattern(
+        audio_path, [clip_path], seconds_per_chunk=10,
+        on_pattern_detected=lambda n, t: stream_events.append((n, t)),
+    )
+    offline_events: list = []
+    offline, t2 = match_pattern(
+        audio_path, [clip_path], seconds_per_chunk=10, offline_batch=2,
+        on_pattern_detected=lambda n, t: offline_events.append((n, t)),
+    )
+    assert offline == streamed
+    assert t1 == t2
+    assert sorted(offline_events) == sorted(stream_events)
+    assert len(streamed["clip"]) == 3
+
+
+def test_offline_batch_rejects_stdin_mode():
+    import pytest
+
+    from audio_pattern_detector_tpu.match import match_pattern
+
+    with pytest.raises(ValueError, match="offline_batch"):
+        match_pattern(None, ["x.wav"], from_stdin=True, offline_batch=4)
