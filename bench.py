@@ -117,30 +117,34 @@ def run_bench() -> dict:
         bank.process_chunk(chunks[i % n_distinct], prev)
         prev = chunks[i % n_distinct]
 
+    def run_streaming(n_iters: int) -> tuple[float, int]:
+        """The production streaming pattern: dispatch chunk i+1 before
+        collecting chunk i (models/detector.py's double-buffered loop), so
+        device compute and the per-launch round trip overlap host work."""
+        nonlocal prev
+        detections = 0
+        pending = None
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            chunk = chunks[i % n_distinct]
+            dispatched = bank.dispatch_chunk(chunk, prev)
+            if pending is not None:
+                out = bank.collect_chunk(pending)
+                detections += sum(len(v) for v in out.values())
+            pending = dispatched
+            prev = chunk
+        out = bank.collect_chunk(pending)
+        detections += sum(len(v) for v in out.values())
+        elapsed = time.perf_counter() - t0
+        return n_iters * chunk_seconds / elapsed, detections
+
     # Quick 5-iter probe persisted immediately: if the tunnel degrades
     # mid-run, this round still has a real on-chip number.
-    t0 = time.perf_counter()
-    detections = 0
-    for i in range(5):
-        chunk = chunks[i % n_distinct]
-        out = bank.process_chunk(chunk, prev)
-        detections += sum(len(v) for v in out.values())
-        prev = chunk
-    quick_x = 5 * chunk_seconds / (time.perf_counter() - t0)
+    quick_x, detections = run_streaming(5)
     _persist_partial(quick_x, detections)
 
     # ── Streaming steady state (includes h2d + host-side unpack) ──
-    n_iters = 20
-    t0 = time.perf_counter()
-    detections = 0
-    for i in range(n_iters):
-        chunk = chunks[i % n_distinct]
-        out = bank.process_chunk(chunk, prev)
-        detections += sum(len(v) for v in out.values())
-        prev = chunk
-    elapsed = time.perf_counter() - t0
-    audio_seconds = n_iters * chunk_seconds
-    streaming_x = audio_seconds / elapsed
+    streaming_x, detections = run_streaming(20)
     _persist_partial(streaming_x, detections)  # survive a mid-run failure
 
     # ── Device-only: the jitted class step, h2d/unpack excluded ──
@@ -182,7 +186,7 @@ def run_bench() -> dict:
 
     det = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=chunk_seconds)
     det._bank = bank
-    batch = 4
+    batch = int(os.environ.get("APD_BENCH_BATCH", "4"))
     long_audio = np.concatenate([chunks[i % n_distinct] for i in range(batch * 2)])
     det.find_clip_in_array(long_audio, batch_size=batch)  # warm the batch program
     t0 = time.perf_counter()

@@ -102,6 +102,92 @@ class TestWavFileStreamWrapper:
         np.testing.assert_allclose(out, audio, atol=2e-2)
 
 
+def build_wav_header(
+    fmt=1, channels=1, rate=SR, bits=16, pre_fmt_chunks=(), post_fmt_chunks=()
+) -> bytes:
+    """Hand-built RIFF stream for header-walk tests."""
+    import struct
+
+    body = b""
+    for cid, payload in pre_fmt_chunks:
+        body += cid + struct.pack("<I", len(payload)) + payload
+    block_align = channels * bits // 8
+    fmt_payload = struct.pack(
+        "<HHIIHH", fmt, channels, rate, rate * block_align, block_align, bits
+    )
+    body += b"fmt " + struct.pack("<I", len(fmt_payload)) + fmt_payload
+    for cid, payload in post_fmt_chunks:
+        body += cid + struct.pack("<I", len(payload)) + payload
+    body += b"data" + struct.pack("<I", 0)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+class TestStdinHeaderValidation:
+    """RIFF-walk contracts of the stdin wrapper (reference: match.py:215-283,
+    tests/test_cli_integration.py:506-553)."""
+
+    def _validate(self, raw: bytes):
+        from audio_pattern_detector_tpu.match import _validate_wav_header
+
+        return _validate_wav_header(io.BytesIO(raw), SR)
+
+    def test_int16_accepted(self):
+        assert self._validate(build_wav_header(fmt=1, bits=16)) == (1, 16)
+
+    def test_int32_accepted(self):
+        assert self._validate(build_wav_header(fmt=1, bits=32)) == (1, 32)
+
+    def test_float32_accepted(self):
+        assert self._validate(build_wav_header(fmt=3, bits=32)) == (3, 32)
+
+    def test_24bit_pcm_rejected(self):
+        with pytest.raises(ValueError, match="16-bit or 32-bit"):
+            self._validate(build_wav_header(fmt=1, bits=24))
+
+    def test_float16_rejected(self):
+        with pytest.raises(ValueError, match="32-bit float"):
+            self._validate(build_wav_header(fmt=3, bits=16))
+
+    def test_alaw_format_rejected(self):
+        with pytest.raises(ValueError, match="PCM .1. or IEEE float"):
+            self._validate(build_wav_header(fmt=6))
+
+    def test_stereo_rejected(self):
+        with pytest.raises(ValueError, match="mono"):
+            self._validate(build_wav_header(channels=2))
+
+    def test_wrong_rate_rejected(self):
+        with pytest.raises(ValueError, match="Expected 8000 Hz, got 44100"):
+            self._validate(build_wav_header(rate=44100))
+
+    def test_not_riff_rejected(self):
+        with pytest.raises(ValueError, match="expected RIFF"):
+            self._validate(b"OGGS" + b"\0" * 40)
+
+    def test_extra_chunks_skipped(self):
+        # ffmpeg-style LIST metadata before fmt and a fact chunk before data
+        # must be walked over, not rejected.
+        raw = build_wav_header(
+            pre_fmt_chunks=((b"LIST", b"INFOmeta"),),
+            post_fmt_chunks=((b"fact", b"\x00\x00\x00\x00"),),
+        )
+        assert self._validate(raw) == (1, 16)
+
+    def test_truncated_before_fmt_rejected(self):
+        import struct
+
+        raw = b"RIFF" + struct.pack("<I", 4) + b"WAVE"
+        with pytest.raises(ValueError, match="missing fmt"):
+            self._validate(raw)
+
+    def test_missing_data_chunk_rejected(self):
+        import struct
+
+        full = build_wav_header()
+        with pytest.raises(ValueError, match="missing data|truncated"):
+            self._validate(full[:-8])  # drop the data chunk header
+
+
 class TestNoFfmpeg:
     def test_wav_patterns_work_without_ffmpeg(self, tmp_path, monkeypatch):
         monkeypatch.setattr(audio_io, "_ffmpeg_available", False)
