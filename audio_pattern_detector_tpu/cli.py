@@ -116,6 +116,17 @@ def main() -> None:
         help="override minimum correlation peak height (default: 0.25, lower to find weak matches)",
     )
     match_parser.add_argument(
+        "--pipeline-depth",
+        metavar="chunks",
+        type=int,
+        default=1,
+        help=(
+            "number of chunks kept in flight on the device (default: 1). "
+            "Deeper pipelines raise streaming throughput on remote runtimes; "
+            "each chunk's events are deferred by that many chunks"
+        ),
+    )
+    match_parser.add_argument(
         "--offline-batch",
         metavar="chunks",
         type=int,

@@ -278,6 +278,7 @@ def _run_detector(
     accumulate_results: bool,
     profile: bool,
     trace_dir: "str | None",
+    pipeline_depth: int = 1,
 ) -> tuple[dict[str, list[float]] | None, float]:
     from audio_pattern_detector_tpu.utils.profiling import device_trace
 
@@ -286,6 +287,7 @@ def _run_detector(
             stream,
             on_pattern_detected=on_pattern_detected,
             accumulate_results=accumulate_results,
+            pipeline_depth=pipeline_depth,
         )
     if profile:
         stats = getattr(detector, "last_run_stats", None)
@@ -342,6 +344,7 @@ def match_pattern(
     profile: bool = False,
     trace_dir: str | None = None,
     offline_batch: int | None = None,
+    pipeline_depth: int = 1,
 ) -> tuple[dict[str, list[float]] | None, float]:
     """Find pattern matches in an audio file or stdin stream.
 
@@ -351,6 +354,8 @@ def match_pattern(
     jax.profiler device trace. ``offline_batch`` (file mode only) scans the
     whole file through the batched device path — N chunks per launch,
     streaming-identical results, events emitted post-scan.
+    ``pipeline_depth`` keeps that many chunks in flight on the device
+    (identical results; emission deferred by that many chunks).
     """
     if offline_batch is not None and (from_stdin or offline_batch < 1):
         raise ValueError("offline_batch requires file mode and a positive batch size")
@@ -382,6 +387,7 @@ def match_pattern(
     if from_stdin:
         return _match_pattern_wav_stdin(
             pattern_clips=pattern_clips,
+            pipeline_depth=pipeline_depth,
             debug_mode=debug_mode,
             on_pattern_detected=on_pattern_detected,
             accumulate_results=accumulate_results,
@@ -419,7 +425,7 @@ def match_pattern(
             else:
                 peak_times, total_time = _run_detector(
                     detector, full_streaming_audio, on_pattern_detected,
-                    accumulate_results, profile, trace_dir,
+                    accumulate_results, profile, trace_dir, pipeline_depth,
                 )
         finally:
             stream_wrapper.close()
@@ -444,7 +450,7 @@ def match_pattern(
         else:
             peak_times, total_time = _run_detector(
                 detector, full_streaming_audio, on_pattern_detected,
-                accumulate_results, profile, trace_dir,
+                accumulate_results, profile, trace_dir, pipeline_depth,
             )
     return peak_times, total_time
 
@@ -460,6 +466,7 @@ def _match_pattern_wav_stdin(
     height_min: float | None = None,
     profile: bool = False,
     trace_dir: "str | None" = None,
+    pipeline_depth: int = 1,
 ) -> tuple[dict[str, list[float]] | None, float]:
     stream_wrapper = _WavStdinStreamWrapper(target_sample_rate)
     audio_name = "stdin"
@@ -477,7 +484,7 @@ def _match_pattern_wav_stdin(
     )
     return _run_detector(
         detector, full_streaming_audio, on_pattern_detected,
-        accumulate_results, profile, trace_dir,
+        accumulate_results, profile, trace_dir, pipeline_depth,
     )
 
 
@@ -566,6 +573,7 @@ def _run_match_with_output(
     profile: bool = False,
     trace_dir: "str | None" = None,
     offline_batch: int | None = None,
+    pipeline_depth: int = 1,
 ) -> tuple[None, float]:
     timestamp_format: str = getattr(args, "timestamp_format", "both")
     callback = _make_jsonl_callback(timestamp_format)
@@ -585,6 +593,7 @@ def _run_match_with_output(
         profile=profile,
         trace_dir=trace_dir,
         offline_batch=offline_batch,
+        pipeline_depth=pipeline_depth,
     )
     print(f"Total time processed: {seconds_to_time(seconds=total_time)}", file=sys.stderr)
     _emit_jsonl_end(total_time, timestamp_format)
@@ -652,6 +661,7 @@ def cmd_match(args: argparse.Namespace) -> None:
         )
         sys.exit(1)
 
+    pipeline_depth: int = getattr(args, "pipeline_depth", 1) or 1
     if args.stdin:
         _run_match_with_output(
             args,
@@ -664,6 +674,7 @@ def cmd_match(args: argparse.Namespace) -> None:
             height_min=height_min,
             profile=profile,
             trace_dir=trace_dir,
+            pipeline_depth=pipeline_depth,
         )
     elif args.audio_file:
         offline_batch: "int | None" = getattr(args, "offline_batch", None)
@@ -678,6 +689,7 @@ def cmd_match(args: argparse.Namespace) -> None:
             profile=profile,
             trace_dir=trace_dir,
             offline_batch=offline_batch,
+            pipeline_depth=pipeline_depth,
         )
     else:
         print("Please provide an audio file or --stdin or --multiplexed-stdin", file=sys.stderr)

@@ -284,6 +284,7 @@ class AudioPatternDetector:
         accumulate_results: bool = True,
         checkpoint: "StreamCheckpoint | None" = None,
         on_checkpoint: "Callable[[StreamCheckpoint], None] | None" = None,
+        pipeline_depth: int = 1,
     ) -> tuple[dict[str, list[float]] | None, float]:
         """Find clip occurrences in the audio stream.
 
@@ -296,10 +297,17 @@ class AudioPatternDetector:
         so I/O, compute, and output overlap (the TPU analogue of the
         reference pipelining only ffmpeg's decode against Python).
 
+        ``pipeline_depth`` is the number of chunks kept in flight on the
+        device (default 1). Deeper pipelines hide per-launch round-trip
+        latency on remote runtimes at the cost of deferring each chunk's
+        emission by ``pipeline_depth`` chunks; results are identical.
+
         ``checkpoint``/``on_checkpoint`` give O(1) resume for unbounded
         streams: pass a previously observed StreamCheckpoint together with
         a stream positioned at its chunk boundary.
         """
+        if pipeline_depth < 1:
+            raise ValueError(f"pipeline_depth must be >= 1, got {pipeline_depth}")
         if audio_stream.sample_rate != self.target_sample_rate:
             raise ValueError(
                 f"full_streaming_audio_clip {audio_stream.name} needs to be "
@@ -364,8 +372,18 @@ class AudioPatternDetector:
                     on_pattern_detected(clip_name, timestamp)
             stats.detections += sum(len(v) for v in clip_peaks.values())
 
-        # pending = (index, had_prev, dispatched_handles, tail, cum_time)
-        pending: "tuple[int, bool, Any, NDArray[np.float32], float] | None" = None
+        # Each pending entry: (index, had_prev, dispatched_handles, tail,
+        # cum_time). Up to ``pipeline_depth`` chunks stay in flight.
+        from collections import deque
+
+        pending: "deque[tuple[int, bool, Any, NDArray[np.float32], float]]" = deque()
+
+        def drain_one() -> None:
+            p_i, p_prev, p_disp, p_tail, p_time = pending.popleft()
+            with watch.segment("collect"):
+                emit(p_i, p_prev, bank.collect_chunk(p_disp))
+            if on_checkpoint is not None:
+                on_checkpoint(StreamCheckpoint(p_i + 1, p_tail, p_time))
 
         while True:
             with watch.segment("read"):
@@ -383,29 +401,23 @@ class AudioPatternDetector:
             else:
                 with watch.segment("dispatch"):
                     dispatched = bank.dispatch_chunk(chunk, previous_chunk)
-                if pending is not None:
-                    p_i, p_prev, p_disp, p_tail, p_time = pending
-                    with watch.segment("collect"):
-                        emit(p_i, p_prev, bank.collect_chunk(p_disp))
-                    if on_checkpoint is not None:
-                        on_checkpoint(StreamCheckpoint(p_i + 1, p_tail, p_time))
-                pending = (
-                    i,
-                    previous_chunk is not None,
-                    dispatched,
-                    chunk[int(-max_sw * sr):].copy(),
-                    total_time,
+                pending.append(
+                    (
+                        i,
+                        previous_chunk is not None,
+                        dispatched,
+                        chunk[int(-max_sw * sr):].copy(),
+                        total_time,
+                    )
                 )
+                if len(pending) > pipeline_depth:
+                    drain_one()
 
             previous_chunk = chunk
             i += 1
 
-        if pending is not None:
-            p_i, p_prev, p_disp, p_tail, p_time = pending
-            with watch.segment("collect"):
-                emit(p_i, p_prev, bank.collect_chunk(p_disp))
-            if on_checkpoint is not None:
-                on_checkpoint(StreamCheckpoint(p_i + 1, p_tail, p_time))
+        while pending:
+            drain_one()
         watch.finish()
 
         if self.debug_mode:

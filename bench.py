@@ -117,24 +117,26 @@ def run_bench() -> dict:
         bank.process_chunk(chunks[i % n_distinct], prev)
         prev = chunks[i % n_distinct]
 
-    def run_streaming(n_iters: int) -> tuple[float, int]:
-        """The production streaming pattern: dispatch chunk i+1 before
-        collecting chunk i (models/detector.py's double-buffered loop), so
-        device compute and the per-launch round trip overlap host work."""
+    def run_streaming(n_iters: int, depth: int = 1) -> tuple[float, int]:
+        """The production streaming pattern: keep ``depth`` chunks in
+        flight (models/detector.py's pipelined loop), so device compute and
+        the per-launch round trip overlap host work."""
+        from collections import deque
+
         nonlocal prev
         detections = 0
-        pending = None
+        pending: deque = deque()
         t0 = time.perf_counter()
         for i in range(n_iters):
             chunk = chunks[i % n_distinct]
-            dispatched = bank.dispatch_chunk(chunk, prev)
-            if pending is not None:
-                out = bank.collect_chunk(pending)
+            pending.append(bank.dispatch_chunk(chunk, prev))
+            if len(pending) > depth:
+                out = bank.collect_chunk(pending.popleft())
                 detections += sum(len(v) for v in out.values())
-            pending = dispatched
             prev = chunk
-        out = bank.collect_chunk(pending)
-        detections += sum(len(v) for v in out.values())
+        while pending:
+            out = bank.collect_chunk(pending.popleft())
+            detections += sum(len(v) for v in out.values())
         elapsed = time.perf_counter() - t0
         return n_iters * chunk_seconds / elapsed, detections
 
@@ -146,6 +148,9 @@ def run_bench() -> dict:
     # ── Streaming steady state (includes h2d + host-side unpack) ──
     streaming_x, detections = run_streaming(20)
     _persist_partial(streaming_x, detections)  # survive a mid-run failure
+
+    # ── Deep pipeline (3 chunks in flight): hides per-launch round trips ──
+    deep_x, _ = run_streaming(20, depth=3)
 
     # ── Device-only: the jitted class step, h2d/unpack excluded ──
     import jax
@@ -195,12 +200,14 @@ def run_bench() -> dict:
     batched_x = (len(long_audio) / sr) / batch_elapsed
 
     platform = jax.devices()[0].platform
+    best = max(streaming_x, deep_x, batched_x)
     result = {
         "metric": "realtime_factor_64clip",
-        "value": round(max(streaming_x, batched_x), 1),
+        "value": round(best, 1),
         "unit": "x_realtime",
-        "vs_baseline": round(max(streaming_x, batched_x) / 1000.0, 3),
+        "vs_baseline": round(best / 1000.0, 3),
         "streaming_x_realtime": round(streaming_x, 1),
+        "deep_pipeline_x_realtime": round(deep_x, 1),
         "batched_x_realtime": round(batched_x, 1),
         "device_only_x_realtime": round(device_x, 1),
         "platform": platform,
@@ -208,9 +215,9 @@ def run_bench() -> dict:
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     print(
-        f"[bench] streaming {streaming_x:.0f}x, batched {batched_x:.0f}x, "
-        f"device-only {device_x:.0f}x realtime on {platform} "
-        f"({detections} detections)",
+        f"[bench] streaming {streaming_x:.0f}x (depth3 {deep_x:.0f}x), "
+        f"batched {batched_x:.0f}x, device-only {device_x:.0f}x realtime on "
+        f"{platform} ({detections} detections)",
         file=sys.stderr,
     )
     return result
@@ -251,6 +258,7 @@ def _report(result: dict) -> None:
     }
     for k in (
         "streaming_x_realtime",
+        "deep_pipeline_x_realtime",
         "batched_x_realtime",
         "device_only_x_realtime",
         "platform",

@@ -68,6 +68,47 @@ def test_match_pattern_offline_batch_parity(tmp_path):
     assert len(streamed["clip"]) == 3
 
 
+def test_pipeline_depth_identical_results():
+    """pipeline_depth > 1 keeps more chunks in flight but must produce the
+    exact same detections, ordering, and callback sequence."""
+    rng = np.random.default_rng(2)
+    clip = AudioClip(
+        name="c", audio=(0.4 * rng.standard_normal(SR)).astype(np.float32),
+        sample_rate=SR,
+    )
+    audio = (0.01 * rng.standard_normal(52 * SR)).astype(np.float32)
+    for off in [1.0, 9.5, 19.0, 31.0, 44.0]:
+        o = int(off * SR)
+        audio[o : o + SR] += clip.audio
+
+    runs = {}
+    for depth in (1, 3, 8):
+        events: list = []
+        det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=10)
+        peaks, total = det.find_clip_in_audio(
+            AudioStream("s", io.BytesIO(audio.tobytes()), SR),
+            on_pattern_detected=lambda n, t: events.append((n, t)),
+            pipeline_depth=depth,
+        )
+        runs[depth] = (peaks, total, events)
+    assert runs[3] == runs[1]
+    assert runs[8] == runs[1]
+    assert len(runs[1][0]["c"]) >= 5
+
+
+def test_pipeline_depth_validation():
+    import pytest
+
+    clip = AudioClip(
+        name="c", audio=np.zeros(SR, dtype=np.float32), sample_rate=SR
+    )
+    det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=10)
+    with pytest.raises(ValueError, match="pipeline_depth"):
+        det.find_clip_in_audio(
+            AudioStream("s", io.BytesIO(b""), SR), pipeline_depth=0
+        )
+
+
 def test_offline_batch_rejects_stdin_mode():
     import pytest
 
