@@ -1,0 +1,72 @@
+"""Small utility contracts: timestamp formatting, numpy JSON encoding,
+ffprobe duration (reference: andrew_utils.seconds_to_time usage at
+match.py:17,536,596; numpy_encoder.py; audio_utils.py:324-352)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import SAMPLE_AUDIOS
+from audio_pattern_detector_tpu.utils.numpy_encoder import NumpyEncoder
+from audio_pattern_detector_tpu.utils.timefmt import seconds_to_time
+
+
+class TestSecondsToTime:
+    @pytest.mark.parametrize(
+        "seconds,expected",
+        [
+            (0.0, "00:00:00.000"),
+            (1.407375, "00:00:01.407"),
+            (61.25, "00:01:01.250"),
+            (3661.004, "01:01:01.004"),
+            (59.9999, "00:01:00.000"),  # rounds up across the minute edge
+            (360000.5, "100:00:00.500"),  # hours grow past two digits
+        ],
+    )
+    def test_formatted(self, seconds, expected):
+        assert seconds_to_time(seconds) == expected
+
+    @pytest.mark.parametrize(
+        "seconds,expected",
+        [(0.0, "00:00:00"), (1.999, "00:00:01"), (3661.9, "01:01:01")],
+    )
+    def test_no_decimals_truncates(self, seconds, expected):
+        assert seconds_to_time(seconds, include_decimals=False) == expected
+
+    def test_negative_rejected(self):
+        with pytest.raises(ValueError, match="non-negative"):
+            seconds_to_time(-0.5)
+
+
+class TestNumpyEncoder:
+    def test_scalar_and_array_types(self):
+        payload = {
+            "i": np.int64(3),
+            "f": np.float32(0.5),
+            "b": np.bool_(True),
+            "a": np.arange(3, dtype=np.int32),
+        }
+        out = json.loads(json.dumps(payload, cls=NumpyEncoder))
+        assert out == {"i": 3, "f": 0.5, "b": True, "a": [0, 1, 2]}
+
+    def test_unknown_type_still_raises(self):
+        with pytest.raises(TypeError):
+            json.dumps({"x": object()}, cls=NumpyEncoder)
+
+
+class TestGetAudioDuration:
+    def test_duration_of_sample(self):
+        from audio_pattern_detector_tpu.utils.audio_io import (
+            get_audio_duration,
+            is_ffmpeg_available,
+        )
+
+        if not is_ffmpeg_available():
+            pytest.skip("ffmpeg/ffprobe unavailable")
+        d = get_audio_duration(
+            os.path.join(SAMPLE_AUDIOS, "rthk_section_with_beep.wav")
+        )
+        assert d is not None
+        assert abs(d - 4.078) < 0.05
