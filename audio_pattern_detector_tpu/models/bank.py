@@ -38,7 +38,7 @@ from audio_pattern_detector_tpu.ops.loudness import (
     integrated_loudness_device,
     loudness_normalize_device,
 )
-from audio_pattern_detector_tpu.ops.peaks import find_peaks_device
+from audio_pattern_detector_tpu.ops.peaks import find_peaks_device_fast
 from audio_pattern_detector_tpu.ops.verify import (
     MarkerVerifyConsts,
     NormalVerifyConsts,
@@ -365,7 +365,13 @@ def _class_step(
         metas, group_consts
     ):
         corr, valid_len = bank_correlate(norm, n_valid, corr_consts)
-        cand = find_peaks_device(corr, valid_len, height_min, m, k_detect)
+        # Fast strict-mask peak finder; a plateau at/above the height
+        # threshold (virtually impossible on real material, where it could
+        # differ from scipy's plateau-midpoint semantics) flags the row
+        # into the same exact host fallback as candidate overflow.
+        cand, plateau_flag = find_peaks_device_fast(
+            corr, valid_len, height_min, m, k_detect
+        )
 
         # Candidate bound checks (reference: audio_pattern_detector.py:531-546):
         # slice overshoot beyond ±5 around the correlation ends is skipped.
@@ -391,11 +397,12 @@ def _class_step(
         # Pack the decision payload into one int32 tensor so the host pays
         # a single device->host transfer per group:
         # columns [0:K]=pos, [K:2K]=selected, [2K]=detect_ovf, [2K+1]=verify_ovf.
+        detect_fallback = cand.overflow | plateau_flag
         packed = jnp.concatenate(
             [
                 vpos,
                 (valive & accept).astype(jnp.int32),
-                cand.overflow[:, None].astype(jnp.int32),
+                detect_fallback[:, None].astype(jnp.int32),
                 verify_overflow[:, None].astype(jnp.int32),
             ],
             axis=1,
@@ -411,7 +418,7 @@ def _class_step(
                     "accept": accept,
                     "similarity": sim,
                     "pearson_r": r,
-                    "detect_overflow": cand.overflow,
+                    "detect_overflow": detect_fallback,
                     "verify_overflow": verify_overflow,
                     "lufs": lufs,
                 }

@@ -75,6 +75,70 @@ def plateau_local_maxima_mask(
     )
 
 
+def _shift(x: jnp.ndarray, offset: int) -> jnp.ndarray:
+    """x[:, i + offset] with -inf beyond both ends (same shape as x)."""
+    G, L = x.shape
+    if offset == 0:
+        return x
+    pad = jnp.full((G, abs(offset)), -jnp.inf, dtype=x.dtype)
+    if offset > 0:
+        return jnp.concatenate([x[:, offset:], pad], axis=1)
+    return jnp.concatenate([pad, x[:, :offset]], axis=1)
+
+
+def short_run_local_maxima_mask(x: jnp.ndarray) -> jnp.ndarray:
+    """Local-maxima mask handling plateau runs of length 1–3 exactly.
+
+    Fully fused shifted comparisons — no run-extent scans, no gathers.
+    scipy's plateau-midpoint semantics for runs up to length 3 (the floor
+    midpoint is flagged; runs touching either array edge excluded); callers
+    pair this with :func:`long_plateau_present` and fall back to the exact
+    path for runs of length ≥ 4, which real f32 correlation data does not
+    produce (length-2/3 runs DO occur: adjacent f32 values at smooth tonal
+    correlation peaks round to equal bits).
+    """
+    idx = jnp.arange(x.shape[1], dtype=jnp.int32)[None, :]
+    xm2, xm1 = _shift(x, -2), _shift(x, -1)
+    xp1, xp2 = _shift(x, 1), _shift(x, 2)
+    finite = jnp.isfinite(x)
+
+    # Run of length 1 at i: x[i-1] < x[i] > x[i+1].
+    len1 = (xm1 < x) & (xp1 < x) & jnp.isfinite(xp1)
+    # Run of length 2 starting at i (midpoint floor((i+i+1)/2) = i):
+    # x[i-1] < x[i] == x[i+1] > x[i+2].
+    len2 = (xm1 < x) & (xp1 == x) & (xp2 < x) & jnp.isfinite(xp2)
+    # Run of length 3 centred at i: x[i-2] < x[i-1] == x[i] == x[i+1] > x[i+2].
+    len3 = (
+        (xm2 < x)
+        & (xm1 == x)
+        & (xp1 == x)
+        & (xp2 < x)
+        & jnp.isfinite(xp2)
+        & (idx > 1)  # run must not touch the left array edge
+    )
+    interior = (idx > 0) & (idx < x.shape[1] - 1)
+    return (len1 | len2 | len3) & interior & finite
+
+
+def long_plateau_present(x: jnp.ndarray, height_min: float) -> jnp.ndarray:
+    """(G,) bool — any equal-value run of length ≥ 4 at/above ``height_min``.
+
+    When False for a row, :func:`short_run_local_maxima_mask` provably
+    equals the general plateau-midpoint mask after the height filter:
+    sub-height plateaus are removed by the filter in both formulations and
+    every run of length ≤ 3 is handled exactly. (Requires
+    ``height_min > 0`` so silence/zero runs stay below it.)
+    """
+    quad = (
+        (x[:, :-3] == x[:, 1:-2])
+        & (x[:, 1:-2] == x[:, 2:-1])
+        & (x[:, 2:-1] == x[:, 3:])
+        & (x[:, :-3] >= height_min)
+        & jnp.isfinite(x[:, :-3])
+    )
+    return jnp.any(quad, axis=1)
+
+
 def select_candidates(
     x: jnp.ndarray,  # (G, L)
     peak_mask: jnp.ndarray,  # (G, L) bool
@@ -194,3 +258,36 @@ def find_peaks_device(
     cand = select_candidates(x, mask, k)
     keep = greedy_distance_filter(cand, distance)
     return PeakCandidates(cand.pos, cand.height, keep, cand.overflow)
+
+
+def find_peaks_device_fast(
+    corr: jnp.ndarray,  # (G, L) normalised correlation, zeros >= valid_len
+    valid_len: jnp.ndarray,  # int32 — true 'full' length
+    height_min: float,
+    distance: int,
+    k: int,
+) -> tuple[PeakCandidates, jnp.ndarray]:
+    """Production variant of :func:`find_peaks_device`.
+
+    With ``height_min > 0`` (the engine's domain: default 0.25) the
+    plateau run-extent scans + neighbour gathers are replaced by the fused
+    short-run mask (exact for plateau runs of length ≤ 3 — the kind f32
+    tonal correlation actually produces), and a per-row ``plateau_flag``
+    reports the one case where that could differ from scipy semantics — an
+    equal-value run of length ≥ 4 at/above the height threshold. Callers
+    treat the flag like candidate overflow and reroute the row to the
+    exact host path. Returns (candidates, plateau_flag (G,) bool).
+    """
+    if height_min <= 0:  # static: fast mask needs sub-height zero runs
+        cand = find_peaks_device(corr, valid_len, height_min, distance, k)
+        return cand, jnp.zeros(corr.shape[0], dtype=bool)
+    L = corr.shape[1]
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    x = jnp.where(idx < valid_len, corr, -jnp.inf)
+    mask = short_run_local_maxima_mask(x) & (x >= height_min)
+    cand = select_candidates(x, mask, k)
+    keep = greedy_distance_filter(cand, distance)
+    return (
+        PeakCandidates(cand.pos, cand.height, keep, cand.overflow),
+        long_plateau_present(x, height_min),
+    )

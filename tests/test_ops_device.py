@@ -131,6 +131,106 @@ class TestDevicePeaks:
         cand = find_peaks_device(jnp.asarray(x), jnp.int32(L), 0.5, 1, k=16)
         assert bool(np.asarray(cand.overflow)[0])
 
+    @pytest.mark.parametrize("seed", range(4))
+    def test_fast_variant_matches_exact_on_plateau_free(self, seed):
+        from audio_pattern_detector_tpu.ops.peaks import find_peaks_device_fast
+
+        rng = np.random.default_rng(seed)
+        L = 20000
+        n_valid = L - 700
+        x = np.zeros((1, L), np.float32)
+        sig = np.abs(rng.standard_normal(n_valid)).astype(np.float32)
+        sig = np.convolve(sig, np.ones(15) / 15, mode="same").astype(np.float32)
+        x[0, :n_valid] = sig
+        height, distance = 0.95, 100
+        fast, flag = find_peaks_device_fast(
+            jnp.asarray(x), jnp.int32(n_valid), height, distance, k=2048
+        )
+        assert not bool(np.asarray(flag)[0])
+        got = np.sort(np.asarray(fast.pos)[0][np.asarray(fast.alive)[0]])
+        want, _ = hostref.find_peaks(sig, height=height, distance=distance)
+        np.testing.assert_array_equal(got, want)
+
+    def test_fast_variant_short_plateaus_exact(self):
+        """Length-2/3 runs (the kind f32 tonal correlation produces) are
+        handled exactly by the fused mask — no flag, scipy-identical."""
+        from audio_pattern_detector_tpu.ops.peaks import find_peaks_device_fast
+
+        x = np.zeros((1, 64), np.float32)
+        x[0, :12] = [0, 1, 1, 1, 0, 2, 2, 0, 0, 3, 0, 0]
+        cand, flag = find_peaks_device_fast(
+            jnp.asarray(x), jnp.int32(12), 0.5, 1, k=8
+        )
+        assert not bool(np.asarray(flag)[0])
+        got = np.sort(np.asarray(cand.pos)[0][np.asarray(cand.alive)[0]])
+        want, _ = hostref.find_peaks(x[0, :12], height=0.5, distance=1)
+        np.testing.assert_array_equal(got, want)  # midpoints 2, 5, 9
+
+    def test_fast_variant_edge_runs_excluded(self):
+        """Runs touching either array edge are not peaks (scipy rule)."""
+        from audio_pattern_detector_tpu.ops.peaks import find_peaks_device_fast
+
+        x = np.zeros((1, 64), np.float32)
+        x[0, :10] = [2, 2, 2, 0, 0, 0, 0, 1, 1, 1]  # len-3 runs at both edges
+        cand, flag = find_peaks_device_fast(
+            jnp.asarray(x), jnp.int32(10), 0.5, 1, k=8
+        )
+        assert not bool(np.asarray(flag)[0])
+        got = np.asarray(cand.pos)[0][np.asarray(cand.alive)[0]]
+        want, _ = hostref.find_peaks(x[0, :10], height=0.5, distance=1)
+        np.testing.assert_array_equal(np.sort(got), want)
+        assert len(got) == 0
+
+    def test_fast_variant_flags_long_plateau(self):
+        from audio_pattern_detector_tpu.ops.peaks import find_peaks_device_fast
+
+        x = np.zeros((1, 64), np.float32)
+        x[0, :12] = [0, 1, 1, 1, 1, 0, 0, 0, 0, 3, 0, 0]  # length-4 run ≥ h
+        _, flag = find_peaks_device_fast(
+            jnp.asarray(x), jnp.int32(12), 0.5, 1, k=8
+        )
+        assert bool(np.asarray(flag)[0])
+
+    def test_fast_variant_ignores_subheight_long_plateau(self):
+        from audio_pattern_detector_tpu.ops.peaks import find_peaks_device_fast
+
+        x = np.zeros((1, 64), np.float32)
+        x[0, :12] = [0, 0.1, 0.1, 0.1, 0.1, 0, 0, 0, 0, 3, 0, 0]
+        cand, flag = find_peaks_device_fast(
+            jnp.asarray(x), jnp.int32(12), 0.5, 1, k=8
+        )
+        assert not bool(np.asarray(flag)[0])
+        got = np.asarray(cand.pos)[0][np.asarray(cand.alive)[0]]
+        np.testing.assert_array_equal(got, [9])
+
+    def test_fast_variant_ignores_subheight_plateau(self):
+        from audio_pattern_detector_tpu.ops.peaks import find_peaks_device_fast
+
+        # Plateau at 0.1 (below height 0.5) must not flag; the strict mask
+        # still finds the isolated peak at index 9 exactly.
+        x = np.zeros((1, 64), np.float32)
+        x[0, :12] = [0, 0.1, 0.1, 0.1, 0, 0.2, 0, 0, 0, 3, 0, 0]
+        cand, flag = find_peaks_device_fast(
+            jnp.asarray(x), jnp.int32(12), 0.5, 1, k=8
+        )
+        assert not bool(np.asarray(flag)[0])
+        got = np.asarray(cand.pos)[0][np.asarray(cand.alive)[0]]
+        want, _ = hostref.find_peaks(x[0, :12], height=0.5, distance=1)
+        np.testing.assert_array_equal(np.sort(got), want)
+
+    def test_fast_variant_nonpositive_height_uses_exact_path(self):
+        from audio_pattern_detector_tpu.ops.peaks import find_peaks_device_fast
+
+        x = np.zeros((1, 64), np.float32)
+        x[0, :12] = [0, 1, 1, 1, 0, 2, 2, 0, 0, 3, 0, 0]
+        cand, flag = find_peaks_device_fast(
+            jnp.asarray(x), jnp.int32(12), 0.0, 1, k=8
+        )
+        assert not np.any(np.asarray(flag))
+        got = np.sort(np.asarray(cand.pos)[0][np.asarray(cand.alive)[0]])
+        want, _ = hostref.find_peaks(x[0, :12], height=0.0, distance=1)
+        np.testing.assert_array_equal(got, want)
+
     def test_greedy_distance_chain(self):
         # A > B > C where A-B and B-C conflict but A-C don't: greedy keeps
         # A and C (B's suppression must not also kill C).
