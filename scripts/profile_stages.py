@@ -36,7 +36,10 @@ from audio_pattern_detector_tpu.ops.loudness import (
     integrated_loudness_device,
     loudness_normalize_device,
 )
-from audio_pattern_detector_tpu.ops.peaks import find_peaks_device
+from audio_pattern_detector_tpu.ops.peaks import (
+    find_peaks_device,
+    find_peaks_device_fast,
+)
 from audio_pattern_detector_tpu.ops.verify import verify_marker, verify_normal
 
 _BIG = np.int32(2**30)
@@ -88,7 +91,8 @@ def main() -> None:
 
     @partial(jax.jit, static_argnames=("m", "k_detect", "k_verify"))
     def peaks_fn(corr, valid_len, m, k_detect, k_verify):
-        cand = find_peaks_device(corr, valid_len, height_min, m, k_detect)
+        # Production fast path (fused short-run mask).
+        cand, _ = find_peaks_device_fast(corr, valid_len, height_min, m, k_detect)
         half = (2 * m - 1) // 2
         keep = (
             cand.alive
@@ -98,6 +102,11 @@ def main() -> None:
         score = jnp.where(keep, -cand.pos, -_BIG)
         sv, _ = jax.lax.top_k(score, k_verify)
         return -sv, sv > -_BIG
+
+    @partial(jax.jit, static_argnames=("m", "k_detect"))
+    def peaks_scan_fn(corr, valid_len, m, k_detect):
+        # The general scan-based mask, for before/after comparison.
+        return find_peaks_device(corr, valid_len, height_min, m, k_detect)
 
     marker_fn = jax.jit(verify_marker)
     normal_fn = jax.jit(verify_normal)
@@ -129,6 +138,7 @@ def main() -> None:
         t_corr = _time_fn(corr_fn, norm, n_valid, g.corr)
         corr, valid_len = jax.block_until_ready(corr_fn(norm, n_valid, g.corr))
         t_peaks = _time_fn(peaks_fn, corr, valid_len, m, k_detect, k_verify)
+        t_peaks_scan = _time_fn(peaks_scan_fn, corr, valid_len, m, k_detect)
         vpos, valive = jax.block_until_ready(
             peaks_fn(corr, valid_len, m, k_detect, k_verify)
         )
@@ -144,8 +154,9 @@ def main() -> None:
         }
         result["stages"][f"peaks_{label}"] = {
             "seconds_per_chunk": t_peaks,
-            # cummax/cummin scans + greedy: ~5 passes over (G, L) f32
-            "hbm_bytes_est": int(5 * G * L * 4),
+            # fused short-run mask + top_k: ~2 passes over (G, L) f32
+            "hbm_bytes_est": int(2 * G * L * 4),
+            "scan_mask_seconds": t_peaks_scan,  # pre-optimization variant
         }
         result["stages"][f"verify_{label}"] = {
             "seconds_per_chunk": t_verify,
