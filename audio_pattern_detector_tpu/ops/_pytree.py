@@ -15,3 +15,18 @@ from typing import Any
 def static_field(**kwargs: Any) -> Any:
     """Dataclass field treated as static (aux) data by jax pytree flattening."""
     return dataclasses.field(metadata=dict(static=True), **kwargs)
+
+
+def host_const(x: Any, dtype: Any) -> Any:
+    """Upload a host array as a device constant, converting dtype on HOST.
+
+    ``jnp.asarray(x, dtype=...)`` with a mismatched host dtype stages a
+    ``convert_element_type`` program on the device; the shared-tunnel TPU
+    backend rejects some of those conversions (observed: int64→int32 fails
+    UNIMPLEMENTED deterministically while f32 programs run fine). Doing the
+    cast in numpy first uploads the final buffer directly.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    return jnp.asarray(np.asarray(x, dtype=dtype))

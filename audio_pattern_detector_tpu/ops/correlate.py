@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from numpy.typing import NDArray
 
-from audio_pattern_detector_tpu.ops._pytree import static_field
+from audio_pattern_detector_tpu.ops._pytree import host_const, static_field
 
 
 def next_pow2(n: int) -> int:
@@ -84,8 +84,8 @@ def build_correlation_bank(
         fft_len=fft_len,
         full_len=section_len + m - 1,
         num_segments=num_segments,
-        bank_rfft_conj=jnp.asarray(bank, dtype=jnp.complex64),
-        self_corr_max=jnp.asarray(self_corr_max, dtype=jnp.float32),
+        bank_rfft_conj=host_const(bank, np.complex64),
+        self_corr_max=host_const(self_corr_max, np.float32),
     )
 
 

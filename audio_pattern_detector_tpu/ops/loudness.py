@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio_pattern_detector_tpu.ops import hostref
-from audio_pattern_detector_tpu.ops._pytree import static_field
+from audio_pattern_detector_tpu.ops._pytree import host_const, static_field
 
 LUFS_OFFSET = -0.691
 ABSOLUTE_GATE_LUFS = -70.0
@@ -70,7 +70,7 @@ def build_loudness_consts(
             num_segments = -(-section_len // step)
     else:
         fft_len, num_segments = whole, 1
-    fir_rfft = jnp.asarray(np.fft.rfft(fir, fft_len), dtype=jnp.complex64)
+    fir_rfft = host_const(np.fft.rfft(fir, fft_len), np.complex64)
 
     max_blocks = max(hostref.num_gating_blocks(section_len, rate, t_g), 1)
     window_samples = t_g * rate
@@ -86,8 +86,8 @@ def build_loudness_consts(
         fft_len=fft_len,
         num_segments=num_segments,
         fir_rfft=fir_rfft,
-        block_lo=jnp.asarray(lo, dtype=jnp.int32),
-        block_end=jnp.asarray(end, dtype=jnp.int32),
+        block_lo=host_const(lo, np.int32),
+        block_end=host_const(end, np.int32),
         window_width=width,
         short_threshold=int(math.ceil(0.5 * sample_rate)),
     )

@@ -34,7 +34,7 @@ import numpy as np
 from numpy.typing import NDArray
 
 from audio_pattern_detector_tpu.ops import hostref
-from audio_pattern_detector_tpu.ops._pytree import static_field
+from audio_pattern_detector_tpu.ops._pytree import host_const, static_field
 from audio_pattern_detector_tpu.ops.tone import frame_grid
 
 SIMILARITY_HARD_LIMIT = 0.02
@@ -124,15 +124,15 @@ def build_normal_verify_consts(
         corr_len=lc,
         is_short=is_short,
         partition_size=ps,
-        corr_clip_partitions=jnp.asarray(
-            correlation_clips[:, : 10 * ps].reshape(g, 10, ps), dtype=jnp.float32
+        corr_clip_partitions=host_const(
+            correlation_clips[:, : 10 * ps].reshape(g, 10, ps), np.float32
         ),
         win_lo=lo,
         win_hi=hi,
         ds_n=ds_n,
-        ds_clip=jnp.asarray(ds_clip, dtype=jnp.float32),
-        seg_idx=jnp.asarray(seg_idx, dtype=jnp.int32),
-        seg_mask=jnp.asarray(seg_mask),
+        ds_clip=host_const(ds_clip, np.float32),
+        seg_idx=host_const(seg_idx, np.int32),
+        seg_mask=host_const(seg_mask, np.bool_),
     )
 
 
@@ -227,18 +227,18 @@ def build_marker_verify_consts(
     return MarkerVerifyConsts(
         clip_len=m,
         sample_rate=sample_rate,
-        hann_whole=jnp.asarray(np.hanning(m), dtype=jnp.float32),
-        freqs_whole=jnp.asarray(freqs_whole, dtype=jnp.float32),
-        band_whole=jnp.asarray(band_whole),
-        dom_freq=jnp.asarray(dom, dtype=jnp.float32),
-        lock_hz=jnp.asarray(lock_hz, dtype=jnp.float32),
+        hann_whole=host_const(np.hanning(m), np.float32),
+        freqs_whole=host_const(freqs_whole, np.float32),
+        band_whole=host_const(band_whole, np.bool_),
+        dom_freq=host_const(dom, np.float32),
+        lock_hz=host_const(lock_hz, np.float32),
         frame_len=wl,
         frame_count=f_count,
-        frame_starts=jnp.asarray(starts, dtype=jnp.int32),
-        hann_frame=jnp.asarray(np.hanning(wl), dtype=jnp.float32),
-        freqs_frame=jnp.asarray(freqs_frame, dtype=jnp.float32),
-        band_frame=jnp.asarray(band_frame),
-        thresholds=jnp.asarray(thresholds, dtype=jnp.float32),
+        frame_starts=host_const(starts, np.int32),
+        hann_frame=host_const(np.hanning(wl), np.float32),
+        freqs_frame=host_const(freqs_frame, np.float32),
+        band_frame=host_const(band_frame, np.bool_),
+        thresholds=host_const(thresholds, np.float32),
     )
 
 
