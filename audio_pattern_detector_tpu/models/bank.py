@@ -207,7 +207,7 @@ class PatternBank:
             group_consts = tuple((g.corr, g.verify) for g in cls["groups"])
             outs = _class_step_jit(
                 jnp.asarray(section),
-                jnp.int32(n_valid),
+                jnp.float32(n_valid),
                 cls["loud"],
                 group_consts,
                 metas=self._metas[sw],
@@ -288,7 +288,7 @@ class PatternBank:
             group_consts = tuple((g.corr, g.verify) for g in cls["groups"])
             outs = _class_step_batch_jit(
                 jnp.asarray(sections),
-                jnp.asarray(n_valids),
+                jnp.asarray(n_valids.astype(np.float32)),
                 cls["loud"],
                 group_consts,
                 metas=self._metas[sw],
@@ -331,13 +331,13 @@ class PatternBank:
 def unpack_group(
     packed: NDArray[np.int32], k_verify: int
 ) -> tuple[NDArray[np.int32], NDArray[np.bool_], NDArray[np.bool_]]:
-    """Split a group's packed payload (..., 2K+2) into (pos, selected,
+    """Split a group's packed f32 payload (..., 2K+2) into (pos, selected,
     overflow) host arrays; leading batch axes pass through."""
-    pos = packed[..., :k_verify]
-    sel = packed[..., k_verify : 2 * k_verify].astype(bool)
-    overflow = packed[..., 2 * k_verify].astype(bool) | packed[
-        ..., 2 * k_verify + 1
-    ].astype(bool)
+    pos = packed[..., :k_verify].astype(np.int32)
+    sel = packed[..., k_verify : 2 * k_verify] != 0
+    overflow = (packed[..., 2 * k_verify] != 0) | (
+        packed[..., 2 * k_verify + 1] != 0
+    )
     return pos, sel, overflow
 
 
@@ -357,6 +357,9 @@ def _class_step(
     returns only the packed int32 decision payload — (G, 2K+2), a few KB —
     so no other per-candidate tensor is materialised in HBM as a program
     output. The rich variant serves tests/debug introspection."""
+    # n_valid may arrive as f32 (non-f32 uploads are rejected by the
+    # degraded tunnel backend); convert in-graph.
+    n_valid = jnp.asarray(n_valid).astype(jnp.int32)
     lufs = integrated_loudness_device(section, n_valid, loud)
     norm = loudness_normalize_device(section, lufs)
 
@@ -398,12 +401,15 @@ def _class_step(
         # a single device->host transfer per group:
         # columns [0:K]=pos, [K:2K]=selected, [2K]=detect_ovf, [2K+1]=verify_ovf.
         detect_fallback = cand.overflow | plateau_flag
+        # The packed decision payload crosses device->host as float32
+        # (positions < 2**24 are exact; int32 transfers are rejected in the
+        # backend's degraded state); unpack_group converts on host.
         packed = jnp.concatenate(
             [
-                vpos,
-                (valive & accept).astype(jnp.int32),
-                detect_fallback[:, None].astype(jnp.int32),
-                verify_overflow[:, None].astype(jnp.int32),
+                vpos.astype(jnp.float32),
+                (valive & accept).astype(jnp.float32),
+                detect_fallback[:, None].astype(jnp.float32),
+                verify_overflow[:, None].astype(jnp.float32),
             ],
             axis=1,
         )

@@ -30,3 +30,38 @@ def host_const(x: Any, dtype: Any) -> Any:
     import numpy as np
 
     return jnp.asarray(np.asarray(x, dtype=dtype))
+
+
+def int_const(x: Any) -> Any:
+    """Upload integer constants as float32 (exact below 2**24).
+
+    The shared-tunnel backend additionally rejects *any* non-f32
+    host→device buffer in its degraded state (int32 uploads fail
+    UNIMPLEMENTED while f32 uploads work), so integer constants cross the
+    boundary as f32 and are converted back in-graph (`as_i32`, a fused
+    no-cost convert inside the compiled program).
+    """
+    import numpy as np
+
+    arr = np.asarray(x)
+    assert arr.size == 0 or np.abs(arr).max() < 2**24, "int exceeds f32 exactness"
+    return host_const(arr, np.float32)
+
+
+def mask_const(x: Any) -> Any:
+    """Upload a boolean mask as float32 0/1 (see :func:`int_const`)."""
+    import numpy as np
+
+    return host_const(np.asarray(x, dtype=bool), np.float32)
+
+
+def as_i32(a: Any) -> Any:
+    """In-graph f32 → int32 for constants uploaded via :func:`int_const`."""
+    import jax.numpy as jnp
+
+    return a.astype(jnp.int32)
+
+
+def as_mask(a: Any) -> Any:
+    """In-graph f32 0/1 → bool for :func:`mask_const` uploads."""
+    return a != 0

@@ -137,7 +137,7 @@ def bank_correlate(
     L = consts.full_len
     corr = _correlate_raw(section, consts)
 
-    valid_len = n_valid + (m - 1)
+    valid_len = jnp.asarray(n_valid).astype(jnp.int32) + (m - 1)
     in_range = jnp.arange(L, dtype=jnp.int32)[None, :] < valid_len
     corr = jnp.where(in_range, corr, 0.0)
 

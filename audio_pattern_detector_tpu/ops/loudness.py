@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio_pattern_detector_tpu.ops import hostref
-from audio_pattern_detector_tpu.ops._pytree import host_const, static_field
+from audio_pattern_detector_tpu.ops._pytree import as_i32, host_const, int_const, static_field
 
 LUFS_OFFSET = -0.691
 ABSOLUTE_GATE_LUFS = -70.0
@@ -86,8 +86,8 @@ def build_loudness_consts(
         fft_len=fft_len,
         num_segments=num_segments,
         fir_rfft=fir_rfft,
-        block_lo=host_const(lo, np.int32),
-        block_end=host_const(end, np.int32),
+        block_lo=int_const(lo),
+        block_end=int_const(end),
         window_width=width,
         short_threshold=int(math.ceil(0.5 * sample_rate)),
     )
@@ -130,6 +130,7 @@ def integrated_loudness_device(
 ) -> jnp.ndarray:
     """Gated integrated loudness (LUFS, f32; -inf for silence) of
     ``section[:n_valid]``; samples at and beyond ``n_valid`` must be zero."""
+    n_valid = jnp.asarray(n_valid).astype(jnp.int32)
     S = consts.section_len
     sr = consts.sample_rate
     idx = jnp.arange(S, dtype=jnp.int32)
@@ -155,15 +156,17 @@ def integrated_loudness_device(
     B = consts.block_lo.shape[0]
     W = consts.window_width
     num_blocks = _num_blocks_dynamic(jnp.maximum(n_valid, int(0.4 * sr) + 1), sr)
-    win_idx = consts.block_lo[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-    hi = jnp.minimum(consts.block_end, n_valid)  # (B,)
+    block_lo = as_i32(consts.block_lo)
+    block_end = as_i32(consts.block_end)
+    win_idx = block_lo[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    hi = jnp.minimum(block_end, n_valid)  # (B,)
     in_window = win_idx < hi[:, None]
     gathered = jnp.take(sq, jnp.minimum(win_idx, S - 1), axis=0)
     block_sum = jnp.sum(jnp.where(in_window, gathered, 0.0), axis=1)  # (B,)
-    count = (hi - consts.block_lo).astype(jnp.float32)
+    count = (hi - block_lo).astype(jnp.float32)
     block_valid = (
         (jnp.arange(B, dtype=jnp.int32) < num_blocks)
-        & (consts.block_lo < hi)
+        & (block_lo < hi)
         & (block_sum > 0.0)
     )
     ms = block_sum / jnp.maximum(count, 1.0)

@@ -34,7 +34,14 @@ import numpy as np
 from numpy.typing import NDArray
 
 from audio_pattern_detector_tpu.ops import hostref
-from audio_pattern_detector_tpu.ops._pytree import host_const, static_field
+from audio_pattern_detector_tpu.ops._pytree import (
+    as_i32,
+    as_mask,
+    host_const,
+    int_const,
+    mask_const,
+    static_field,
+)
 from audio_pattern_detector_tpu.ops.tone import frame_grid
 
 SIMILARITY_HARD_LIMIT = 0.02
@@ -131,8 +138,8 @@ def build_normal_verify_consts(
         win_hi=hi,
         ds_n=ds_n,
         ds_clip=host_const(ds_clip, np.float32),
-        seg_idx=host_const(seg_idx, np.int32),
-        seg_mask=host_const(seg_mask, np.bool_),
+        seg_idx=int_const(seg_idx),
+        seg_mask=mask_const(seg_mask),
     )
 
 
@@ -164,9 +171,9 @@ def verify_normal(
     sim = sim_whole if consts.is_short else jnp.minimum(sim_whole, sim_mid)
 
     window = slices[:, :, consts.win_lo : consts.win_hi]  # (G, K, hi-lo)
-    seg_vals = window[:, :, consts.seg_idx]  # (G, K, ds_n, Wmax)
+    seg_vals = window[:, :, as_i32(consts.seg_idx)]  # (G, K, ds_n, Wmax)
     ds_slice = jnp.max(
-        jnp.where(consts.seg_mask[None, None], seg_vals, -jnp.inf), axis=-1
+        jnp.where(as_mask(consts.seg_mask)[None, None], seg_vals, -jnp.inf), axis=-1
     )
     r = _pearson_batched(ds_slice, consts.ds_clip[:, None, :])
 
@@ -229,15 +236,15 @@ def build_marker_verify_consts(
         sample_rate=sample_rate,
         hann_whole=host_const(np.hanning(m), np.float32),
         freqs_whole=host_const(freqs_whole, np.float32),
-        band_whole=host_const(band_whole, np.bool_),
+        band_whole=mask_const(band_whole),
         dom_freq=host_const(dom, np.float32),
         lock_hz=host_const(lock_hz, np.float32),
         frame_len=wl,
         frame_count=f_count,
-        frame_starts=host_const(starts, np.int32),
+        frame_starts=int_const(starts),
         hann_frame=host_const(np.hanning(wl), np.float32),
         freqs_frame=host_const(freqs_frame, np.float32),
-        band_frame=host_const(band_frame, np.bool_),
+        band_frame=mask_const(band_frame),
         thresholds=host_const(thresholds, np.float32),
     )
 
@@ -266,7 +273,7 @@ def verify_marker(
     power = spec * spec
     energy = jnp.sum(power, axis=-1)  # (G, K, 3)
     band_energy = jnp.sum(
-        jnp.where(consts.band_whole[:, None, None, :], power, 0.0), axis=-1
+        jnp.where(as_mask(consts.band_whole)[:, None, None, :], power, 0.0), axis=-1
     )
     purity = jnp.where(energy > 0.0, band_energy / jnp.maximum(energy, 1e-38), 0.0)
     purity_left, purity_match, purity_right = (
@@ -284,7 +291,7 @@ def verify_marker(
     # whole-window purity alone; reference: audio_pattern_detector.py:686-693).
     if consts.frame_count > 0:
         seg_match = seg3[:, :, 1, :]  # (G, K, m)
-        fidx = consts.frame_starts[:, None] + jnp.arange(
+        fidx = as_i32(consts.frame_starts)[:, None] + jnp.arange(
             consts.frame_len, dtype=jnp.int32
         )
         frames = seg_match[:, :, fidx] * consts.hann_frame  # (G, K, F, wl)
@@ -293,7 +300,7 @@ def verify_marker(
         fenergy = jnp.sum(fpow, axis=-1)  # (G, K, F)
         nonzero = fenergy > 0.0
         fband = jnp.sum(
-            jnp.where(consts.band_frame[:, None, None, :], fpow, 0.0), axis=-1
+            jnp.where(as_mask(consts.band_frame)[:, None, None, :], fpow, 0.0), axis=-1
         )
         fpur = jnp.where(nonzero, fband / jnp.maximum(fenergy, 1e-38), 0.0)
         ffreq = consts.freqs_frame[jnp.argmax(fspec, axis=-1)]

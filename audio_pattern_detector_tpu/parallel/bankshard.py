@@ -126,7 +126,7 @@ class BankShardedBank:
             with self.mesh:
                 outs = _class_step_jit(
                     jnp.asarray(section),
-                    jnp.int32(n_valid),
+                    jnp.float32(n_valid),
                     cls["loud"],
                     self._sharded[sw],
                     metas=bank._metas[sw],

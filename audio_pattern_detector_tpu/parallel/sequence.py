@@ -117,7 +117,9 @@ class ShardedDetector:
         def local_fn(blk, prev_tail, t_actual, loud_c, gconsts):
             # blk: (B_local, 1, chunk) — this device's time slice.
             # prev_tail: (B_local, halo) — lookback for device 0.
-            # t_actual: () int32 — valid samples in the (padded) slab.
+            # t_actual: () valid samples in the (padded) slab; arrives as
+            # f32 (non-f32 uploads rejected by the degraded tunnel backend).
+            t_actual = t_actual.astype(jnp.int32)
             local = blk[:, 0, :]
             tail = local[:, -halo:]
             # Left-neighbour halo rides ICI; device 0 takes the carried
@@ -282,7 +284,7 @@ class ShardedStreamSession:
                 prev_tail = np.zeros((B, halo), dtype=np.float32)
             prev_tail_dev = jax.device_put(prev_tail, tail_sharding)
 
-            outs = sd._jitted[key](blocks_dev, prev_tail_dev, jnp.int32(t_actual))
+            outs = sd._jitted[key](blocks_dev, prev_tail_dev, jnp.float32(t_actual))
             for g, out in zip(cls["groups"], outs):
                 packed = np.asarray(out["packed"])  # (B, Dt, G, 2K+2)
                 pos, sel, overflow = unpack_group(packed, g.k_verify)

@@ -169,7 +169,7 @@ def run_bench() -> dict:
     def dev_step():
         return _class_step_jit(
             section,
-            jnp.int32(S),
+            jnp.float32(S),
             cls["loud"],
             group_consts,
             metas=bank._metas[sw],

@@ -80,7 +80,7 @@ def main() -> None:
     S = cls["section_len"]
     rng = np.random.default_rng(7)
     section = jnp.asarray((0.05 * rng.standard_normal(S)).astype(np.float32))
-    n_valid = jnp.int32(S)
+    n_valid = jnp.float32(S)
 
     loud_fn = jax.jit(
         lambda s, n, lc: loudness_normalize_device(
