@@ -44,7 +44,10 @@ class CorrelationBankConsts:
       batched FFTs map far better onto the TPU than one mega-FFT.
     """
 
-    bank_rfft_conj: jnp.ndarray  # (G, fft_len//2 + 1) complex64
+    # conj bank spectra as stacked (real, imag) f32 — complex buffers
+    # cannot cross the tunnel's host-device boundary; _bank_spec() forms
+    # complex64 in-graph.
+    bank_rfft_conj_ri: jnp.ndarray  # (2, G, fft_len//2 + 1) f32
     self_corr_max: jnp.ndarray  # (G,) f32 — abs max of each clip's
     # self-correlation (reference: audio_pattern_detector.py:373-383)
     clip_len: int = static_field()  # m
@@ -84,8 +87,17 @@ def build_correlation_bank(
         fft_len=fft_len,
         full_len=section_len + m - 1,
         num_segments=num_segments,
-        bank_rfft_conj=host_const(bank, np.complex64),
+        bank_rfft_conj_ri=host_const(
+            np.stack([bank.real, bank.imag]).astype(np.float32), np.float32
+        ),
         self_corr_max=host_const(self_corr_max, np.float32),
+    )
+
+
+def _bank_spec(consts: "CorrelationBankConsts") -> jnp.ndarray:
+    """complex64 conj bank spectra formed in-graph from the f32 leaf."""
+    return jax.lax.complex(
+        consts.bank_rfft_conj_ri[0], consts.bank_rfft_conj_ri[1]
     )
 
 
@@ -99,7 +111,7 @@ def _correlate_raw(section: jnp.ndarray, consts: CorrelationBankConsts) -> jnp.n
         spec = jnp.fft.rfft(section, n=N)  # (N//2+1,) c64
         # Lag-domain circular correlation z[l] = sum_i section[i+l]·clip[i];
         # rolling by (m-1) lays it out in 'full' ordering (k = lag + m - 1).
-        z = jnp.fft.irfft(spec[None, :] * consts.bank_rfft_conj, n=N, axis=1)
+        z = jnp.fft.irfft(spec[None, :] * _bank_spec(consts), n=N, axis=1)
         return jnp.abs(jnp.roll(z, m - 1, axis=1)[:, :L])
 
     # Overlap-save: segment j starts at lag j·step; its circular correlation
@@ -114,7 +126,7 @@ def _correlate_raw(section: jnp.ndarray, consts: CorrelationBankConsts) -> jnp.n
     segments = padded[seg_idx]  # (ns, N)
     seg_spec = jnp.fft.rfft(segments, axis=1)  # shared across the bank
     y = jnp.fft.irfft(
-        seg_spec[None, :, :] * consts.bank_rfft_conj[:, None, :], n=N, axis=2
+        seg_spec[None, :, :] * _bank_spec(consts)[:, None, :], n=N, axis=2
     )  # (G, ns, N)
     return jnp.abs(y[:, :, :step].reshape(y.shape[0], ns * step)[:, :L])
 

@@ -42,7 +42,10 @@ def _next_pow2(n: int) -> int:
 class LoudnessConsts:
     """Host-precomputed constants for a (section_len, sample_rate) pair."""
 
-    fir_rfft: jnp.ndarray  # (fft_len//2 + 1,) complex64
+    # FIR spectrum as stacked (real, imag) f32 — complex buffers cannot
+    # cross the tunnel's host-device boundary (see _pytree.int_const);
+    # _fir_spec() forms complex64 in-graph.
+    fir_rfft_ri: jnp.ndarray  # (2, fft_len//2 + 1) f32
     block_lo: jnp.ndarray  # (max_blocks,) int32 — static block starts
     block_end: jnp.ndarray  # (max_blocks,) int32 — static block ends (pre-clamp)
     section_len: int = static_field()
@@ -70,7 +73,8 @@ def build_loudness_consts(
             num_segments = -(-section_len // step)
     else:
         fft_len, num_segments = whole, 1
-    fir_rfft = host_const(np.fft.rfft(fir, fft_len), np.complex64)
+    spec = np.fft.rfft(fir, fft_len).astype(np.complex64)
+    fir_rfft_ri = host_const(np.stack([spec.real, spec.imag]), np.float32)
 
     max_blocks = max(hostref.num_gating_blocks(section_len, rate, t_g), 1)
     window_samples = t_g * rate
@@ -85,12 +89,17 @@ def build_loudness_consts(
         sample_rate=sample_rate,
         fft_len=fft_len,
         num_segments=num_segments,
-        fir_rfft=fir_rfft,
+        fir_rfft_ri=fir_rfft_ri,
         block_lo=int_const(lo),
         block_end=int_const(end),
         window_width=width,
         short_threshold=int(math.ceil(0.5 * sample_rate)),
     )
+
+
+def _fir_spec(consts: LoudnessConsts) -> jnp.ndarray:
+    """complex64 FIR spectrum formed in-graph from the f32 (re, im) leaf."""
+    return jax.lax.complex(consts.fir_rfft_ri[0], consts.fir_rfft_ri[1])
 
 
 def _k_weighted_conv(section: jnp.ndarray, consts: LoudnessConsts) -> jnp.ndarray:
@@ -99,7 +108,7 @@ def _k_weighted_conv(section: jnp.ndarray, consts: LoudnessConsts) -> jnp.ndarra
     N = consts.fft_len
     if consts.num_segments == 1:
         spec = jnp.fft.rfft(section, n=N)
-        return jnp.fft.irfft(spec * consts.fir_rfft, n=N)[:S]
+        return jnp.fft.irfft(spec * _fir_spec(consts), n=N)[:S]
     # Overlap-save convolution: discard the first taps-1 wrapped outputs of
     # each segment; segment j (padded coords, left pad taps-1) yields
     # y[j·step : (j+1)·step).
@@ -109,7 +118,7 @@ def _k_weighted_conv(section: jnp.ndarray, consts: LoudnessConsts) -> jnp.ndarra
     padded = jnp.pad(section, (taps - 1, ns * step + N - (S + taps - 1)))
     starts = jnp.arange(ns, dtype=jnp.int32) * step
     seg_idx = starts[:, None] + jnp.arange(N, dtype=jnp.int32)[None, :]
-    z = jnp.fft.irfft(jnp.fft.rfft(padded[seg_idx], axis=1) * consts.fir_rfft, n=N, axis=1)
+    z = jnp.fft.irfft(jnp.fft.rfft(padded[seg_idx], axis=1) * _fir_spec(consts), n=N, axis=1)
     return z[:, taps - 1 :].reshape(ns * step)[:S]
 
 
