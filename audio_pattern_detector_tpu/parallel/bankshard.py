@@ -37,6 +37,12 @@ def _shard_leading(mesh: Mesh, axis: str, arr: jnp.ndarray) -> jnp.ndarray:
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
+def _shard_second(mesh: Mesh, axis: str, arr: jnp.ndarray) -> jnp.ndarray:
+    """Shard axis 1 (for (2, G, ...) re/im-stacked spectra)."""
+    spec = P(None, axis, *([None] * (arr.ndim - 2)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
 def _replicate(mesh: Mesh, arr: jnp.ndarray) -> jnp.ndarray:
     return jax.device_put(arr, NamedSharding(mesh, P()))
 
@@ -52,7 +58,7 @@ def shard_group_consts(
     ordinary class-step executable applies (GSPMD inserts the layout)."""
     corr_sharded = replace(
         corr,
-        bank_rfft_conj=_shard_leading(mesh, axis, corr.bank_rfft_conj),
+        bank_rfft_conj_ri=_shard_second(mesh, axis, corr.bank_rfft_conj_ri),
         self_corr_max=_shard_leading(mesh, axis, corr.self_corr_max),
     )
     if isinstance(verify, NormalVerifyConsts):

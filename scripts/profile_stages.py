@@ -53,7 +53,14 @@ REPEATS = int(os.environ.get("APD_PROFILE_REPEATS", "3"))
 
 
 def _time_fn(fn, *args, iters=ITERS, repeats=REPEATS) -> float:
-    """Median wall seconds per call: dispatch `iters` back-to-back, block once."""
+    """Median wall seconds per call: dispatch `iters` back-to-back, block once.
+
+    CAUTION: on the remote tunnel backend, block_until_ready on the last
+    output has been observed to return before queued predecessors complete,
+    under-reporting wildly. Prefer `_time_fn_sync` (upper bound incl.
+    launch overhead) and the dependency-chained fused measurement (lower
+    bound, launch overhead amortised) for trustworthy numbers.
+    """
     out = fn(*args)
     jax.block_until_ready(out)  # warm/compile
     samples = []
@@ -62,6 +69,19 @@ def _time_fn(fn, *args, iters=ITERS, repeats=REPEATS) -> float:
         for _ in range(iters):
             out = fn(*args)
         jax.block_until_ready(out)
+        samples.append((time.perf_counter() - t0) / iters)
+    return float(np.median(samples))
+
+
+def _time_fn_sync(fn, *args, iters=ITERS, repeats=REPEATS) -> float:
+    """Median wall seconds per call, blocking on EVERY call: real execution
+    plus per-launch overhead (what a synchronous caller pays)."""
+    jax.block_until_ready(fn(*args))  # warm/compile
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            jax.block_until_ready(fn(*args))
         samples.append((time.perf_counter() - t0) / iters)
     return float(np.median(samples))
 
@@ -120,7 +140,7 @@ def main() -> None:
         "stages": {},
     }
 
-    t_loud = _time_fn(loud_fn, section, n_valid, cls["loud"])
+    t_loud = _time_fn_sync(loud_fn, section, n_valid, cls["loud"])
     norm = jax.block_until_ready(loud_fn(section, n_valid, cls["loud"]))
     result["stages"]["loudness_normalize"] = {
         "seconds_per_chunk": t_loud,
@@ -135,17 +155,17 @@ def main() -> None:
         G = len(g.names)
         L = g.corr.full_len
 
-        t_corr = _time_fn(corr_fn, norm, n_valid, g.corr)
+        t_corr = _time_fn_sync(corr_fn, norm, n_valid, g.corr)
         corr, valid_len = jax.block_until_ready(corr_fn(norm, n_valid, g.corr))
-        t_peaks = _time_fn(peaks_fn, corr, valid_len, m, k_detect, k_verify)
-        t_peaks_scan = _time_fn(peaks_scan_fn, corr, valid_len, m, k_detect)
+        t_peaks = _time_fn_sync(peaks_fn, corr, valid_len, m, k_detect, k_verify)
+        t_peaks_scan = _time_fn_sync(peaks_scan_fn, corr, valid_len, m, k_detect)
         vpos, valive = jax.block_until_ready(
             peaks_fn(corr, valid_len, m, k_detect, k_verify)
         )
         if kind == "marker":
-            t_verify = _time_fn(marker_fn, norm, vpos, valive, g.verify)
+            t_verify = _time_fn_sync(marker_fn, norm, vpos, valive, g.verify)
         else:
-            t_verify = _time_fn(normal_fn, corr, vpos, valive, g.verify)
+            t_verify = _time_fn_sync(normal_fn, corr, vpos, valive, g.verify)
 
         result["stages"][f"correlate_{label}"] = {
             "seconds_per_chunk": t_corr,
@@ -174,11 +194,42 @@ def main() -> None:
         height_min=bank.height_min,
         lean=True,
     )
-    t_fused = _time_fn(fused_fn, section, n_valid)
+    t_fused_sync = _time_fn_sync(fused_fn, section, n_valid)
+    t_fused_async = _time_fn(fused_fn, section, n_valid)
 
-    result["fused_lean_step_seconds"] = t_fused
+    # Dependency-chained: iteration i+1's input depends on iteration i's
+    # output, forcing truly sequential executions with ONE final sync —
+    # per-launch overhead amortises away, leaving device compute time.
+    @jax.jit
+    def chained_step(sec, n, token):
+        delta = jnp.where(jnp.isnan(token), 1.0, 0.0)  # always 0.0 at runtime
+        outs = fused_fn(sec + delta, n)
+        return outs, outs[0]["packed"][0, 0]
+
+    token = jnp.float32(0.0)
+    outs, token = chained_step(section, n_valid, token)
+    jax.block_until_ready(token)  # warm
+    samples = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        tok = token
+        for _ in range(ITERS):
+            outs, tok = chained_step(section, n_valid, tok)
+        jax.block_until_ready(tok)
+        samples.append((time.perf_counter() - t0) / ITERS)
+    t_fused_chain = float(np.median(samples))
+
+    # Per-launch overhead floor: a trivial program, per-call synced.
+    tiny = jax.jit(lambda a: a + 1.0)
+    t_launch = _time_fn_sync(tiny, jnp.zeros(8, jnp.float32))
+
+    result["fused_lean_step_seconds"] = t_fused_sync
+    result["fused_async_seconds"] = t_fused_async
+    result["fused_chained_seconds"] = t_fused_chain
+    result["launch_overhead_seconds"] = t_launch
     result["stage_sum_seconds"] = stage_total
-    result["fused_x_realtime"] = chunk_seconds / t_fused
+    result["fused_x_realtime"] = chunk_seconds / t_fused_sync
+    result["fused_chained_x_realtime"] = chunk_seconds / t_fused_chain
     for name, st in result["stages"].items():
         st["gbps_est"] = round(st["hbm_bytes_est"] / st["seconds_per_chunk"] / 1e9, 1)
 
