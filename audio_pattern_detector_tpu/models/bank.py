@@ -254,6 +254,7 @@ class PatternBank:
         self,
         chunks: list[NDArray[np.float32]],
         previous_tail: NDArray[np.float32] | None,
+        mode: str = "vmap",
     ) -> list[dict[str, list[int]]]:
         """Process consecutive stream chunks in one batched device launch.
 
@@ -261,7 +262,15 @@ class PatternBank:
         stream head); later chunks take it from their predecessor in the
         list. Returns per-chunk result dicts (same contract as
         process_chunk). All chunks but the last must be full-size.
+
+        ``mode``: "vmap" computes the B chunks in parallel (B× intermediate
+        memory — throughput when the chip has headroom); "scan" iterates
+        them sequentially inside ONE launch (1× memory, per-launch overhead
+        amortised over B — the right mode when launches are expensive,
+        e.g. remote runtimes). Identical results.
         """
+        if mode not in ("vmap", "scan"):
+            raise ValueError(f"mode must be 'vmap' or 'scan', got {mode!r}")
         sr = self.sample_rate
         b = len(chunks)
         if b == 0:
@@ -286,15 +295,25 @@ class PatternBank:
             raw_sections_per_class[sw] = raws
 
             group_consts = tuple((g.corr, g.verify) for g in cls["groups"])
-            outs = _class_step_batch_jit(
-                jnp.asarray(sections),
-                jnp.asarray(n_valids.astype(np.float32)),
-                cls["loud"],
-                group_consts,
-                metas=self._metas[sw],
-                height_min=self.height_min,
-                lean=True,
-            )
+            if mode == "scan":
+                outs = _class_step_scan_jit(
+                    jnp.asarray(sections),
+                    jnp.asarray(n_valids.astype(np.float32)),
+                    cls["loud"],
+                    group_consts,
+                    metas=self._metas[sw],
+                    height_min=self.height_min,
+                )
+            else:
+                outs = _class_step_batch_jit(
+                    jnp.asarray(sections),
+                    jnp.asarray(n_valids.astype(np.float32)),
+                    cls["loud"],
+                    group_consts,
+                    metas=self._metas[sw],
+                    height_min=self.height_min,
+                    lean=True,
+                )
 
             for g, out in zip(cls["groups"], outs):
                 packed = np.asarray(out["packed"])  # (B, G, 2K+2), one transfer
@@ -455,4 +474,29 @@ def _class_step_batch(
 
 _class_step_batch_jit = jax.jit(
     _class_step_batch, static_argnames=("metas", "height_min", "lean")
+)
+
+
+# Scanned variant: one launch processes B chunks SEQUENTIALLY on-device
+# (lax.scan over the batch axis). Same results as the vmapped program, but
+# intermediate memory stays at one chunk's footprint and per-launch
+# overhead amortises over B — the launch-bound offline mode for remote
+# runtimes where each execution costs a round trip.
+def _class_step_scan(
+    sections, n_valids, loud, group_consts, *, metas, height_min
+):
+    def body(carry, inp):
+        section, n_valid = inp
+        outs = _class_step(
+            section, n_valid, loud, group_consts,
+            metas=metas, height_min=height_min, lean=True,
+        )
+        return carry, tuple(o["packed"] for o in outs)
+
+    _, packs = jax.lax.scan(body, 0, (sections, n_valids))
+    return [{"packed": p} for p in packs]
+
+
+_class_step_scan_jit = jax.jit(
+    _class_step_scan, static_argnames=("metas", "height_min")
 )

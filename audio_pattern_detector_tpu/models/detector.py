@@ -431,13 +431,17 @@ class AudioPatternDetector:
         self,
         audio: NDArray[np.float32],
         batch_size: int = 4,
+        batch_mode: str = "vmap",
     ) -> tuple[dict[str, list[float]], float]:
         """Offline scan of an in-memory array via batched device launches.
 
         Produces results identical to streaming the same samples through
         ``find_clip_in_audio`` (same chunking, lookback, and timestamp
-        algebra), but processes ``batch_size`` chunks per vmapped launch —
-        the throughput-oriented path for file scanning.
+        algebra), but processes ``batch_size`` chunks per launch — the
+        throughput-oriented path for file scanning. ``batch_mode="vmap"``
+        computes chunks in parallel (B× memory); ``"scan"`` iterates them
+        inside one launch (1× memory, launches amortised — best on remote
+        runtimes).
         """
         bank = self._ensure_bank()
         sr = self.target_sample_rate
@@ -455,7 +459,7 @@ class AudioPatternDetector:
         base_index = 0
         for start in range(0, len(chunks), batch_size):
             batch = chunks[start : start + batch_size]
-            results = bank.process_chunks_batch(batch, prev_tail)
+            results = bank.process_chunks_batch(batch, prev_tail, mode=batch_mode)
             for bi, clip_peaks in enumerate(results):
                 index = base_index + bi
                 had_prev = index > 0

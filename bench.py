@@ -199,8 +199,19 @@ def run_bench() -> dict:
     batch_elapsed = time.perf_counter() - t0
     batched_x = (len(long_audio) / sr) / batch_elapsed
 
+    # ── Scanned offline (one launch per batch, chunks sequential on-device;
+    # per-launch overhead amortised — the remote-runtime offline mode) ──
+    scan_batch = int(os.environ.get("APD_BENCH_SCAN_BATCH", "16"))
+    scan_audio = np.concatenate(
+        [chunks[i % n_distinct] for i in range(scan_batch)]
+    )
+    det.find_clip_in_array(scan_audio, batch_size=scan_batch, batch_mode="scan")
+    t0 = time.perf_counter()
+    det.find_clip_in_array(scan_audio, batch_size=scan_batch, batch_mode="scan")
+    scanned_x = (len(scan_audio) / sr) / (time.perf_counter() - t0)
+
     platform = jax.devices()[0].platform
-    best = max(streaming_x, deep_x, batched_x)
+    best = max(streaming_x, deep_x, batched_x, scanned_x)
     result = {
         "metric": "realtime_factor_64clip",
         "value": round(best, 1),
@@ -209,6 +220,7 @@ def run_bench() -> dict:
         "streaming_x_realtime": round(streaming_x, 1),
         "deep_pipeline_x_realtime": round(deep_x, 1),
         "batched_x_realtime": round(batched_x, 1),
+        "scanned_x_realtime": round(scanned_x, 1),
         "device_only_x_realtime": round(device_x, 1),
         "platform": platform,
         "detections": detections,
@@ -216,7 +228,8 @@ def run_bench() -> dict:
     }
     print(
         f"[bench] streaming {streaming_x:.0f}x (depth3 {deep_x:.0f}x), "
-        f"batched {batched_x:.0f}x, device-only {device_x:.0f}x realtime on "
+        f"batched {batched_x:.0f}x, scanned {scanned_x:.0f}x, "
+        f"device-only {device_x:.0f}x realtime on "
         f"{platform} ({detections} detections)",
         file=sys.stderr,
     )
@@ -260,6 +273,7 @@ def _report(result: dict) -> None:
         "streaming_x_realtime",
         "deep_pipeline_x_realtime",
         "batched_x_realtime",
+        "scanned_x_realtime",
         "device_only_x_realtime",
         "platform",
         "measured_at",

@@ -68,6 +68,40 @@ def test_match_pattern_offline_batch_parity(tmp_path):
     assert len(streamed["clip"]) == 3
 
 
+def test_scan_mode_matches_vmap_and_streaming():
+    """batch_mode='scan' (one launch, sequential on-device) must equal the
+    vmapped batch and the streaming loop exactly."""
+    rng = np.random.default_rng(3)
+    clip = AudioClip(
+        name="c", audio=(0.4 * rng.standard_normal(SR)).astype(np.float32),
+        sample_rate=SR,
+    )
+    audio = (0.01 * rng.standard_normal(47 * SR)).astype(np.float32)
+    for off in [3.0, 12.5, 29.0, 41.25]:
+        o = int(off * SR)
+        audio[o : o + SR] += clip.audio
+
+    det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=10)
+    streamed, t0 = det.find_clip_in_audio(
+        AudioStream("s", io.BytesIO(audio.tobytes()), SR)
+    )
+    det_v = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=10)
+    vmapped, t1 = det_v.find_clip_in_array(audio, batch_size=3, batch_mode="vmap")
+    det_s = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=10)
+    scanned, t2 = det_s.find_clip_in_array(audio, batch_size=3, batch_mode="scan")
+    assert scanned == vmapped == streamed
+    assert t0 == t1 == t2
+
+
+def test_invalid_batch_mode_rejected():
+    import pytest
+
+    clip = AudioClip(name="c", audio=np.zeros(SR, np.float32), sample_rate=SR)
+    det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=10)
+    with pytest.raises(ValueError, match="mode"):
+        det.find_clip_in_array(np.zeros(20 * SR, np.float32), batch_mode="turbo")
+
+
 def test_pipeline_depth_identical_results():
     """pipeline_depth > 1 keeps more chunks in flight but must produce the
     exact same detections, ordering, and callback sequence."""
