@@ -86,6 +86,34 @@ def _time_fn_sync(fn, *args, iters=ITERS, repeats=REPEATS) -> float:
     return float(np.median(samples))
 
 
+def _time_chained(step, iters=ITERS, repeats=REPEATS) -> float:
+    """THE trustworthy timer on the tunnel backend.
+
+    ``step(token) -> token`` must thread a data dependency from each
+    iteration's output into the next iteration's input (add a
+    provably-zero-at-runtime delta derived from the token to a real
+    input). Repeated identical calls appear to be memoised server-side and
+    block_until_ready returns early, so only a dependency chain forces N
+    real sequential executions.
+    """
+    token = jnp.float32(0.0)
+    token = jax.block_until_ready(step(token))  # warm/compile
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        tok = token
+        for _ in range(iters):
+            tok = step(tok)
+        jax.block_until_ready(tok)
+        samples.append((time.perf_counter() - t0) / iters)
+    return float(np.median(samples))
+
+
+def _delta(token):
+    """0.0 at runtime, but data-dependent so XLA cannot fold it away."""
+    return jnp.where(jnp.isnan(token), 1.0, 0.0)
+
+
 def main() -> None:
     from __graft_entry__ import _make_bank
     from audio_pattern_detector_tpu.models.bank import _class_step_jit
@@ -140,7 +168,12 @@ def main() -> None:
         "stages": {},
     }
 
-    t_loud = _time_fn_sync(loud_fn, section, n_valid, cls["loud"])
+    @jax.jit
+    def loud_chain(token):
+        out = loud_fn(section + _delta(token), n_valid, cls["loud"])
+        return jnp.sum(out)  # full reduction: nothing can be DCE'd
+
+    t_loud = _time_chained(loud_chain)
     norm = jax.block_until_ready(loud_fn(section, n_valid, cls["loud"]))
     result["stages"]["loudness_normalize"] = {
         "seconds_per_chunk": t_loud,
@@ -155,17 +188,52 @@ def main() -> None:
         G = len(g.names)
         L = g.corr.full_len
 
-        t_corr = _time_fn_sync(corr_fn, norm, n_valid, g.corr)
-        corr, valid_len = jax.block_until_ready(corr_fn(norm, n_valid, g.corr))
-        t_peaks = _time_fn_sync(peaks_fn, corr, valid_len, m, k_detect, k_verify)
-        t_peaks_scan = _time_fn_sync(peaks_scan_fn, corr, valid_len, m, k_detect)
+        gc = g.corr
+        gv = g.verify
+
+        @jax.jit
+        def corr_chain(token, gc=gc):
+            c, _ = corr_fn(norm + _delta(token), n_valid, gc)
+            return jnp.sum(c)
+
+        t_corr = _time_chained(corr_chain)
+        corr, valid_len = jax.block_until_ready(corr_fn(norm, n_valid, gc))
+
+        @jax.jit
+        def peaks_chain(token, corr=corr, m=m, kd=k_detect, kv=k_verify):
+            vp, alive = peaks_fn(corr + _delta(token), valid_len, m, kd, kv)
+            return (jnp.sum(vp) + jnp.sum(alive)).astype(jnp.float32)
+
+        t_peaks = _time_chained(peaks_chain)
+
+        @jax.jit
+        def peaks_scan_chain(token, corr=corr, m=m, kd=k_detect):
+            cand = peaks_scan_fn(corr + _delta(token), valid_len, m, kd)
+            return (
+                jnp.sum(cand.pos) + jnp.sum(cand.alive) + jnp.sum(cand.height)
+            ).astype(jnp.float32)
+
+        t_peaks_scan = _time_chained(peaks_scan_chain)
         vpos, valive = jax.block_until_ready(
             peaks_fn(corr, valid_len, m, k_detect, k_verify)
         )
         if kind == "marker":
-            t_verify = _time_fn_sync(marker_fn, norm, vpos, valive, g.verify)
+
+            @jax.jit
+            def verify_chain(token, gv=gv):
+                acc = marker_fn(norm + _delta(token), vpos, valive, gv)
+                return jnp.sum(acc).astype(jnp.float32)
+
         else:
-            t_verify = _time_fn_sync(normal_fn, corr, vpos, valive, g.verify)
+
+            @jax.jit
+            def verify_chain(token, gv=gv):
+                acc, sim, r = normal_fn(corr + _delta(token), vpos, valive, gv)
+                return (jnp.sum(acc) + jnp.sum(sim) + jnp.sum(r)).astype(
+                    jnp.float32
+                )
+
+        t_verify = _time_chained(verify_chain)
 
         result["stages"][f"correlate_{label}"] = {
             "seconds_per_chunk": t_corr,
@@ -183,6 +251,53 @@ def main() -> None:
             "hbm_bytes_est": int(G * k_verify * (2 * m) * 4),
         }
         stage_total += t_corr + t_peaks + t_verify
+
+    # Isolated probes of the sequential constructs inside the step.
+    from audio_pattern_detector_tpu.ops.peaks import (
+        PeakCandidates,
+        greedy_distance_filter,
+        select_candidates,
+        short_run_local_maxima_mask,
+    )
+
+    probe_corr, probe_valid = jax.block_until_ready(
+        jax.jit(bank_correlate)(norm, n_valid, cls["groups"][0].corr)
+    )
+    pm = cls["groups"][0].clip_len
+    pkd = bank._metas[sw][0][2]
+
+    @jax.jit
+    def topk_chain(token):
+        x = probe_corr + _delta(token)
+        h, p = jax.lax.top_k(x, pkd)
+        return jnp.sum(h) + jnp.sum(p).astype(jnp.float32)
+
+    result["probe_topk_seconds"] = _time_chained(topk_chain)
+
+    @jax.jit
+    def mask_chain(token):
+        x = probe_corr + _delta(token)
+        mask = short_run_local_maxima_mask(x) & (x >= height_min)
+        return jnp.sum(mask).astype(jnp.float32)
+
+    result["probe_mask_seconds"] = _time_chained(mask_chain)
+
+    cand0 = jax.block_until_ready(
+        jax.jit(
+            lambda x: select_candidates(
+                x, short_run_local_maxima_mask(x) & (x >= height_min), pkd
+            )
+        )(probe_corr)
+    )
+
+    @jax.jit
+    def greedy_chain(token):
+        c = PeakCandidates(
+            cand0.pos, cand0.height + _delta(token), cand0.alive, cand0.overflow
+        )
+        return jnp.sum(greedy_distance_filter(c, pm)).astype(jnp.float32)
+
+    result["probe_greedy_seconds"] = _time_chained(greedy_chain)
 
     group_consts = tuple((g.corr, g.verify) for g in cls["groups"])
     fused_fn = lambda s, n: _class_step_jit(  # noqa: E731
