@@ -35,12 +35,14 @@ from numpy.typing import NDArray
 
 from audio_pattern_detector_tpu.ops import hostref
 from audio_pattern_detector_tpu.ops._pytree import (
-    as_i32,
     as_mask,
     host_const,
-    int_const,
     mask_const,
     static_field,
+)
+from audio_pattern_detector_tpu.ops.slicing import (
+    slice_rows_windows,
+    slice_shared_windows,
 )
 from audio_pattern_detector_tpu.ops.tone import frame_grid
 
@@ -86,8 +88,6 @@ class NormalVerifyConsts:
 
     corr_clip_partitions: jnp.ndarray  # (G, 10, ps) f32
     ds_clip: jnp.ndarray  # (G, ds_n) f32 — exact host-downsampled clip window
-    seg_idx: jnp.ndarray  # (ds_n, Wmax) int32 window-max gather indices
-    seg_mask: jnp.ndarray  # (ds_n, Wmax) bool
     clip_len: int = static_field()  # m
     corr_len: int = static_field()  # Lc = 2m - 1
     is_short: bool = static_field()
@@ -95,6 +95,13 @@ class NormalVerifyConsts:
     win_lo: int = static_field()  # centre-window bounds (python round)
     win_hi: int = static_field()
     ds_n: int = static_field()  # downsample target (101 normal / 505 short)
+    # Window-max resample as a sparse table: per-bin static indices into the
+    # level-K shifted-max array (bin max = max(f[a], f[b]) with f[i] =
+    # max over [i, i+2^K)); widths w..w+1 guarantee 2^K <= min_w and
+    # max_w <= 2^(K+1) so two lookups cover each bin exactly.
+    seg_a: tuple = static_field(default=())
+    seg_b: tuple = static_field(default=())
+    k_level: int = static_field(default=0)
 
 
 def build_normal_verify_consts(
@@ -121,10 +128,10 @@ def build_normal_verify_consts(
     ds_clip = np.stack(
         [hostref.resample_preserve_maxima(cc[lo:hi], ds_n) for cc in correlation_clips]
     )
-    starts, ends, wmax = _window_max_geometry(hi - lo, ds_n)
-    seg_idx = starts[:, None] + np.arange(wmax)[None, :]
-    seg_mask = seg_idx < ends[:, None]
-    seg_idx = np.minimum(seg_idx, (hi - lo) - 1)
+    starts, ends, _ = _window_max_geometry(hi - lo, ds_n)
+    k_level = int(np.floor(np.log2(max(int((ends - starts).min()), 1))))
+    seg_a = tuple(int(v) for v in starts)
+    seg_b = tuple(int(v) for v in (ends - (1 << k_level)))
 
     return NormalVerifyConsts(
         clip_len=clip_len,
@@ -138,8 +145,9 @@ def build_normal_verify_consts(
         win_hi=hi,
         ds_n=ds_n,
         ds_clip=host_const(ds_clip, np.float32),
-        seg_idx=int_const(seg_idx),
-        seg_mask=mask_const(seg_mask),
+        seg_a=seg_a,
+        seg_b=seg_b,
+        k_level=k_level,
     )
 
 
@@ -158,8 +166,7 @@ def verify_normal(
 
     corrp = jnp.pad(corr, ((0, 0), (_PAD + m - 1, _PAD + m)))
     start = jnp.clip(pos - (m - 1) + (_PAD + m - 1), 0, corrp.shape[1] - lc)
-    gidx = (start[:, :, None] + jnp.arange(lc, dtype=jnp.int32)).reshape(g, k * lc)
-    slices = jnp.take_along_axis(corrp, gidx, axis=1).reshape(g, k, lc)
+    slices = slice_rows_windows(corrp, start, lc)  # (G, K, lc)
 
     smax = jnp.max(slices, axis=-1, keepdims=True)
     slices = slices / jnp.maximum(smax, 1e-38)
@@ -171,10 +178,16 @@ def verify_normal(
     sim = sim_whole if consts.is_short else jnp.minimum(sim_whole, sim_mid)
 
     window = slices[:, :, consts.win_lo : consts.win_hi]  # (G, K, hi-lo)
-    seg_vals = window[:, :, as_i32(consts.seg_idx)]  # (G, K, ds_n, Wmax)
-    ds_slice = jnp.max(
-        jnp.where(as_mask(consts.seg_mask)[None, None], seg_vals, -jnp.inf), axis=-1
-    )
+    # Sparse-table window max: K_level rounds of shifted max (fused
+    # elementwise) + two static-index lookups per bin — no element gather.
+    f = window
+    for lvl in range(consts.k_level):
+        off = 1 << lvl
+        pad = jnp.full(f.shape[:-1] + (off,), -jnp.inf, f.dtype)
+        f = jnp.maximum(f, jnp.concatenate([f[..., off:], pad], axis=-1))
+    seg_a = np.asarray(consts.seg_a, dtype=np.int32)
+    seg_b = np.asarray(consts.seg_b, dtype=np.int32)
+    ds_slice = jnp.maximum(f[..., seg_a], f[..., seg_b])  # (G, K, ds_n)
     r = _pearson_batched(ds_slice, consts.ds_clip[:, None, :])
 
     accept = alive & (sim <= SIMILARITY_HARD_LIMIT) & (r >= PEARSON_R_THRESHOLD)
@@ -194,7 +207,6 @@ class MarkerVerifyConsts:
     band_whole: jnp.ndarray  # (G, m//2 + 1) bool
     dom_freq: jnp.ndarray  # (G,) f32
     lock_hz: jnp.ndarray  # (G,) f32
-    frame_starts: jnp.ndarray  # (F,) int32
     hann_frame: jnp.ndarray  # (wl,) f32
     freqs_frame: jnp.ndarray  # (wl//2 + 1,) f32
     band_frame: jnp.ndarray  # (G, wl//2 + 1) bool
@@ -203,6 +215,7 @@ class MarkerVerifyConsts:
     sample_rate: int = static_field()
     frame_len: int = static_field()
     frame_count: int = static_field()
+    frame_starts: tuple = static_field(default=())  # (F,) static sample offsets
 
 
 def build_marker_verify_consts(
@@ -241,7 +254,7 @@ def build_marker_verify_consts(
         lock_hz=host_const(lock_hz, np.float32),
         frame_len=wl,
         frame_count=f_count,
-        frame_starts=int_const(starts),
+        frame_starts=tuple(int(v) for v in starts),
         hann_frame=host_const(np.hanning(wl), np.float32),
         freqs_frame=host_const(freqs_frame, np.float32),
         band_frame=mask_const(band_frame),
@@ -265,8 +278,9 @@ def verify_marker(
     lag = pos - (m - 1)
     secp = jnp.pad(section, (m + _PAD, m + _PAD))
     start = jnp.clip(lag + _PAD, 0, secp.shape[0] - 3 * m)
-    gidx = start[:, :, None] + jnp.arange(3 * m, dtype=jnp.int32)
-    seg3 = secp[gidx].reshape(g, k, 3, m)  # [left? no: [left|match|right]]
+    seg3 = slice_shared_windows(secp, start, 3 * m).reshape(
+        g, k, 3, m
+    )  # [left|match|right]
 
     # Whole-window Hann spectra for all three segments.
     spec = jnp.abs(jnp.fft.rfft(seg3 * consts.hann_whole, axis=-1))  # (G,K,3,F2)
@@ -291,10 +305,11 @@ def verify_marker(
     # whole-window purity alone; reference: audio_pattern_detector.py:686-693).
     if consts.frame_count > 0:
         seg_match = seg3[:, :, 1, :]  # (G, K, m)
-        fidx = as_i32(consts.frame_starts)[:, None] + jnp.arange(
-            consts.frame_len, dtype=jnp.int32
-        )
-        frames = seg_match[:, :, fidx] * consts.hann_frame  # (G, K, F, wl)
+        wl = consts.frame_len
+        frames = jnp.stack(
+            [seg_match[:, :, s0 : s0 + wl] for s0 in consts.frame_starts],
+            axis=2,
+        ) * consts.hann_frame  # (G, K, F, wl) — static slices, no gather
         fspec = jnp.abs(jnp.fft.rfft(frames, axis=-1))
         fpow = fspec * fspec
         fenergy = jnp.sum(fpow, axis=-1)  # (G, K, F)

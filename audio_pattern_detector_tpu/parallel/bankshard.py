@@ -66,8 +66,6 @@ def shard_group_consts(
             verify,
             corr_clip_partitions=_shard_leading(mesh, axis, verify.corr_clip_partitions),
             ds_clip=_shard_leading(mesh, axis, verify.ds_clip),
-            seg_idx=_replicate(mesh, verify.seg_idx),
-            seg_mask=_replicate(mesh, verify.seg_mask),
         )
     else:
         verify_sharded = replace(
@@ -77,7 +75,6 @@ def shard_group_consts(
             band_whole=_shard_leading(mesh, axis, verify.band_whole),
             dom_freq=_shard_leading(mesh, axis, verify.dom_freq),
             lock_hz=_shard_leading(mesh, axis, verify.lock_hz),
-            frame_starts=_replicate(mesh, verify.frame_starts),
             hann_frame=_replicate(mesh, verify.hann_frame),
             freqs_frame=_replicate(mesh, verify.freqs_frame),
             band_frame=_shard_leading(mesh, axis, verify.band_frame),
