@@ -19,6 +19,7 @@ import numpy as np
 from numpy.typing import NDArray
 
 from audio_pattern_detector_tpu.ops._pytree import host_const, static_field
+from audio_pattern_detector_tpu.ops.slicing import slice_shared_windows
 
 
 def next_pow2(n: int) -> int:
@@ -122,8 +123,7 @@ def _correlate_raw(section: jnp.ndarray, consts: CorrelationBankConsts) -> jnp.n
     ns = consts.num_segments
     padded = jnp.pad(section, (m - 1, ns * step + N - (len(section) + m - 1)))
     starts = jnp.arange(ns, dtype=jnp.int32) * step
-    seg_idx = starts[:, None] + jnp.arange(N, dtype=jnp.int32)[None, :]
-    segments = padded[seg_idx]  # (ns, N)
+    segments = slice_shared_windows(padded, starts, N)  # (ns, N) slice-gather
     seg_spec = jnp.fft.rfft(segments, axis=1)  # shared across the bank
     y = jnp.fft.irfft(
         seg_spec[None, :, :] * _bank_spec(consts)[:, None, :], n=N, axis=2

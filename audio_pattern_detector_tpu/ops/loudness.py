@@ -23,6 +23,7 @@ import numpy as np
 
 from audio_pattern_detector_tpu.ops import hostref
 from audio_pattern_detector_tpu.ops._pytree import as_i32, host_const, int_const, static_field
+from audio_pattern_detector_tpu.ops.slicing import slice_shared_windows
 
 LUFS_OFFSET = -0.691
 ABSOLUTE_GATE_LUFS = -70.0
@@ -117,8 +118,8 @@ def _k_weighted_conv(section: jnp.ndarray, consts: LoudnessConsts) -> jnp.ndarra
     ns = consts.num_segments
     padded = jnp.pad(section, (taps - 1, ns * step + N - (S + taps - 1)))
     starts = jnp.arange(ns, dtype=jnp.int32) * step
-    seg_idx = starts[:, None] + jnp.arange(N, dtype=jnp.int32)[None, :]
-    z = jnp.fft.irfft(jnp.fft.rfft(padded[seg_idx], axis=1) * _fir_spec(consts), n=N, axis=1)
+    segments = slice_shared_windows(padded, starts, N)  # (ns, N) slice-gather
+    z = jnp.fft.irfft(jnp.fft.rfft(segments, axis=1) * _fir_spec(consts), n=N, axis=1)
     return z[:, taps - 1 :].reshape(ns * step)[:S]
 
 
@@ -167,10 +168,14 @@ def integrated_loudness_device(
     num_blocks = _num_blocks_dynamic(jnp.maximum(n_valid, int(0.4 * sr) + 1), sr)
     block_lo = as_i32(consts.block_lo)
     block_end = as_i32(consts.block_end)
-    win_idx = block_lo[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
     hi = jnp.minimum(block_end, n_valid)  # (B,)
+    # Contiguous block windows via slice-gather (element gathers are
+    # pathologically slow on the tunnel backend — see ops/slicing.py).
+    sqp = jnp.pad(sq, (0, W))
+    starts = jnp.minimum(block_lo, S - 1)
+    gathered = slice_shared_windows(sqp, starts, W)  # (B, W)
+    win_idx = starts[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
     in_window = win_idx < hi[:, None]
-    gathered = jnp.take(sq, jnp.minimum(win_idx, S - 1), axis=0)
     block_sum = jnp.sum(jnp.where(in_window, gathered, 0.0), axis=1)  # (B,)
     count = (hi - block_lo).astype(jnp.float32)
     block_valid = (
