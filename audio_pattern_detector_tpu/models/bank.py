@@ -50,6 +50,11 @@ from audio_pattern_detector_tpu.ops.verify import (
 
 _BIG = np.int32(2**30)
 
+# Small verification tier: chunks whose live-candidate count fits entirely
+# below this bound verify through a 16-lane program instead of the full
+# k_verify tier (see the two-tier cond in _class_step).
+_SMALL_TIER = 16
+
 
 @dataclass
 class ClipGroup:
@@ -410,6 +415,37 @@ def _class_step(
         verify_overflow = jnp.sum(keep, axis=1) > k_verify
 
         if kind == "marker":
+            verify_accept = lambda p, a: verify_marker(norm, p, a, verify_consts)  # noqa: E731
+        else:
+            verify_accept = lambda p, a: verify_normal(corr, p, a, verify_consts)[0]  # noqa: E731
+
+        if lean and k_verify > _SMALL_TIER:
+            # Two-tier verification: real chunks carry at most a handful of
+            # live candidates, while k_verify sizes for the worst case. The
+            # candidate compaction puts each row's live lanes first, so when
+            # every row fits in the small tier, verifying the first
+            # _SMALL_TIER lanes is exact and the heavy full-tier gather is
+            # skipped at runtime (lax.cond; in vmapped batch contexts both
+            # branches execute — the win is for the streaming path).
+            max_alive = jnp.max(jnp.sum(valive, axis=1))
+
+            def small_tier(_):
+                acc = verify_accept(
+                    vpos[:, :_SMALL_TIER], valive[:, :_SMALL_TIER]
+                )
+                return jnp.pad(
+                    acc, ((0, 0), (0, k_verify - _SMALL_TIER))
+                )
+
+            def full_tier(_):
+                return verify_accept(vpos, valive)
+
+            accept = jax.lax.cond(
+                max_alive <= _SMALL_TIER, small_tier, full_tier, None
+            )
+            sim = jnp.zeros_like(vpos, dtype=jnp.float32)
+            r = jnp.zeros_like(vpos, dtype=jnp.float32)
+        elif kind == "marker":
             accept = verify_marker(norm, vpos, valive, verify_consts)
             sim = jnp.zeros_like(vpos, dtype=jnp.float32)
             r = jnp.zeros_like(vpos, dtype=jnp.float32)
