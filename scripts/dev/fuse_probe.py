@@ -35,21 +35,21 @@ rng = np.random.default_rng(0)
 corr1 = jnp.asarray((np.abs(rng.standard_normal((G, L))) * 0.2).astype(np.float32))
 corr2 = jnp.asarray((np.abs(rng.standard_normal((G, L))) * 0.2).astype(np.float32))
 section = jnp.asarray((0.05 * rng.standard_normal(S)).astype(np.float32))
-valid_len = jnp.int32(L)
+valid_len = jnp.float32(L)
 
 
 def delta(tok):
     return jnp.where(jnp.isnan(tok), 1.0, 0.0)
 
 
-def timeit(step, iters=5, repeats=2):
-    tok = jax.block_until_ready(step(jnp.float32(0.0)))
+def timeit(step, *args, iters=5, repeats=2):
+    tok = jax.block_until_ready(step(jnp.float32(0.0), *args))
     samples = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         t = tok
         for _ in range(iters):
-            t = step(t)
+            t = step(t, *args)
         jax.block_until_ready(t)
         samples.append((time.perf_counter() - t0) / iters)
     return float(np.median(samples))
@@ -63,9 +63,9 @@ def peaks_all(c, vl, m, kd, kv):
 
 
 @jax.jit
-def two_groups(tok):
-    a = peaks_all(corr1 + delta(tok), valid_len, 2000, 1088, 272)
-    b = peaks_all(corr2 + delta(tok), valid_len, 8000, 264, 66)
+def two_groups(tok, c1, c2, vl):
+    a = peaks_all(c1 + delta(tok), vl.astype(jnp.int32), 2000, 1088, 272)
+    b = peaks_all(c2 + delta(tok), vl.astype(jnp.int32), 8000, 264, 66)
     return a + b
 
 
@@ -73,15 +73,15 @@ stacked = jnp.concatenate([corr1, corr2], axis=0)
 
 
 @jax.jit
-def one_stacked(tok):
+def one_stacked(tok, st, vl):
     # same k_detect for all rows (max of the two), same distance is NOT
     # semantically right — this probes COST only (per-row distance comes in
     # the real implementation).
-    return peaks_all(stacked + delta(tok), valid_len, 2000, 1088, 272)
+    return peaks_all(st + delta(tok), vl.astype(jnp.int32), 2000, 1088, 272)
 
 
-print("peaks two groups  :", round(timeit(two_groups) * 1e3, 1), "ms", flush=True)
-print("peaks one stacked :", round(timeit(one_stacked) * 1e3, 1), "ms", flush=True)
+print("peaks two groups  :", round(timeit(two_groups, corr1, corr2, valid_len) * 1e3, 1), "ms", flush=True)
+print("peaks one stacked :", round(timeit(one_stacked, stacked, valid_len) * 1e3, 1), "ms", flush=True)
 
 # Correlation FFT-size sweep (normal group m=8000).
 clips = (0.4 * rng.standard_normal((G, 8000))).astype(np.float32)
@@ -108,9 +108,9 @@ for mult, label in [(1, "fft 32k (prod)"), (2, "fft 64k"), (4, "fft 128k"), (0, 
             C._overlap_save_geometry = orig
 
     @jax.jit
-    def corr_step(tok, consts=consts):
-        c, _ = bank_correlate(section + delta(tok), jnp.float32(S), consts)
+    def corr_step(tok, sec, consts=consts):
+        c, _ = bank_correlate(sec + delta(tok), jnp.float32(S), consts)
         return jnp.sum(c)
 
-    print(f"correlate {label:14s}: {timeit(corr_step)*1e3:7.1f} ms  "
+    print(f"correlate {label:14s}: {timeit(corr_step, section)*1e3:7.1f} ms  "
           f"(fft_len={consts.fft_len}, segs={consts.num_segments})", flush=True)
