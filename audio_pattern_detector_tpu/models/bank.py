@@ -529,7 +529,13 @@ def _class_step_scan(
         )
         return carry, tuple(o["packed"] for o in outs)
 
-    _, packs = jax.lax.scan(body, 0, (sections, n_valids))
+    # Fully unrolled: sequential constructs (scan/while iterations) carry a
+    # large per-step cost on the tunnel runtime, so the B chunk steps inline
+    # into one straight-line program — XLA still reuses buffers across the
+    # inlined steps, keeping memory near one chunk's footprint.
+    _, packs = jax.lax.scan(
+        body, 0, (sections, n_valids), unroll=sections.shape[0]
+    )
     return [{"packed": p} for p in packs]
 
 
