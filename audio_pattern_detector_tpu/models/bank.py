@@ -38,7 +38,13 @@ from audio_pattern_detector_tpu.ops.loudness import (
     integrated_loudness_device,
     loudness_normalize_device,
 )
-from audio_pattern_detector_tpu.ops.peaks import find_peaks_device_fast
+from audio_pattern_detector_tpu.ops.peaks import (
+    PeakCandidates,
+    find_peaks_device_fast,
+    greedy_distance_filter,
+    long_plateau_present,
+    short_run_local_maxima_mask,
+)
 from audio_pattern_detector_tpu.ops.verify import (
     MarkerVerifyConsts,
     NormalVerifyConsts,
@@ -365,6 +371,116 @@ def unpack_group(
     return pos, sel, overflow
 
 
+def _lean_group_packed(
+    norm: jnp.ndarray,
+    corr: jnp.ndarray,  # (G, L) normalised correlation
+    valid_len: jnp.ndarray,  # int32
+    kind: str,
+    m: int,
+    k_detect: int,
+    k_verify: int,
+    height_min: float,
+    verify_consts,
+) -> jnp.ndarray:
+    """Production (lean) per-group tail: two-tier candidate DETECTION.
+
+    The candidate mask and per-row counts cost one fused pass over (G, L);
+    everything after — top_k extraction, greedy distance filter, bounds,
+    position compaction, verification — runs at a lane width chosen by a
+    runtime ``lax.cond`` on the max candidate count:
+
+    * small tier (≤ _SMALL_TIER raw candidates in every row — true for
+      virtually every real chunk, where the 0.25 height threshold admits
+      few or no local maxima): 16-lane top_k + a 16×16 greedy + 16-lane
+      verification, skipping the full-length k_detect sort entirely;
+    * full tier: the k_detect-lane path (with the nested two-tier
+      verification cond), for chunks near an actual pattern hit.
+
+    Exactness: when every row's count ≤ k lanes, top_k(k) captures the
+    complete candidate set in the same priority order as top_k(k_detect)
+    (descending height, ties to lower index), the greedy filter sees the
+    same alive set, and survivors ≤ counts ≤ k ≤ k_verify, so both tiers
+    produce bitwise-identical packed payloads. Candidate overflow beyond
+    k_detect (and ≥4-long plateaus at/above the height threshold) still
+    flag the row into the exact host fallback, as before.
+    """
+    L = corr.shape[1]
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    x = jnp.where(idx < valid_len, corr, -jnp.inf)
+    mask = short_run_local_maxima_mask(x) & (x >= height_min)
+    plateau = long_plateau_present(x, height_min)
+    counts = jnp.sum(mask, axis=1)  # (G,)
+    scored = jnp.where(mask, x, -jnp.inf)
+    detect_fallback = (counts > k_detect) | plateau
+
+    def tier(k_lanes: int, small: bool) -> jnp.ndarray:
+        height, pos = jax.lax.top_k(scored, k_lanes)
+        pos = pos.astype(jnp.int32)
+        alive = jnp.isfinite(height)
+        keep = greedy_distance_filter(
+            PeakCandidates(pos, height, alive, detect_fallback), m
+        )
+        # Candidate bound checks (reference: audio_pattern_detector.py:531-546).
+        half = (2 * m - 1) // 2
+        keep = keep & ~(pos + half > valid_len + 5) & ~(pos - half < -5)
+        # Compact survivors, ascending by position.
+        kv = min(k_verify, k_lanes)
+        score = jnp.where(keep, -pos, -_BIG)
+        sv, _ = jax.lax.top_k(score, kv)
+        vpos = -sv
+        valive = sv > -_BIG
+        verify_overflow = jnp.sum(keep, axis=1) > kv
+
+        if kind == "marker":
+            verify_accept = lambda p, a: verify_marker(norm, p, a, verify_consts)  # noqa: E731
+        else:
+            verify_accept = lambda p, a: verify_normal(corr, p, a, verify_consts)[0]  # noqa: E731
+
+        if small or kv <= _SMALL_TIER:
+            accept = verify_accept(vpos, valive)
+        else:
+            # Nested two-tier verification (see the lean path note below).
+            max_alive = jnp.max(jnp.sum(valive, axis=1))
+
+            def small_tier(_):
+                acc = verify_accept(vpos[:, :_SMALL_TIER], valive[:, :_SMALL_TIER])
+                return jnp.pad(acc, ((0, 0), (0, kv - _SMALL_TIER)))
+
+            def full_tier(_):
+                return verify_accept(vpos, valive)
+
+            accept = jax.lax.cond(
+                max_alive <= _SMALL_TIER, small_tier, full_tier, None
+            )
+
+        sel = (valive & accept).astype(jnp.float32)
+        vposf = vpos.astype(jnp.float32)
+        if kv < k_verify:
+            pad = ((0, 0), (0, k_verify - kv))
+            # Dead-lane padding matches the full tier's compaction output
+            # bit-for-bit: position _BIG (from the -_BIG sentinel), sel 0.
+            vposf = jnp.pad(vposf, pad, constant_values=float(_BIG))
+            sel = jnp.pad(sel, pad)
+        return jnp.concatenate(
+            [
+                vposf,
+                sel,
+                detect_fallback[:, None].astype(jnp.float32),
+                verify_overflow[:, None].astype(jnp.float32),
+            ],
+            axis=1,
+        )
+
+    if k_detect <= _SMALL_TIER:
+        return tier(k_detect, False)
+    return jax.lax.cond(
+        jnp.max(counts) <= _SMALL_TIER,
+        lambda _: tier(_SMALL_TIER, True),
+        lambda _: tier(k_detect, False),
+        None,
+    )
+
+
 def _class_step(
     section: jnp.ndarray,
     n_valid: jnp.ndarray,
@@ -392,6 +508,28 @@ def _class_step(
         metas, group_consts
     ):
         corr, valid_len = bank_correlate(norm, n_valid, corr_consts)
+
+        if lean and height_min > 0:
+            # Production streaming path: two-tier detection + verification
+            # (see _lean_group_packed). height_min <= 0 needs the general
+            # plateau mask, so it stays on the single-tier path below.
+            outs.append(
+                {
+                    "packed": _lean_group_packed(
+                        norm,
+                        corr,
+                        valid_len,
+                        kind,
+                        m,
+                        k_detect,
+                        k_verify,
+                        height_min,
+                        verify_consts,
+                    )
+                }
+            )
+            continue
+
         # Fast strict-mask peak finder; a plateau at/above the height
         # threshold (virtually impossible on real material, where it could
         # differ from scipy's plateau-midpoint semantics) flags the row

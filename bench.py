@@ -210,40 +210,47 @@ def run_bench() -> dict:
     det.find_clip_in_array(scan_audio, batch_size=scan_batch, batch_mode="scan")
     scanned_x = (len(scan_audio) / sr) / (time.perf_counter() - t0)
 
-    # ── 120 s chunk configuration (a first-class engine config via
-    # --chunk-seconds: halves per-second launch + log-factor costs at the
-    # price of 2 min result latency) ──
-    chunk120_x = 0.0
-    if os.environ.get("APD_BENCH_CHUNK120", "1") == "1":
+    # ── Big-chunk configurations (first-class engine configs via
+    # --chunk-seconds: larger chunks amortise per-launch round trips and
+    # per-chunk fixed costs at the price of result latency) ──
+    big_chunk_x: dict[int, float] = {}
+    for big_s in (
+        int(s) for s in os.environ.get("APD_BENCH_BIG_CHUNKS", "120,240").split(",") if s
+    ):
         try:
-            bank120, _ = _make_bank(
-                num_normal=32, num_marker=32, chunk_seconds=120
+            bank_b, _ = _make_bank(
+                num_normal=32, num_marker=32, chunk_seconds=big_s
             )
-            c120 = [
-                np.concatenate([chunks[i % n_distinct], chunks[(i + 1) % n_distinct]])
+            mult = big_s // chunk_seconds
+            cbig = [
+                np.concatenate(
+                    [chunks[(i + j) % n_distinct] for j in range(mult)]
+                )
                 for i in range(n_distinct)
             ]
-            prev120 = None
+            prev_b = None
             for i in range(2):
-                bank120.process_chunk(c120[i % n_distinct], prev120)
-                prev120 = c120[i % n_distinct]
+                bank_b.process_chunk(cbig[i % n_distinct], prev_b)
+                prev_b = cbig[i % n_distinct]
             from collections import deque
 
             pend: deque = deque()
             t0 = time.perf_counter()
             for i in range(10):
-                pend.append(bank120.dispatch_chunk(c120[i % n_distinct], prev120))
+                pend.append(bank_b.dispatch_chunk(cbig[i % n_distinct], prev_b))
                 if len(pend) > 1:
-                    bank120.collect_chunk(pend.popleft())
-                prev120 = c120[i % n_distinct]
+                    bank_b.collect_chunk(pend.popleft())
+                prev_b = cbig[i % n_distinct]
             while pend:
-                bank120.collect_chunk(pend.popleft())
-            chunk120_x = 10 * 120 / (time.perf_counter() - t0)
+                bank_b.collect_chunk(pend.popleft())
+            big_chunk_x[big_s] = 10 * big_s / (time.perf_counter() - t0)
         except Exception as e:  # noqa: BLE001 — secondary metric only
-            print(f"[bench] chunk120 metric failed: {e}", file=sys.stderr)
+            print(f"[bench] chunk{big_s} metric failed: {e}", file=sys.stderr)
+    chunk120_x = big_chunk_x.get(120, 0.0)
+    chunk240_x = big_chunk_x.get(240, 0.0)
 
     platform = jax.devices()[0].platform
-    best = max(streaming_x, deep_x, batched_x, scanned_x, chunk120_x)
+    best = max(streaming_x, deep_x, batched_x, scanned_x, chunk120_x, chunk240_x)
     result = {
         "metric": "realtime_factor_64clip",
         "value": round(best, 1),
@@ -254,6 +261,7 @@ def run_bench() -> dict:
         "batched_x_realtime": round(batched_x, 1),
         "scanned_x_realtime": round(scanned_x, 1),
         "chunk120_x_realtime": round(chunk120_x, 1),
+        "chunk240_x_realtime": round(chunk240_x, 1),
         "device_only_x_realtime": round(device_x, 1),
         "platform": platform,
         "detections": detections,
@@ -262,7 +270,8 @@ def run_bench() -> dict:
     print(
         f"[bench] streaming {streaming_x:.0f}x (depth3 {deep_x:.0f}x), "
         f"batched {batched_x:.0f}x, scanned {scanned_x:.0f}x, "
-        f"chunk120 {chunk120_x:.0f}x, device-only {device_x:.0f}x realtime on "
+        f"chunk120 {chunk120_x:.0f}x, chunk240 {chunk240_x:.0f}x, "
+        f"device-only {device_x:.0f}x realtime on "
         f"{platform} ({detections} detections)",
         file=sys.stderr,
     )
@@ -308,6 +317,7 @@ def _report(result: dict) -> None:
         "batched_x_realtime",
         "scanned_x_realtime",
         "chunk120_x_realtime",
+        "chunk240_x_realtime",
         "device_only_x_realtime",
         "platform",
         "measured_at",
