@@ -216,16 +216,15 @@ class PatternBank:
             section[:n_valid] = raw_section
 
             group_consts = tuple((g.corr, g.verify) for g in cls["groups"])
-            outs = _class_step_jit(
+            flat = _class_step_fused_jit(
                 jnp.asarray(section),
                 jnp.float32(n_valid),
                 cls["loud"],
                 group_consts,
                 metas=self._metas[sw],
                 height_min=self.height_min,
-                lean=True,
             )
-            dispatched.append((sw, outs, raw_section))
+            dispatched.append((sw, flat, raw_section))
         return dispatched
 
     def collect_chunk(
@@ -234,17 +233,54 @@ class PatternBank:
         """Block on a dispatched chunk; returns accepted 'full'-index peak
         positions per clip name (ascending)."""
         results: dict[str, list[int]] = {}
-        for sw, outs, raw_section in dispatched:
+        for sw, flat, raw_section in dispatched:
             cls = self.classes[sw]
-            for g, out in zip(cls["groups"], outs):
-                packed = np.asarray(out["packed"])  # one transfer per group
-                pos, sel, overflow = unpack_group(packed, g.k_verify)
+            flat_np = np.asarray(flat)  # ONE device->host transfer per class
+            rerun: list[NDArray[np.float32]] | None = None  # lazy full-tier
+            for gi, (g, packed) in enumerate(
+                zip(cls["groups"], _split_fused(flat_np, cls["groups"]))
+            ):
+                pos, sel, host_fb, needs_full = unpack_group(packed, g.k_verify)
                 for ci, name in enumerate(g.names):
-                    if overflow[ci]:
+                    if host_fb[ci]:
                         results[name] = self._host_fallback(g, ci, raw_section)
+                    elif needs_full[ci]:
+                        if rerun is None:
+                            rerun = self._full_tier_packed(sw, raw_section)
+                        rpos, rsel, rhost, _ = unpack_group(
+                            rerun[gi], g.k_verify
+                        )
+                        if rhost[ci]:
+                            results[name] = self._host_fallback(
+                                g, ci, raw_section
+                            )
+                        else:
+                            results[name] = [int(p) for p in rpos[ci][rsel[ci]]]
                     else:
                         results[name] = [int(p) for p in pos[ci][sel[ci]]]
         return results
+
+    def _full_tier_packed(
+        self, sw: int, raw_section: NDArray[np.float32]
+    ) -> list[NDArray[np.float32]]:
+        """Re-derive one section through the full-width (k_detect-lane)
+        single-tier device program — the slow-but-complete tier behind the
+        lean program's needs_full flag (rare: chunks near a pattern hit)."""
+        cls = self.classes[sw]
+        S = cls["section_len"]
+        section = np.zeros(S, dtype=np.float32)
+        section[: len(raw_section)] = raw_section
+        group_consts = tuple((g.corr, g.verify) for g in cls["groups"])
+        outs = _class_step_jit(
+            jnp.asarray(section),
+            jnp.float32(len(raw_section)),
+            cls["loud"],
+            group_consts,
+            metas=self._metas[sw],
+            height_min=self.height_min,
+            lean=False,
+        )
+        return [np.asarray(o["packed"]) for o in outs]
 
     def process_chunk(
         self,
@@ -306,35 +342,44 @@ class PatternBank:
             raw_sections_per_class[sw] = raws
 
             group_consts = tuple((g.corr, g.verify) for g in cls["groups"])
-            if mode == "scan":
-                outs = _class_step_scan_jit(
-                    jnp.asarray(sections),
-                    jnp.asarray(n_valids.astype(np.float32)),
-                    cls["loud"],
-                    group_consts,
-                    metas=self._metas[sw],
-                    height_min=self.height_min,
-                )
-            else:
-                outs = _class_step_batch_jit(
-                    jnp.asarray(sections),
-                    jnp.asarray(n_valids.astype(np.float32)),
-                    cls["loud"],
-                    group_consts,
-                    metas=self._metas[sw],
-                    height_min=self.height_min,
-                    lean=True,
-                )
+            step_jit = _class_step_scan_jit if mode == "scan" else _class_step_batch_jit
+            flat = step_jit(
+                jnp.asarray(sections),
+                jnp.asarray(n_valids.astype(np.float32)),
+                cls["loud"],
+                group_consts,
+                metas=self._metas[sw],
+                height_min=self.height_min,
+            )
+            flat_np = np.asarray(flat)  # (B, total), ONE transfer per class
 
-            for g, out in zip(cls["groups"], outs):
-                packed = np.asarray(out["packed"])  # (B, G, 2K+2), one transfer
-                pos, sel, overflow = unpack_group(packed, g.k_verify)
+            reruns: dict[int, list[NDArray[np.float32]]] = {}  # bi -> packed
+            for gi, (g, packed) in enumerate(
+                zip(cls["groups"], _split_fused(flat_np, cls["groups"]))
+            ):
+                pos, sel, host_fb, needs_full = unpack_group(packed, g.k_verify)
                 for bi in range(b):
                     for ci, name in enumerate(g.names):
-                        if overflow[bi, ci]:
+                        if host_fb[bi, ci]:
                             results[bi][name] = self._host_fallback(
                                 g, ci, raw_sections_per_class[sw][bi]
                             )
+                        elif needs_full[bi, ci]:
+                            if bi not in reruns:
+                                reruns[bi] = self._full_tier_packed(
+                                    sw, raw_sections_per_class[sw][bi]
+                                )
+                            rpos, rsel, rhost, _ = unpack_group(
+                                reruns[bi][gi], g.k_verify
+                            )
+                            if rhost[ci]:
+                                results[bi][name] = self._host_fallback(
+                                    g, ci, raw_sections_per_class[sw][bi]
+                                )
+                            else:
+                                results[bi][name] = [
+                                    int(p) for p in rpos[ci][rsel[ci]]
+                                ]
                         else:
                             results[bi][name] = [
                                 int(p) for p in pos[bi, ci][sel[bi, ci]]
@@ -358,17 +403,39 @@ class PatternBank:
         )
 
 
+def _split_fused(
+    flat: NDArray[np.float32], groups: list[ClipGroup]
+) -> list[NDArray[np.float32]]:
+    """Split a fused flat payload (..., total) into per-group (..., G, 2K+2)
+    views; leading batch axes pass through."""
+    out = []
+    off = 0
+    for g in groups:
+        gn = len(g.names)
+        w = 2 * g.k_verify + 2
+        out.append(
+            flat[..., off : off + gn * w].reshape(*flat.shape[:-1], gn, w)
+        )
+        off += gn * w
+    return out
+
+
 def unpack_group(
-    packed: NDArray[np.int32], k_verify: int
-) -> tuple[NDArray[np.int32], NDArray[np.bool_], NDArray[np.bool_]]:
+    packed: NDArray[np.float32], k_verify: int
+) -> tuple[
+    NDArray[np.int32], NDArray[np.bool_], NDArray[np.bool_], NDArray[np.bool_]
+]:
     """Split a group's packed f32 payload (..., 2K+2) into (pos, selected,
-    overflow) host arrays; leading batch axes pass through."""
+    host_fallback, needs_full_tier) host arrays; leading batch axes pass
+    through. ``host_fallback`` rows must be re-derived on the exact host
+    path; ``needs_full_tier`` rows (lean payloads only) must be re-derived
+    by the full-width device program (rich payloads never set it)."""
     pos = packed[..., :k_verify].astype(np.int32)
     sel = packed[..., k_verify : 2 * k_verify] != 0
-    overflow = (packed[..., 2 * k_verify] != 0) | (
-        packed[..., 2 * k_verify + 1] != 0
-    )
-    return pos, sel, overflow
+    flag = packed[..., 2 * k_verify]
+    host_fallback = (flag == 1.0) | (packed[..., 2 * k_verify + 1] != 0)
+    needs_full = flag == 2.0
+    return pos, sel, host_fallback, needs_full
 
 
 def _lean_group_packed(
@@ -382,27 +449,32 @@ def _lean_group_packed(
     height_min: float,
     verify_consts,
 ) -> jnp.ndarray:
-    """Production (lean) per-group tail: two-tier candidate DETECTION.
+    """Production (lean) per-group tail: 16-lane small-tier detection.
 
     The candidate mask and per-row counts cost one fused pass over (G, L);
     everything after — top_k extraction, greedy distance filter, bounds,
-    position compaction, verification — runs at a lane width chosen by a
-    runtime ``lax.cond`` on the max candidate count:
+    position compaction, verification — runs at a fixed _SMALL_TIER lane
+    width, which is exact for every row whose raw above-height candidate
+    count fits the tier (virtually every real chunk: the 0.25 height
+    threshold admits few or no local maxima). Rows that don't fit are
+    flagged for the host, which REruns the chunk through the single-tier
+    full-width program (`_class_step_jit(lean=False)`, exact for counts ≤
+    k_detect) — one extra round trip on the rare chunk near a pattern hit,
+    zero data-dependent control flow in the hot program (``lax.cond``-like
+    constructs carry heavy per-launch costs on the target runtime).
 
-    * small tier (≤ _SMALL_TIER raw candidates in every row — true for
-      virtually every real chunk, where the 0.25 height threshold admits
-      few or no local maxima): 16-lane top_k + a 16×16 greedy + 16-lane
-      verification, skipping the full-length k_detect sort entirely;
-    * full tier: the k_detect-lane path (with the nested two-tier
-      verification cond), for chunks near an actual pattern hit.
+    Flag column semantics (index 2·k_verify): 0 = row exact as returned;
+    1 = exact HOST fallback required (count > k_detect, or a ≥4-long
+    plateau at/above the height threshold where the fused mask could
+    differ from scipy semantics); 2 = full-tier device rerun required
+    (count fits k_detect but not the small tier).
 
-    Exactness: when every row's count ≤ k lanes, top_k(k) captures the
-    complete candidate set in the same priority order as top_k(k_detect)
-    (descending height, ties to lower index), the greedy filter sees the
-    same alive set, and survivors ≤ counts ≤ k ≤ k_verify, so both tiers
-    produce bitwise-identical packed payloads. Candidate overflow beyond
-    k_detect (and ≥4-long plateaus at/above the height threshold) still
-    flag the row into the exact host fallback, as before.
+    Exactness of the small tier: when a row's count ≤ lanes, top_k(lanes)
+    captures its complete candidate set in the same priority order as
+    top_k(k_detect) (descending height, ties to lower index), the greedy
+    filter sees the same alive set, and survivors ≤ count ≤ lanes ≤
+    k_verify — so the padded payload is bitwise what the full tier would
+    produce.
     """
     L = corr.shape[1]
     idx = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -411,73 +483,51 @@ def _lean_group_packed(
     plateau = long_plateau_present(x, height_min)
     counts = jnp.sum(mask, axis=1)  # (G,)
     scored = jnp.where(mask, x, -jnp.inf)
-    detect_fallback = (counts > k_detect) | plateau
 
-    def tier(k_lanes: int, small: bool) -> jnp.ndarray:
-        height, pos = jax.lax.top_k(scored, k_lanes)
-        pos = pos.astype(jnp.int32)
-        alive = jnp.isfinite(height)
-        keep = greedy_distance_filter(
-            PeakCandidates(pos, height, alive, detect_fallback), m
-        )
-        # Candidate bound checks (reference: audio_pattern_detector.py:531-546).
-        half = (2 * m - 1) // 2
-        keep = keep & ~(pos + half > valid_len + 5) & ~(pos - half < -5)
-        # Compact survivors, ascending by position.
-        kv = min(k_verify, k_lanes)
-        score = jnp.where(keep, -pos, -_BIG)
-        sv, _ = jax.lax.top_k(score, kv)
-        vpos = -sv
-        valive = sv > -_BIG
-        verify_overflow = jnp.sum(keep, axis=1) > kv
+    host_fallback = (counts > k_detect) | plateau
+    k_lanes = min(_SMALL_TIER, k_detect)
+    needs_full = ~host_fallback & (counts > k_lanes)
+    flag = jnp.where(host_fallback, 1.0, jnp.where(needs_full, 2.0, 0.0))
 
-        if kind == "marker":
-            verify_accept = lambda p, a: verify_marker(norm, p, a, verify_consts)  # noqa: E731
-        else:
-            verify_accept = lambda p, a: verify_normal(corr, p, a, verify_consts)[0]  # noqa: E731
+    height, pos = jax.lax.top_k(scored, k_lanes)
+    pos = pos.astype(jnp.int32)
+    alive = jnp.isfinite(height)
+    keep = greedy_distance_filter(
+        PeakCandidates(pos, height, alive, host_fallback), m
+    )
+    # Candidate bound checks (reference: audio_pattern_detector.py:531-546).
+    half = (2 * m - 1) // 2
+    keep = keep & ~(pos + half > valid_len + 5) & ~(pos - half < -5)
+    # Compact survivors, ascending by position.
+    kv = min(k_verify, k_lanes)
+    score = jnp.where(keep, -pos, -_BIG)
+    sv, _ = jax.lax.top_k(score, kv)
+    vpos = -sv
+    valive = sv > -_BIG
+    # Survivors ≤ count ≤ k_lanes ≤ k_verify on unflagged rows, so the
+    # verify tier cannot overflow here; flagged rows are re-derived anyway.
 
-        if small or kv <= _SMALL_TIER:
-            accept = verify_accept(vpos, valive)
-        else:
-            # Nested two-tier verification (see the lean path note below).
-            max_alive = jnp.max(jnp.sum(valive, axis=1))
+    if kind == "marker":
+        accept = verify_marker(norm, vpos, valive, verify_consts)
+    else:
+        accept = verify_normal(corr, vpos, valive, verify_consts)[0]
 
-            def small_tier(_):
-                acc = verify_accept(vpos[:, :_SMALL_TIER], valive[:, :_SMALL_TIER])
-                return jnp.pad(acc, ((0, 0), (0, kv - _SMALL_TIER)))
-
-            def full_tier(_):
-                return verify_accept(vpos, valive)
-
-            accept = jax.lax.cond(
-                max_alive <= _SMALL_TIER, small_tier, full_tier, None
-            )
-
-        sel = (valive & accept).astype(jnp.float32)
-        vposf = vpos.astype(jnp.float32)
-        if kv < k_verify:
-            pad = ((0, 0), (0, k_verify - kv))
-            # Dead-lane padding matches the full tier's compaction output
-            # bit-for-bit: position _BIG (from the -_BIG sentinel), sel 0.
-            vposf = jnp.pad(vposf, pad, constant_values=float(_BIG))
-            sel = jnp.pad(sel, pad)
-        return jnp.concatenate(
-            [
-                vposf,
-                sel,
-                detect_fallback[:, None].astype(jnp.float32),
-                verify_overflow[:, None].astype(jnp.float32),
-            ],
-            axis=1,
-        )
-
-    if k_detect <= _SMALL_TIER:
-        return tier(k_detect, False)
-    return jax.lax.cond(
-        jnp.max(counts) <= _SMALL_TIER,
-        lambda _: tier(_SMALL_TIER, True),
-        lambda _: tier(k_detect, False),
-        None,
+    sel = (valive & accept).astype(jnp.float32)
+    vposf = vpos.astype(jnp.float32)
+    if kv < k_verify:
+        pad = ((0, 0), (0, k_verify - kv))
+        # Dead-lane padding matches the full tier's compaction output
+        # bit-for-bit: position _BIG (from the -_BIG sentinel), sel 0.
+        vposf = jnp.pad(vposf, pad, constant_values=float(_BIG))
+        sel = jnp.pad(sel, pad)
+    return jnp.concatenate(
+        [
+            vposf,
+            sel,
+            flag[:, None].astype(jnp.float32),
+            jnp.zeros((flag.shape[0], 1), dtype=jnp.float32),
+        ],
+        axis=1,
     )
 
 
@@ -632,14 +682,33 @@ _class_step_jit = jax.jit(
     _class_step, static_argnames=("metas", "height_min", "lean")
 )
 
+
+# Fused production step: every group's packed payload flattened into ONE
+# f32 vector, so the host pays a single device->host transfer (one RPC on
+# remote runtimes) per class per chunk.
+def _class_step_fused(
+    section, n_valid, loud, group_consts, *, metas, height_min
+):
+    outs = _class_step(
+        section, n_valid, loud, group_consts,
+        metas=metas, height_min=height_min, lean=True,
+    )
+    return jnp.concatenate([o["packed"].reshape(-1) for o in outs])
+
+
+_class_step_fused_jit = jax.jit(
+    _class_step_fused, static_argnames=("metas", "height_min")
+)
+
+
 # Batched variant: vmap over (section, n_valid); constants broadcast.
 def _class_step_batch(
-    sections, n_valids, loud, group_consts, *, metas, height_min, lean=False
+    sections, n_valids, loud, group_consts, *, metas, height_min
 ):
     import functools
 
     step = functools.partial(
-        _class_step, metas=metas, height_min=height_min, lean=lean
+        _class_step_fused, metas=metas, height_min=height_min
     )
     return jax.vmap(step, in_axes=(0, 0, None, None))(
         sections, n_valids, loud, group_consts
@@ -647,7 +716,7 @@ def _class_step_batch(
 
 
 _class_step_batch_jit = jax.jit(
-    _class_step_batch, static_argnames=("metas", "height_min", "lean")
+    _class_step_batch, static_argnames=("metas", "height_min")
 )
 
 
@@ -661,11 +730,11 @@ def _class_step_scan(
 ):
     def body(carry, inp):
         section, n_valid = inp
-        outs = _class_step(
+        flat = _class_step_fused(
             section, n_valid, loud, group_consts,
-            metas=metas, height_min=height_min, lean=True,
+            metas=metas, height_min=height_min,
         )
-        return carry, tuple(o["packed"] for o in outs)
+        return carry, flat
 
     # Fully unrolled: sequential constructs (scan/while iterations) carry a
     # large per-step cost on the tunnel runtime, so the B chunk steps inline
@@ -674,7 +743,7 @@ def _class_step_scan(
     _, packs = jax.lax.scan(
         body, 0, (sections, n_valids), unroll=sections.shape[0]
     )
-    return [{"packed": p} for p in packs]
+    return packs  # (B, total)
 
 
 _class_step_scan_jit = jax.jit(

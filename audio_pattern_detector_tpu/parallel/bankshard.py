@@ -138,9 +138,12 @@ class BankShardedBank:
                 )
 
             for g, out in zip(cls["groups"], outs):
-                pos, sel, overflow = unpack_group(
+                pos, sel, host_fb, needs_full = unpack_group(
                     np.asarray(out["packed"]), g.k_verify
                 )
+                # needs_full (lean small-tier miss) is exact via the host
+                # path too — the sharded program has no full-tier rerun.
+                overflow = host_fb | needs_full
                 for ci, name in enumerate(g.names):
                     if overflow[ci]:
                         results[name] = bank._host_fallback(g, ci, raw_section)

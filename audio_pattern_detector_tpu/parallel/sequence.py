@@ -287,7 +287,10 @@ class ShardedStreamSession:
             outs = sd._jitted[key](blocks_dev, prev_tail_dev, jnp.float32(t_actual))
             for g, out in zip(cls["groups"], outs):
                 packed = np.asarray(out["packed"])  # (B, Dt, G, 2K+2)
-                pos, sel, overflow = unpack_group(packed, g.k_verify)
+                pos, sel, host_fb, needs_full = unpack_group(packed, g.k_verify)
+                # needs_full rows re-derive on the exact host path (the
+                # sharded program has no full-tier rerun).
+                overflow = host_fb | needs_full
                 for ci, name in enumerate(g.names):
                     clip_seconds = g.clip_len / sr
                     per_stream: list[list[float]] = []
