@@ -138,6 +138,17 @@ def main() -> None:
         ),
     )
     match_parser.add_argument(
+        "--offline-batch-mode",
+        choices=("vmap", "scan"),
+        default="vmap",
+        help=(
+            "how --offline-batch packs chunks into a launch: 'vmap' computes "
+            "them in parallel (throughput when the chip has memory headroom), "
+            "'scan' runs them sequentially inside one launch (one-chunk "
+            "memory, per-launch overhead amortised; best on remote runtimes)"
+        ),
+    )
+    match_parser.add_argument(
         "--profile",
         action="store_true",
         default=False,

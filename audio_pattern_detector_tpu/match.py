@@ -303,12 +303,15 @@ def _run_detector_offline(
     accumulate_results: bool,
     batch_chunks: int,
     trace_dir: "str | None",
+    batch_mode: str = "vmap",
 ) -> tuple[dict[str, list[float]] | None, float]:
     """Offline batched scan: identical results to the streaming loop via
     ``find_clip_in_array`` (same chunking/lookback/timestamp algebra), but
-    ``batch_chunks`` chunks per vmapped device launch. Events fire after the
-    scan, sorted by timestamp — the throughput mode for whole files, not for
-    live streams."""
+    ``batch_chunks`` chunks per device launch — computed in parallel
+    (``batch_mode="vmap"``) or sequentially inside one launch
+    (``batch_mode="scan"``, one-chunk memory footprint and per-launch
+    overhead amortised over the batch). Events fire after the scan, sorted
+    by timestamp — the throughput mode for whole files, not live streams."""
     from audio_pattern_detector_tpu.utils.profiling import device_trace
 
     bufs = []
@@ -320,7 +323,7 @@ def _run_detector_offline(
     audio = np.frombuffer(b"".join(bufs), dtype=np.float32)
     with device_trace(trace_dir):
         peak_times, total_time = detector.find_clip_in_array(
-            audio, batch_size=batch_chunks
+            audio, batch_size=batch_chunks, batch_mode=batch_mode
         )
     if on_pattern_detected is not None:
         for t, name in sorted(
@@ -344,6 +347,7 @@ def match_pattern(
     profile: bool = False,
     trace_dir: str | None = None,
     offline_batch: int | None = None,
+    offline_batch_mode: str = "vmap",
     pipeline_depth: int = 1,
 ) -> tuple[dict[str, list[float]] | None, float]:
     """Find pattern matches in an audio file or stdin stream.
@@ -359,6 +363,10 @@ def match_pattern(
     """
     if offline_batch is not None and (from_stdin or offline_batch < 1):
         raise ValueError("offline_batch requires file mode and a positive batch size")
+    if offline_batch_mode not in ("vmap", "scan"):
+        raise ValueError(
+            f"offline_batch_mode must be 'vmap' or 'scan', got {offline_batch_mode!r}"
+        )
     if not from_stdin:
         if audio_source is None or not os.path.exists(audio_source):
             raise ValueError(f"Audio {audio_source} does not exist")
@@ -421,6 +429,7 @@ def match_pattern(
                 peak_times, total_time = _run_detector_offline(
                     detector, full_streaming_audio, on_pattern_detected,
                     accumulate_results, offline_batch, trace_dir,
+                    offline_batch_mode,
                 )
             else:
                 peak_times, total_time = _run_detector(
@@ -446,6 +455,7 @@ def match_pattern(
             peak_times, total_time = _run_detector_offline(
                 detector, full_streaming_audio, on_pattern_detected,
                 accumulate_results, offline_batch, trace_dir,
+                offline_batch_mode,
             )
         else:
             peak_times, total_time = _run_detector(
@@ -573,6 +583,7 @@ def _run_match_with_output(
     profile: bool = False,
     trace_dir: "str | None" = None,
     offline_batch: int | None = None,
+    offline_batch_mode: str = "vmap",
     pipeline_depth: int = 1,
 ) -> tuple[None, float]:
     timestamp_format: str = getattr(args, "timestamp_format", "both")
@@ -593,6 +604,7 @@ def _run_match_with_output(
         profile=profile,
         trace_dir=trace_dir,
         offline_batch=offline_batch,
+        offline_batch_mode=offline_batch_mode,
         pipeline_depth=pipeline_depth,
     )
     print(f"Total time processed: {seconds_to_time(seconds=total_time)}", file=sys.stderr)
@@ -689,6 +701,7 @@ def cmd_match(args: argparse.Namespace) -> None:
             profile=profile,
             trace_dir=trace_dir,
             offline_batch=offline_batch,
+            offline_batch_mode=getattr(args, "offline_batch_mode", "vmap"),
             pipeline_depth=pipeline_depth,
         )
     else:

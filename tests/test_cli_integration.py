@@ -285,6 +285,12 @@ class TestOfflineBatchFlag:
         )
         assert off.returncode == 0, off.stderr.decode()
         assert parse_jsonl(off.stdout) == parse_jsonl(base.stdout)
+        scan = run_cli(
+            ["match", RTHK_AUDIO, "--pattern-file", RTHK_PATTERN,
+             "--offline-batch", "4", "--offline-batch-mode", "scan"]
+        )
+        assert scan.returncode == 0, scan.stderr.decode()
+        assert parse_jsonl(scan.stdout) == parse_jsonl(base.stdout)
 
 
 class TestNoMatchOutput:
