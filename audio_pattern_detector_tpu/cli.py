@@ -138,6 +138,18 @@ def main() -> None:
         ),
     )
     match_parser.add_argument(
+        "--stream-batch",
+        metavar="chunks",
+        type=int,
+        default=1,
+        help=(
+            "run N consecutive chunks per device launch in the streaming "
+            "loop (default: 1). Amortises per-launch round trips on remote "
+            "runtimes; identical results, events deferred to batch "
+            "boundaries (up to N chunks of latency)"
+        ),
+    )
+    match_parser.add_argument(
         "--offline-batch-mode",
         choices=("vmap", "scan"),
         default="vmap",

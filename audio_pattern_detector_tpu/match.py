@@ -279,6 +279,7 @@ def _run_detector(
     profile: bool,
     trace_dir: "str | None",
     pipeline_depth: int = 1,
+    stream_batch: int = 1,
 ) -> tuple[dict[str, list[float]] | None, float]:
     from audio_pattern_detector_tpu.utils.profiling import device_trace
 
@@ -288,6 +289,7 @@ def _run_detector(
             on_pattern_detected=on_pattern_detected,
             accumulate_results=accumulate_results,
             pipeline_depth=pipeline_depth,
+            stream_batch=stream_batch,
         )
     if profile:
         stats = getattr(detector, "last_run_stats", None)
@@ -349,6 +351,7 @@ def match_pattern(
     offline_batch: int | None = None,
     offline_batch_mode: str = "vmap",
     pipeline_depth: int = 1,
+    stream_batch: int = 1,
 ) -> tuple[dict[str, list[float]] | None, float]:
     """Find pattern matches in an audio file or stdin stream.
 
@@ -360,6 +363,9 @@ def match_pattern(
     streaming-identical results, events emitted post-scan.
     ``pipeline_depth`` keeps that many chunks in flight on the device
     (identical results; emission deferred by that many chunks).
+    ``stream_batch`` runs that many consecutive chunks per device launch
+    in the streaming loop (identical results; emission deferred to batch
+    boundaries) — the live-stream launch amortiser.
     """
     if offline_batch is not None and (from_stdin or offline_batch < 1):
         raise ValueError("offline_batch requires file mode and a positive batch size")
@@ -396,6 +402,7 @@ def match_pattern(
         return _match_pattern_wav_stdin(
             pattern_clips=pattern_clips,
             pipeline_depth=pipeline_depth,
+            stream_batch=stream_batch,
             debug_mode=debug_mode,
             on_pattern_detected=on_pattern_detected,
             accumulate_results=accumulate_results,
@@ -435,6 +442,7 @@ def match_pattern(
                 peak_times, total_time = _run_detector(
                     detector, full_streaming_audio, on_pattern_detected,
                     accumulate_results, profile, trace_dir, pipeline_depth,
+                    stream_batch,
                 )
         finally:
             stream_wrapper.close()
@@ -461,6 +469,7 @@ def match_pattern(
             peak_times, total_time = _run_detector(
                 detector, full_streaming_audio, on_pattern_detected,
                 accumulate_results, profile, trace_dir, pipeline_depth,
+                stream_batch,
             )
     return peak_times, total_time
 
@@ -477,6 +486,7 @@ def _match_pattern_wav_stdin(
     profile: bool = False,
     trace_dir: "str | None" = None,
     pipeline_depth: int = 1,
+    stream_batch: int = 1,
 ) -> tuple[dict[str, list[float]] | None, float]:
     stream_wrapper = _WavStdinStreamWrapper(target_sample_rate)
     audio_name = "stdin"
@@ -495,6 +505,7 @@ def _match_pattern_wav_stdin(
     return _run_detector(
         detector, full_streaming_audio, on_pattern_detected,
         accumulate_results, profile, trace_dir, pipeline_depth,
+        stream_batch,
     )
 
 
@@ -506,6 +517,8 @@ def _match_pattern_multiplexed_stdin(
     target_sample_rate: int,
     debug_dir: str = "./tmp",
     height_min: float | None = None,
+    pipeline_depth: int = 1,
+    stream_batch: int = 1,
 ) -> tuple[dict[str, list[float]] | None, float]:
     """Multiplexed stdin: patterns via the binary protocol, then WAV audio."""
     pattern_clips = _read_patterns_from_multiplexed_stdin(target_sample_rate)
@@ -526,6 +539,8 @@ def _match_pattern_multiplexed_stdin(
         full_streaming_audio,
         on_pattern_detected=on_pattern_detected,
         accumulate_results=accumulate_results,
+        pipeline_depth=pipeline_depth,
+        stream_batch=stream_batch,
     )
 
 
@@ -585,6 +600,7 @@ def _run_match_with_output(
     offline_batch: int | None = None,
     offline_batch_mode: str = "vmap",
     pipeline_depth: int = 1,
+    stream_batch: int = 1,
 ) -> tuple[None, float]:
     timestamp_format: str = getattr(args, "timestamp_format", "both")
     callback = _make_jsonl_callback(timestamp_format)
@@ -606,6 +622,7 @@ def _run_match_with_output(
         offline_batch=offline_batch,
         offline_batch_mode=offline_batch_mode,
         pipeline_depth=pipeline_depth,
+        stream_batch=stream_batch,
     )
     print(f"Total time processed: {seconds_to_time(seconds=total_time)}", file=sys.stderr)
     _emit_jsonl_end(total_time, timestamp_format)
@@ -648,6 +665,8 @@ def cmd_match(args: argparse.Namespace) -> None:
             target_sample_rate=sr,
             debug_dir=debug_dir,
             height_min=height_min,
+            pipeline_depth=getattr(args, "pipeline_depth", 1) or 1,
+            stream_batch=getattr(args, "stream_batch", 1) or 1,
         )
         print(
             f"Total time processed: {seconds_to_time(seconds=total_time)}",
@@ -674,6 +693,7 @@ def cmd_match(args: argparse.Namespace) -> None:
         sys.exit(1)
 
     pipeline_depth: int = getattr(args, "pipeline_depth", 1) or 1
+    stream_batch: int = getattr(args, "stream_batch", 1) or 1
     if args.stdin:
         _run_match_with_output(
             args,
@@ -687,6 +707,7 @@ def cmd_match(args: argparse.Namespace) -> None:
             profile=profile,
             trace_dir=trace_dir,
             pipeline_depth=pipeline_depth,
+            stream_batch=stream_batch,
         )
     elif args.audio_file:
         offline_batch: "int | None" = getattr(args, "offline_batch", None)
@@ -703,6 +724,7 @@ def cmd_match(args: argparse.Namespace) -> None:
             offline_batch=offline_batch,
             offline_batch_mode=getattr(args, "offline_batch_mode", "vmap"),
             pipeline_depth=pipeline_depth,
+            stream_batch=stream_batch,
         )
     else:
         print("Please provide an audio file or --stdin or --multiplexed-stdin", file=sys.stderr)

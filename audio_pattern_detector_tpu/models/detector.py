@@ -285,6 +285,7 @@ class AudioPatternDetector:
         checkpoint: "StreamCheckpoint | None" = None,
         on_checkpoint: "Callable[[StreamCheckpoint], None] | None" = None,
         pipeline_depth: int = 1,
+        stream_batch: int = 1,
     ) -> tuple[dict[str, list[float]] | None, float]:
         """Find clip occurrences in the audio stream.
 
@@ -305,9 +306,20 @@ class AudioPatternDetector:
         ``checkpoint``/``on_checkpoint`` give O(1) resume for unbounded
         streams: pass a previously observed StreamCheckpoint together with
         a stream positioned at its chunk boundary.
+
+        ``stream_batch`` (default 1) runs that many consecutive chunks
+        through ONE device launch (the sequential in-launch scan), paying
+        the per-launch round trip once per batch instead of once per chunk
+        — the live-stream analogue of ``--offline-batch``. Results and
+        callback order are identical; each chunk's emission is deferred to
+        its batch boundary (≤ stream_batch · seconds_per_chunk latency).
+        A short final batch is zero-padded on device and the padding's
+        results discarded, so no extra program is compiled at stream end.
         """
         if pipeline_depth < 1:
             raise ValueError(f"pipeline_depth must be >= 1, got {pipeline_depth}")
+        if stream_batch < 1:
+            raise ValueError(f"stream_batch must be >= 1, got {stream_batch}")
         if audio_stream.sample_rate != self.target_sample_rate:
             raise ValueError(
                 f"full_streaming_audio_clip {audio_stream.name} needs to be "
@@ -385,6 +397,43 @@ class AudioPatternDetector:
             if on_checkpoint is not None:
                 on_checkpoint(StreamCheckpoint(p_i + 1, p_tail, p_time))
 
+        # stream_batch mode: (chunk, had_prev, cum_time) buffered per batch.
+        batch_buf: "list[tuple[NDArray[np.float32], bool, float]]" = []
+        chunk_samples = self._chunk_size // 4
+
+        def flush_batch() -> None:
+            if not batch_buf:
+                return
+            nonlocal previous_chunk
+            chunks = [c for c, _, _ in batch_buf]
+            n_real = len(chunks)
+            # Zero-pad a short final batch so every flush reuses the ONE
+            # compiled scan program; padding results are discarded.
+            chunks += [
+                np.zeros(chunk_samples, dtype=np.float32)
+                for _ in range(stream_batch - n_real)
+            ]
+            with watch.segment("collect"):
+                results = bank.process_chunks_batch(
+                    chunks,
+                    previous_chunk if batch_buf[0][1] else None,
+                    mode="scan",
+                )
+            base_i = i - n_real
+            for k in range(n_real):
+                chunk_k, had_prev_k, time_k = batch_buf[k]
+                emit(base_i + k, had_prev_k, results[k])
+                if on_checkpoint is not None:
+                    on_checkpoint(
+                        StreamCheckpoint(
+                            base_i + k + 1,
+                            chunk_k[int(-max_sw * sr):].copy(),
+                            time_k,
+                        )
+                    )
+            previous_chunk = batch_buf[-1][0]
+            batch_buf.clear()
+
         while True:
             with watch.segment("read"):
                 in_bytes = stdout.read(self._chunk_size)
@@ -398,6 +447,14 @@ class AudioPatternDetector:
             if self.debug_mode:
                 # Debug runs the exact host path serially (full artifacts).
                 emit(i, previous_chunk is not None, self._process_chunk_debug(chunk, previous_chunk, i))
+                previous_chunk = chunk
+            elif stream_batch > 1:
+                had_prev = previous_chunk is not None or bool(batch_buf)
+                batch_buf.append((chunk, had_prev, total_time))
+                i += 1
+                if len(batch_buf) == stream_batch:
+                    flush_batch()
+                continue
             else:
                 with watch.segment("dispatch"):
                     dispatched = bank.dispatch_chunk(chunk, previous_chunk)
@@ -412,10 +469,11 @@ class AudioPatternDetector:
                 )
                 if len(pending) > pipeline_depth:
                     drain_one()
+                previous_chunk = chunk
 
-            previous_chunk = chunk
             i += 1
 
+        flush_batch()
         while pending:
             drain_one()
         watch.finish()

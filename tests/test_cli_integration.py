@@ -292,6 +292,16 @@ class TestOfflineBatchFlag:
         assert scan.returncode == 0, scan.stderr.decode()
         assert parse_jsonl(scan.stdout) == parse_jsonl(base.stdout)
 
+    def test_stream_batch_same_events_as_streaming(self):
+        base = run_cli(["match", RTHK_AUDIO, "--pattern-file", RTHK_PATTERN])
+        assert base.returncode == 0, base.stderr.decode()
+        sb = run_cli(
+            ["match", RTHK_AUDIO, "--pattern-file", RTHK_PATTERN,
+             "--stream-batch", "2"]
+        )
+        assert sb.returncode == 0, sb.stderr.decode()
+        assert parse_jsonl(sb.stdout) == parse_jsonl(base.stdout)
+
 
 class TestNoMatchOutput:
     def test_only_start_and_end_events(self):
