@@ -266,13 +266,44 @@ def run_bench() -> dict:
     chunk120_x = big_chunk_x.get(120, 0.0)
     chunk240_x = big_chunk_x.get(240, 0.0)
 
+    # ── Batched live streaming (--stream-batch N: N chunks per launch in
+    # the streaming loop; the launch amortiser for live streams) ──
+    import io
+
+    from audio_pattern_detector_tpu.utils.clip import AudioStream
+
+    def run_stream_batch(n_iters: int, sb: int) -> float:
+        raw = b"".join(
+            chunks[i % n_distinct].tobytes() for i in range(n_iters)
+        )
+        stream = AudioStream(
+            name="bench", audio_stream=io.BytesIO(raw), sample_rate=sr
+        )
+        t0 = time.perf_counter()
+        det.find_clip_in_audio(stream, accumulate_results=False, stream_batch=sb)
+        return n_iters * chunk_seconds / (time.perf_counter() - t0)
+
+    stream_batch_n = int(os.environ.get("APD_BENCH_STREAM_BATCH", "4"))
+    stream_batch_x = 0.0
+    try:
+        run_stream_batch(stream_batch_n, stream_batch_n)  # warm the scan program
+        for _ in range(2):
+            stream_batch_x = max(
+                stream_batch_x, run_stream_batch(5 * stream_batch_n, stream_batch_n)
+            )
+    except Exception as e:  # noqa: BLE001 — secondary metric only
+        print(f"[bench] stream-batch metric failed: {e}", file=sys.stderr)
+
     # Second streaming sample (the first ran before the big-chunk compiles).
     streaming2_x, _ = run_streaming(20)
     streaming_x = max(streaming_x, streaming2_x)
     _persist_partial(streaming_x, detections)
 
     platform = jax.devices()[0].platform
-    best = max(streaming_x, deep_x, batched_x, scanned_x, chunk120_x, chunk240_x)
+    best = max(
+        streaming_x, deep_x, batched_x, scanned_x,
+        chunk120_x, chunk240_x, stream_batch_x,
+    )
     result = {
         "metric": "realtime_factor_64clip",
         "value": round(best, 1),
@@ -282,6 +313,7 @@ def run_bench() -> dict:
         "deep_pipeline_x_realtime": round(deep_x, 1),
         "batched_x_realtime": round(batched_x, 1),
         "scanned_x_realtime": round(scanned_x, 1),
+        "stream_batch_x_realtime": round(stream_batch_x, 1),
         "chunk120_x_realtime": round(chunk120_x, 1),
         "chunk240_x_realtime": round(chunk240_x, 1),
         "device_only_x_realtime": round(device_x, 1),
@@ -292,6 +324,7 @@ def run_bench() -> dict:
     print(
         f"[bench] streaming {streaming_x:.0f}x (depth3 {deep_x:.0f}x), "
         f"batched {batched_x:.0f}x, scanned {scanned_x:.0f}x, "
+        f"stream-batch{stream_batch_n} {stream_batch_x:.0f}x, "
         f"chunk120 {chunk120_x:.0f}x, chunk240 {chunk240_x:.0f}x, "
         f"device-only {device_x:.0f}x realtime on "
         f"{platform} ({detections} detections)",
@@ -338,6 +371,7 @@ def _report(result: dict) -> None:
         "deep_pipeline_x_realtime",
         "batched_x_realtime",
         "scanned_x_realtime",
+        "stream_batch_x_realtime",
         "chunk120_x_realtime",
         "chunk240_x_realtime",
         "device_only_x_realtime",
