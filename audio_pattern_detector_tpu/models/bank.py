@@ -31,6 +31,8 @@ from audio_pattern_detector_tpu.ops.correlate import (
     CorrelationBankConsts,
     bank_correlate,
     build_correlation_bank,
+    class_overlap_save_geometry,
+    section_segment_spectra,
 )
 from audio_pattern_detector_tpu.ops.loudness import (
     LoudnessConsts,
@@ -105,6 +107,24 @@ class PatternBank:
             key = (cd["sliding_window"], len(cd["clip"]), kind)
             grouped.setdefault(key, []).append(name)
 
+        # One shared overlap-save geometry per sliding-window class (sized
+        # for its largest clip), so the section's segment FFT is computed
+        # once per chunk and reused by every group.
+        class_clip_lens: dict[int, list[int]] = {}
+        for (sw, m, kind) in grouped:
+            class_clip_lens.setdefault(sw, []).append(m)
+        import os as _os
+
+        _overlap_save = _os.environ.get("APD_NO_OVERLAP_SAVE") != "1"
+        shared_geoms = {
+            sw: class_overlap_save_geometry(
+                sw * sample_rate + chunk_samples, ms
+            )
+            if _overlap_save
+            else None
+            for sw, ms in class_clip_lens.items()
+        }
+
         self.classes: dict[int, dict[str, Any]] = {}
         for (sw, m, kind), names in sorted(grouped.items()):
             section_len = sw * sample_rate + chunk_samples
@@ -117,12 +137,10 @@ class PatternBank:
                 },
             )
             if cls["loud"] is None:
-                import os as _os
-
                 cls["loud"] = build_loudness_consts(
                     section_len,
                     sample_rate,
-                    overlap_save=_os.environ.get("APD_NO_OVERLAP_SAVE") != "1",
+                    overlap_save=_overlap_save,
                 )
 
             clips_np = np.stack([clip_datas[n]["clip"] for n in names])
@@ -130,13 +148,12 @@ class PatternBank:
             self_max_np = np.array(
                 [float(clip_datas[n]["correlation_clip_absolute_max"]) for n in names]
             )
-            import os as _os
-
             corr = build_correlation_bank(
                 clips_np,
                 self_max_np,
                 section_len,
-                overlap_save=_os.environ.get("APD_NO_OVERLAP_SAVE") != "1",
+                overlap_save=_overlap_save,
+                shared_geometry=shared_geoms[sw],
             )
 
             full_len = corr.full_len
@@ -553,11 +570,26 @@ def _class_step(
     lufs = integrated_loudness_device(section, n_valid, loud)
     norm = loudness_normalize_device(section, lufs)
 
+    # One section-segment FFT for the whole class when every group shares
+    # the class geometry (out_offset/pad_left set by the shared builder).
+    shared_spec = None
+    if group_consts and all(
+        c.num_segments > 1 and c.pad_left >= 0 and c.step > 0
+        for c, _ in group_consts
+    ):
+        first = group_consts[0][0]
+        if all(
+            (c.fft_len, c.step, c.pad_left, c.num_segments)
+            == (first.fft_len, first.step, first.pad_left, first.num_segments)
+            for c, _ in group_consts
+        ):
+            shared_spec = section_segment_spectra(norm, first)
+
     outs = []
     for (kind, m, k_detect, k_verify), (corr_consts, verify_consts) in zip(
         metas, group_consts
     ):
-        corr, valid_len = bank_correlate(norm, n_valid, corr_consts)
+        corr, valid_len = bank_correlate(norm, n_valid, corr_consts, shared_spec)
 
         if lean and height_min > 0:
             # Production streaming path: two-tier detection + verification

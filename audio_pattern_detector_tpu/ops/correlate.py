@@ -56,6 +56,14 @@ class CorrelationBankConsts:
     fft_len: int = static_field()  # segment/whole FFT size
     full_len: int = static_field()  # L = S + m - 1
     num_segments: int = static_field(default=1)  # 1 = single-FFT mode
+    # Shared-geometry fields: when several groups of one class share one
+    # segment decomposition (one section FFT for the whole class), the
+    # geometry is sized for the class's largest clip (m_max) and each
+    # group's 'full'-ordered output starts m_max - m into the flat lag
+    # stream. Defaults reproduce the per-group geometry.
+    step: int = static_field(default=0)  # 0 → fft_len - clip_len + 1
+    pad_left: int = static_field(default=-1)  # -1 → clip_len - 1
+    out_offset: int = static_field(default=0)  # m_max - m
 
 
 def _overlap_save_geometry(section_len: int, m: int) -> tuple[int, int, int]:
@@ -70,14 +78,40 @@ def _overlap_save_geometry(section_len: int, m: int) -> tuple[int, int, int]:
     return fft_len, step, num_segments
 
 
+def class_overlap_save_geometry(
+    section_len: int, clip_lens: list[int]
+) -> "tuple[int, int, int, int] | None":
+    """Shared (fft_len, step, num_segments, m_max) for one class's groups.
+
+    Sized for the largest clip, so every group's circular segments are
+    wrap-free over the shared ``step = fft_len - m_max + 1`` lag window and
+    the section's segment FFT is computed ONCE per chunk for the whole
+    class. Returns None when the section is small enough that the single-
+    FFT mode applies (groups then keep their per-group geometry)."""
+    m_max = max(clip_lens)
+    fft_len, step, num_segments = _overlap_save_geometry(section_len, m_max)
+    if num_segments <= 1:
+        return None
+    return fft_len, step, num_segments, m_max
+
+
 def build_correlation_bank(
     clips: NDArray[np.float32],  # (G, m) loudness-normalised clips
     self_corr_max: NDArray[np.floating],
     section_len: int,
     overlap_save: bool = True,
+    shared_geometry: "tuple[int, int, int, int] | None" = None,
 ) -> CorrelationBankConsts:
     g, m = clips.shape
-    if overlap_save:
+    step = 0
+    pad_left = -1
+    out_offset = 0
+    if shared_geometry is not None and overlap_save:
+        fft_len, step, num_segments, m_max = shared_geometry
+        assert m <= m_max, (m, m_max)
+        pad_left = m_max - 1
+        out_offset = m_max - m
+    elif overlap_save:
         fft_len, _, num_segments = _overlap_save_geometry(section_len, m)
     else:
         fft_len, num_segments = next_pow2(section_len + m - 1), 1
@@ -88,6 +122,9 @@ def build_correlation_bank(
         fft_len=fft_len,
         full_len=section_len + m - 1,
         num_segments=num_segments,
+        step=step,
+        pad_left=pad_left,
+        out_offset=out_offset,
         bank_rfft_conj_ri=host_const(
             np.stack([bank.real, bank.imag]).astype(np.float32), np.float32
         ),
@@ -102,7 +139,28 @@ def _bank_spec(consts: "CorrelationBankConsts") -> jnp.ndarray:
     )
 
 
-def _correlate_raw(section: jnp.ndarray, consts: CorrelationBankConsts) -> jnp.ndarray:
+def section_segment_spectra(
+    section: jnp.ndarray, consts: CorrelationBankConsts
+) -> jnp.ndarray:
+    """rfft of the section's overlap-save segments — (ns, N//2+1) c64.
+
+    With a class-shared geometry this is computed ONCE per chunk and reused
+    by every group's :func:`bank_correlate`."""
+    N = consts.fft_len
+    step = consts.step or (N - consts.clip_len + 1)
+    pad_left = consts.pad_left if consts.pad_left >= 0 else consts.clip_len - 1
+    ns = consts.num_segments
+    padded = jnp.pad(section, (pad_left, ns * step + N - (len(section) + pad_left)))
+    starts = jnp.arange(ns, dtype=jnp.int32) * step
+    segments = slice_shared_windows(padded, starts, N)  # (ns, N) slice-gather
+    return jnp.fft.rfft(segments, axis=1)
+
+
+def _correlate_raw(
+    section: jnp.ndarray,
+    consts: CorrelationBankConsts,
+    seg_spec: "jnp.ndarray | None" = None,
+) -> jnp.ndarray:
     """|full cross-correlation| (G, L), unnormalised."""
     m = consts.clip_len
     N = consts.fft_len
@@ -115,26 +173,28 @@ def _correlate_raw(section: jnp.ndarray, consts: CorrelationBankConsts) -> jnp.n
         z = jnp.fft.irfft(spec[None, :] * _bank_spec(consts), n=N, axis=1)
         return jnp.abs(jnp.roll(z, m - 1, axis=1)[:, :L])
 
-    # Overlap-save: segment j starts at lag j·step; its circular correlation
-    # with the clip is valid (no wrap) for the first step = N - m + 1 lags.
-    # 'full' index k = lag + m - 1, so segment sources begin m - 1 samples
-    # before the section: pad left by m - 1.
-    step = N - m + 1
+    # Overlap-save: segment j starts at padded offset j·step; its circular
+    # correlation with the clip is wrap-free for the first N - m + 1 lags
+    # (the shared-geometry step = N - m_max + 1 is within that for every
+    # group). Padded lag l maps to 'full' index k = l - out_offset, where
+    # out_offset = pad_left - (m - 1) (0 for per-group geometry).
+    step = consts.step or (N - m + 1)
     ns = consts.num_segments
-    padded = jnp.pad(section, (m - 1, ns * step + N - (len(section) + m - 1)))
-    starts = jnp.arange(ns, dtype=jnp.int32) * step
-    segments = slice_shared_windows(padded, starts, N)  # (ns, N) slice-gather
-    seg_spec = jnp.fft.rfft(segments, axis=1)  # shared across the bank
+    if seg_spec is None:
+        seg_spec = section_segment_spectra(section, consts)
     y = jnp.fft.irfft(
         seg_spec[None, :, :] * _bank_spec(consts)[:, None, :], n=N, axis=2
     )  # (G, ns, N)
-    return jnp.abs(y[:, :, :step].reshape(y.shape[0], ns * step)[:, :L])
+    flat = y[:, :, :step].reshape(y.shape[0], ns * step)
+    off = consts.out_offset
+    return jnp.abs(flat[:, off : off + L])
 
 
 def bank_correlate(
     section: jnp.ndarray,  # (S,) f32 — normalised, NaN-scrubbed, zero-padded
     n_valid: jnp.ndarray,  # int32 — true sample count
     consts: CorrelationBankConsts,
+    seg_spec: "jnp.ndarray | None" = None,  # precomputed section spectra
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """abs full cross-correlation of the section against the whole bank.
 
@@ -147,7 +207,7 @@ def bank_correlate(
     """
     m = consts.clip_len
     L = consts.full_len
-    corr = _correlate_raw(section, consts)
+    corr = _correlate_raw(section, consts, seg_spec)
 
     valid_len = jnp.asarray(n_valid).astype(jnp.int32) + (m - 1)
     in_range = jnp.arange(L, dtype=jnp.int32)[None, :] < valid_len

@@ -394,6 +394,96 @@ class TestOverlapSaveCorrelation:
         assert abs(l_big - l_seg) < 1e-5
 
 
+class TestSharedClassGeometry:
+    """Class-shared overlap-save: one section segment FFT reused by every
+    group of a sliding-window class (different clip lengths)."""
+
+    def test_matches_per_group_geometry(self):
+        from audio_pattern_detector_tpu.ops.correlate import (
+            class_overlap_save_geometry,
+            section_segment_spectra,
+        )
+
+        rng = np.random.default_rng(23)
+        S = 9 * SR
+        n = S - 777
+        sig = rng.standard_normal(n).astype(np.float32)
+        x = np.zeros(S, np.float32)
+        x[:n] = sig
+        xj = jnp.asarray(x)
+        nv = jnp.int32(n)
+
+        ms = [900, 1600, 2400]
+        geom = class_overlap_save_geometry(S, ms)
+        assert geom is not None
+        spec = None
+        for m in ms:
+            clips = rng.standard_normal((2, m)).astype(np.float32)
+            smax = np.array(
+                [np.abs(hostref.fft_correlate_1d(c, c)).max() for c in clips]
+            )
+            shared = build_correlation_bank(clips, smax, S, shared_geometry=geom)
+            solo = build_correlation_bank(clips, smax, S)
+            # Every group shares one segment decomposition; only the
+            # largest clip reads from lag offset 0.
+            assert shared.out_offset == max(ms) - m
+            if spec is None:
+                spec = section_segment_spectra(xj, shared)
+            c_shared, _ = bank_correlate(xj, nv, shared, spec)
+            c_solo, _ = bank_correlate(xj, nv, solo)
+            np.testing.assert_allclose(
+                np.asarray(c_shared), np.asarray(c_solo), atol=2e-6
+            )
+
+    def test_pattern_bank_assigns_shared_geometry(self):
+        from audio_pattern_detector_tpu.utils.clip import AudioClip
+        from audio_pattern_detector_tpu.models.detector import AudioPatternDetector
+
+        rng = np.random.default_rng(5)
+        # Two normal clips of different lengths in the same 1 s class.
+        t1 = np.arange(int(0.6 * SR)) / SR
+        t2 = np.arange(int(0.9 * SR)) / SR
+        clip_a = (0.5 * np.sin(2 * np.pi * 620.0 * t1)).astype(np.float32)
+        clip_b = (
+            0.5 * np.sin(2 * np.pi * 870.0 * t2) * np.hanning(len(t2))
+        ).astype(np.float32)
+        det = AudioPatternDetector(
+            [
+                AudioClip(name="a", audio=clip_a, sample_rate=SR),
+                AudioClip(name="b", audio=clip_b, sample_rate=SR),
+            ],
+            seconds_per_chunk=10,
+        )
+        bank = det._ensure_bank()
+        (cls,) = bank.classes.values()
+        geoms = {
+            (g.corr.fft_len, g.corr.step, g.corr.num_segments)
+            for g in cls["groups"]
+        }
+        assert len(cls["groups"]) == 2 and len(geoms) == 1
+        offsets = sorted(g.corr.out_offset for g in cls["groups"])
+        assert offsets[0] == 0 and offsets[1] > 0
+
+        # End-to-end: embedded occurrences of both clips are found by the
+        # shared-geometry device program at the exact embed times.
+        audio = (0.01 * rng.standard_normal(20 * SR)).astype(np.float32)
+        audio[3 * SR : 3 * SR + len(clip_a)] += clip_a
+        audio[12 * SR : 12 * SR + len(clip_b)] += clip_b
+        import io
+
+        from audio_pattern_detector_tpu.utils.clip import AudioStream
+
+        stream = AudioStream(
+            name="synthetic",
+            audio_stream=io.BytesIO(audio.tobytes()),
+            sample_rate=SR,
+        )
+        results, total = det.find_clip_in_audio(stream)
+        assert results is not None
+        assert any(abs(t - 3.0) < 0.05 for t in results["a"]), results
+        assert any(abs(t - 12.0) < 0.05 for t in results["b"]), results
+
+
 class TestMultiRateLoudness:
     @pytest.mark.parametrize("rate", [16000, 44100])
     def test_matches_host_at_rate(self, rate):
