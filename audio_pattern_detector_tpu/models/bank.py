@@ -46,6 +46,7 @@ from audio_pattern_detector_tpu.ops.peaks import (
     greedy_distance_filter,
     long_plateau_present,
     short_run_local_maxima_mask,
+    topk_sparse,
 )
 from audio_pattern_detector_tpu.ops.verify import (
     MarkerVerifyConsts,
@@ -506,8 +507,7 @@ def _lean_group_packed(
     needs_full = ~host_fallback & (counts > k_lanes)
     flag = jnp.where(host_fallback, 1.0, jnp.where(needs_full, 2.0, 0.0))
 
-    height, pos = jax.lax.top_k(scored, k_lanes)
-    pos = pos.astype(jnp.int32)
+    height, pos = topk_sparse(scored, k_lanes)
     alive = jnp.isfinite(height)
     keep = greedy_distance_filter(
         PeakCandidates(pos, height, alive, host_fallback), m

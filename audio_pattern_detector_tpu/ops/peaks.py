@@ -20,6 +20,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from audio_pattern_detector_tpu.ops.slicing import slice_rows_windows
+
 
 class PeakCandidates(NamedTuple):
     pos: jnp.ndarray  # (G, K) int32 — 'full' correlation indices
@@ -139,6 +141,50 @@ def long_plateau_present(x: jnp.ndarray, height_min: float) -> jnp.ndarray:
     return jnp.any(quad, axis=1)
 
 
+_TOPK_BLOCK = 512
+
+
+def topk_sparse(
+    scored: jnp.ndarray,  # (G, L) f32, non-candidates = -inf
+    k: int,
+    block: int = _TOPK_BLOCK,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Hierarchical top-k over a mostly--inf row: (height, pos), both (G, k).
+
+    ``lax.top_k`` over the full (G, L≈500k) correlation is the single most
+    expensive op of the lean program on the target backend (~13 ms/chunk
+    measured standalone). This runs in three cheap stages instead:
+
+    1. block-max over (G, nb, block) — one streaming pass that XLA fuses
+       with the candidate-mask pass producing ``scored``;
+    2. ``top_k`` over the (G, nb≈L/block) block maxima;
+    3. slice-gather the k winning blocks (ascending block index) and
+       ``top_k`` over the (G, k·block) expansion.
+
+    Exactness: any global top-k element in an unexpanded block would be
+    bounded by k distinct expanded block maxima, a contradiction — so the
+    returned value multiset equals full ``top_k``'s except when a value tie
+    straddles the k-th selection boundary. Gathering blocks in ascending
+    index order makes stage-3 ties resolve to the lower global index, so
+    whenever a row holds ≤ k finite entries (the condition under which
+    every caller uses the result unflagged) the output is bitwise identical
+    to ``lax.top_k(scored, k)``.
+    """
+    G, L = scored.shape
+    nb = -(-L // block)
+    pad = nb * block - L
+    if pad:
+        scored = jnp.pad(scored, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    bmax = jnp.max(scored.reshape(G, nb, block), axis=2)
+    kb = min(k, nb)
+    _, bidx = jax.lax.top_k(bmax, kb)
+    border = jnp.sort(bidx, axis=1).astype(jnp.int32)
+    gathered = slice_rows_windows(scored, border * block, block)
+    height, li = jax.lax.top_k(gathered.reshape(G, kb * block), k)
+    pos = jnp.take_along_axis(border, li // block, axis=1) * block + li % block
+    return height, pos.astype(jnp.int32)
+
+
 def select_candidates(
     x: jnp.ndarray,  # (G, L)
     peak_mask: jnp.ndarray,  # (G, L) bool
@@ -147,10 +193,10 @@ def select_candidates(
     """Top-K candidates by height (ties → lower index, matching the
     reference priority order, lib.rs:444-451)."""
     scored = jnp.where(peak_mask, x, -jnp.inf)
-    height, pos = jax.lax.top_k(scored, k)
+    height, pos = topk_sparse(scored, k)
     alive = jnp.isfinite(height)
     overflow = jnp.sum(peak_mask, axis=1) > k
-    return PeakCandidates(pos.astype(jnp.int32), height, alive, overflow)
+    return PeakCandidates(pos, height, alive, overflow)
 
 
 # Above this candidate count the O(K^2) conflict matrix of the parallel

@@ -95,6 +95,74 @@ class TestDeviceCorrelation:
             assert np.all(corr[gi, n + m - 1 :] == 0)
 
 
+class TestTopkSparse:
+    """Hierarchical top-k vs lax.top_k on candidate-shaped inputs."""
+
+    @pytest.mark.parametrize("seed,n_cand", [(0, 5), (1, 16), (2, 0), (3, 12)])
+    def test_bitwise_identical_when_sparse(self, seed, n_cand):
+        from audio_pattern_detector_tpu.ops.peaks import topk_sparse
+
+        rng = np.random.default_rng(seed)
+        G, L, k = 3, 49999, 16
+        scored = np.full((G, L), -np.inf, np.float32)
+        for g in range(G):
+            pos = rng.choice(L, size=n_cand, replace=False)
+            scored[g, pos] = rng.uniform(0.25, 1.0, size=n_cand).astype(
+                np.float32
+            )
+        h, p = topk_sparse(jnp.asarray(scored), k)
+        h_ref, p_ref = jax.lax.top_k(jnp.asarray(scored), k)
+        np.testing.assert_array_equal(np.asarray(h), np.asarray(h_ref))
+        # Positions of dead (-inf) lanes are arbitrary in both.
+        aliveref = np.isfinite(np.asarray(h_ref))
+        np.testing.assert_array_equal(
+            np.asarray(p)[aliveref], np.asarray(p_ref)[aliveref]
+        )
+
+    def test_tie_breaks_to_lower_index(self):
+        from audio_pattern_detector_tpu.ops.peaks import topk_sparse
+
+        L, k = 30000, 16
+        scored = np.full((1, L), -np.inf, np.float32)
+        # Bitwise-equal candidates far apart (different blocks) + distinct.
+        scored[0, [100, 7000, 21000]] = np.float32(0.5)
+        scored[0, 12345] = np.float32(0.75)
+        h, p = topk_sparse(jnp.asarray(scored), k)
+        h, p = np.asarray(h)[0], np.asarray(p)[0]
+        assert p[0] == 12345
+        np.testing.assert_array_equal(p[1:4], [100, 7000, 21000])
+        np.testing.assert_array_equal(h[:4], [0.75, 0.5, 0.5, 0.5])
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_dense_overflow_value_set(self, seed):
+        """Even past the exactness condition (count > k), the returned
+        value multiset equals full top_k's (distinct random values)."""
+        from audio_pattern_detector_tpu.ops.peaks import topk_sparse
+
+        rng = np.random.default_rng(100 + seed)
+        L, k = 20000, 16
+        scored = np.full((1, L), -np.inf, np.float32)
+        pos = rng.choice(L, size=500, replace=False)
+        scored[0, pos] = rng.uniform(0.1, 1.0, size=500).astype(np.float32)
+        h, _ = topk_sparse(jnp.asarray(scored), k)
+        h_ref, _ = jax.lax.top_k(jnp.asarray(scored), k)
+        np.testing.assert_array_equal(np.asarray(h), np.asarray(h_ref))
+
+    def test_clustered_in_one_block(self):
+        from audio_pattern_detector_tpu.ops.peaks import topk_sparse
+
+        L, k = 10000, 16
+        scored = np.full((1, L), -np.inf, np.float32)
+        # All candidates inside a single 512-block: stage 2 must still
+        # surface every one through the block expansion.
+        vals = np.linspace(0.3, 0.9, 10).astype(np.float32)
+        scored[0, 1024:1034] = vals
+        h, p = topk_sparse(jnp.asarray(scored), k)
+        h, p = np.asarray(h)[0], np.asarray(p)[0]
+        np.testing.assert_array_equal(h[:10], vals[::-1])
+        np.testing.assert_array_equal(p[:10], np.arange(1033, 1023, -1))
+
+
 class TestDevicePeaks:
     @pytest.mark.parametrize("seed", range(4))
     def test_matches_host_find_peaks(self, seed):
