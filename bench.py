@@ -253,7 +253,7 @@ def run_bench() -> dict:
     big_chunk_x: dict[int, float] = {}
     big_sizes = [
         int(s)
-        for s in os.environ.get("APD_BENCH_BIG_CHUNKS", "120,240").split(",")
+        for s in os.environ.get("APD_BENCH_BIG_CHUNKS", "120,240,480").split(",")
         if s
     ]
     for _pass in range(2):
@@ -263,8 +263,6 @@ def run_bench() -> dict:
                 big_chunk_x[big_s] = max(big_chunk_x.get(big_s, 0.0), x)
             except Exception as e:  # noqa: BLE001 — secondary metric only
                 print(f"[bench] chunk{big_s} metric failed: {e}", file=sys.stderr)
-    chunk120_x = big_chunk_x.get(120, 0.0)
-    chunk240_x = big_chunk_x.get(240, 0.0)
 
     # ── Batched live streaming (--stream-batch N: N chunks per launch in
     # the streaming loop; the launch amortiser for live streams) ──
@@ -301,8 +299,8 @@ def run_bench() -> dict:
 
     platform = jax.devices()[0].platform
     best = max(
-        streaming_x, deep_x, batched_x, scanned_x,
-        chunk120_x, chunk240_x, stream_batch_x,
+        streaming_x, deep_x, batched_x, scanned_x, stream_batch_x,
+        *big_chunk_x.values(),
     )
     result = {
         "metric": "realtime_factor_64clip",
@@ -314,18 +312,23 @@ def run_bench() -> dict:
         "batched_x_realtime": round(batched_x, 1),
         "scanned_x_realtime": round(scanned_x, 1),
         "stream_batch_x_realtime": round(stream_batch_x, 1),
-        "chunk120_x_realtime": round(chunk120_x, 1),
-        "chunk240_x_realtime": round(chunk240_x, 1),
+        **{
+            f"chunk{s}_x_realtime": round(x, 1)
+            for s, x in sorted(big_chunk_x.items())
+        },
         "device_only_x_realtime": round(device_x, 1),
         "platform": platform,
         "detections": detections,
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
+    big_str = " ".join(
+        f"chunk{s} {x:.0f}x" for s, x in sorted(big_chunk_x.items())
+    )
     print(
         f"[bench] streaming {streaming_x:.0f}x (depth3 {deep_x:.0f}x), "
         f"batched {batched_x:.0f}x, scanned {scanned_x:.0f}x, "
         f"stream-batch{stream_batch_n} {stream_batch_x:.0f}x, "
-        f"chunk120 {chunk120_x:.0f}x, chunk240 {chunk240_x:.0f}x, "
+        f"{big_str}, "
         f"device-only {device_x:.0f}x realtime on "
         f"{platform} ({detections} detections)",
         file=sys.stderr,
@@ -374,6 +377,7 @@ def _report(result: dict) -> None:
         "stream_batch_x_realtime",
         "chunk120_x_realtime",
         "chunk240_x_realtime",
+        "chunk480_x_realtime",
         "device_only_x_realtime",
         "platform",
         "measured_at",

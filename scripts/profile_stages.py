@@ -274,6 +274,16 @@ def main() -> None:
 
     result["probe_topk_seconds"] = _time_chained(topk_chain)
 
+    from audio_pattern_detector_tpu.ops.peaks import topk_sparse
+
+    @jax.jit
+    def topk_sparse_chain(token):
+        x = probe_corr + _delta(token)
+        h, p = topk_sparse(x, 16)
+        return jnp.sum(h) + jnp.sum(p).astype(jnp.float32)
+
+    result["probe_topk_sparse_seconds"] = _time_chained(topk_sparse_chain)
+
     @jax.jit
     def mask_chain(token):
         x = probe_corr + _delta(token)
