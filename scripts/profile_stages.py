@@ -44,7 +44,13 @@ from audio_pattern_detector_tpu.ops.verify import verify_marker, verify_normal
 
 _BIG = np.int32(2**30)
 OUT_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "..", "bench_results", "stage_times.json"
+    os.path.dirname(os.path.abspath(__file__)),
+    "..",
+    "bench_results",
+    # CPU smoke runs must not clobber the on-chip measurement record.
+    "stage_times_cpu.json"
+    if os.environ.get("APD_PROFILE_CPU") == "1"
+    else "stage_times.json",
 )
 
 
@@ -199,6 +205,34 @@ def main() -> None:
         t_corr = _time_chained(corr_chain)
         corr, valid_len = jax.block_until_ready(corr_fn(norm, n_valid, gc))
 
+        # MXU alternative: 'full' correlation as lax.conv (no kernel flip,
+        # pad m-1 both sides). HIGHEST ~= 3-pass bf16 ~= f32 precision.
+        bank_np = g.clips_np
+
+        @partial(jax.jit, static_argnames=("prec",))
+        def conv_chain(token, kern, prec, m=m):
+            from jax import lax
+
+            out = lax.conv_general_dilated(
+                (norm + _delta(token))[None, None, :],
+                kern[:, None, :],
+                window_strides=(1,),
+                padding=[(m - 1, m - 1)],
+                precision=getattr(lax.Precision, prec),
+            )[0]
+            return jnp.sum(jnp.abs(out))
+
+        kern = jnp.asarray(bank_np)
+        t_conv = {}
+        for prec in ("HIGHEST", "DEFAULT"):
+            try:
+                t_conv[prec] = _time_chained(
+                    partial(conv_chain, kern=kern, prec=prec)
+                )
+            except Exception as e:  # noqa: BLE001 — probe only
+                print(f"[profile] conv {label} {prec} failed: {e}", file=sys.stderr)
+                t_conv[prec] = None
+
         @jax.jit
         def peaks_chain(token, corr=corr, m=m, kd=k_detect, kv=k_verify):
             vp, alive = peaks_fn(corr + _delta(token), valid_len, m, kd, kv)
@@ -239,6 +273,8 @@ def main() -> None:
             "seconds_per_chunk": t_corr,
             # write (G, L) f32 + FFT intermediates (~3x read-write of that)
             "hbm_bytes_est": int(4 * G * L * 4),
+            "conv_highest_seconds": t_conv.get("HIGHEST"),
+            "conv_default_seconds": t_conv.get("DEFAULT"),
         }
         result["stages"][f"peaks_{label}"] = {
             "seconds_per_chunk": t_peaks,
