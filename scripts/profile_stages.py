@@ -224,14 +224,20 @@ def main() -> None:
 
         kern = jnp.asarray(bank_np)
         t_conv = {}
-        for prec in ("HIGHEST", "DEFAULT"):
-            try:
-                t_conv[prec] = _time_chained(
-                    partial(conv_chain, kern=kern, prec=prec)
-                )
-            except Exception as e:  # noqa: BLE001 — probe only
-                print(f"[profile] conv {label} {prec} failed: {e}", file=sys.stderr)
-                t_conv[prec] = None
+        # Opt-in (APD_PROFILE_CONV=1): the large-kernel conv compile can
+        # hang the tunnel runtime, starving the primary stage numbers.
+        if os.environ.get("APD_PROFILE_CONV") == "1":
+            for prec in ("HIGHEST", "DEFAULT"):
+                try:
+                    t_conv[prec] = _time_chained(
+                        partial(conv_chain, kern=kern, prec=prec)
+                    )
+                except Exception as e:  # noqa: BLE001 — probe only
+                    print(
+                        f"[profile] conv {label} {prec} failed: {e}",
+                        file=sys.stderr,
+                    )
+                    t_conv[prec] = None
 
         @jax.jit
         def peaks_chain(token, corr=corr, m=m, kd=k_detect, kv=k_verify):
