@@ -18,6 +18,7 @@ reuses the same executable via dynamic ``n_valid`` masking.
 
 from __future__ import annotations
 
+import os as _os
 from dataclasses import dataclass
 from typing import Any
 
@@ -40,6 +41,7 @@ from audio_pattern_detector_tpu.ops.loudness import (
     integrated_loudness_device,
     loudness_normalize_device,
 )
+from audio_pattern_detector_tpu.ops.packing import try_pack_pcm16
 from audio_pattern_detector_tpu.ops.peaks import (
     PeakCandidates,
     find_peaks_device_fast,
@@ -100,6 +102,12 @@ class PatternBank:
         self.sample_rate = sample_rate
         self.chunk_samples = chunk_samples
         self.height_min = float(height_min)
+        # Packed (int16-pair) section upload: halves h2d bytes for 16-bit
+        # PCM-exact chunks, bit-identical results (ops/packing.py). Opt-out
+        # knob for runtimes where bitcast/int ops misbehave.
+        self._packed_upload = (
+            _os.environ.get("APD_PACKED_UPLOAD", "1") != "0"
+        )
 
         # ── Group clips by (sliding_window, clip_len, strategy) ──
         grouped: dict[tuple[int, int, str], list[str]] = {}
@@ -114,7 +122,6 @@ class PatternBank:
         class_clip_lens: dict[int, list[int]] = {}
         for (sw, m, kind) in grouped:
             class_clip_lens.setdefault(sw, []).append(m)
-        import os as _os
 
         _overlap_save = _os.environ.get("APD_NO_OVERLAP_SAVE") != "1"
         shared_geoms = {
@@ -234,14 +241,27 @@ class PatternBank:
             section[:n_valid] = raw_section
 
             group_consts = tuple((g.corr, g.verify) for g in cls["groups"])
-            flat = _class_step_fused_jit(
-                jnp.asarray(section),
-                jnp.float32(n_valid),
-                cls["loud"],
-                group_consts,
-                metas=self._metas[sw],
-                height_min=self.height_min,
+            packed = (
+                try_pack_pcm16(section) if self._packed_upload else None
             )
+            if packed is not None:
+                flat = _class_step_fused_packed_jit(
+                    jnp.asarray(packed),
+                    jnp.float32(n_valid),
+                    cls["loud"],
+                    group_consts,
+                    metas=self._metas[sw],
+                    height_min=self.height_min,
+                )
+            else:
+                flat = _class_step_fused_jit(
+                    jnp.asarray(section),
+                    jnp.float32(n_valid),
+                    cls["loud"],
+                    group_consts,
+                    metas=self._metas[sw],
+                    height_min=self.height_min,
+                )
             dispatched.append((sw, flat, raw_section))
         return dispatched
 
@@ -730,6 +750,25 @@ def _class_step_fused(
 
 _class_step_fused_jit = jax.jit(
     _class_step_fused, static_argnames=("metas", "height_min")
+)
+
+
+# Packed-payload variant: the section crosses the boundary as int16 pairs
+# in (S/2,) f32 lanes (ops/packing.py) and is unpacked in-graph — half the
+# per-chunk h2d bytes, bit-exact when the pack succeeded host-side.
+def _class_step_fused_packed(
+    packed_section, n_valid, loud, group_consts, *, metas, height_min
+):
+    from audio_pattern_detector_tpu.ops.packing import unpack_pcm16
+
+    return _class_step_fused(
+        unpack_pcm16(packed_section), n_valid, loud, group_consts,
+        metas=metas, height_min=height_min,
+    )
+
+
+_class_step_fused_packed_jit = jax.jit(
+    _class_step_fused_packed, static_argnames=("metas", "height_min")
 )
 
 

@@ -1,0 +1,53 @@
+"""Lossless 16-bit PCM payload packing for the host→device boundary.
+
+The tunnel runtime's per-chunk launch cost is partly payload transfer, and
+only f32 may cross the boundary (see docs/scaling.md). Audio that came
+from 16-bit PCM (the dominant real source: WAV/stdin wrappers decode
+int16, reference match.py:253-265) is exactly representable as
+int16/32768, so the section can cross the boundary as int16 sample pairs
+bit-packed into half as many f32 lanes and be unpacked in-graph — halving
+transfer bytes with bit-exact results.
+
+The pack is attempted per chunk and abandoned (returning None) whenever
+any sample is not exactly int16/32768 — e.g. ffmpeg float sources, 24/32
+bit WAVs, resampled streams — so enabling it never changes results.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from numpy.typing import NDArray
+
+PCM_SCALE = 32768.0
+
+
+def try_pack_pcm16(section: NDArray[np.float32]) -> NDArray[np.float32] | None:
+    """(S,) f32 → (S/2,) f32 carrying int16 pairs, or None if lossy.
+
+    S must be even (section lengths are sample-rate multiples). The check
+    is exact: a packed upload followed by :func:`unpack_pcm16` reproduces
+    the input bit-for-bit or the pack is refused.
+    """
+    if len(section) % 2:
+        return None
+    q = np.round(section * PCM_SCALE)
+    if not (
+        (q >= -32768).all()
+        and (q <= 32767).all()
+        and (q == section * PCM_SCALE).all()
+    ):
+        return None
+    return q.astype(np.int16).view(np.float32)
+
+
+def unpack_pcm16(packed: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse: (S/2,) f32 bit patterns → (S,) f32 samples."""
+    u = jax.lax.bitcast_convert_type(packed, jnp.uint32)
+    lo = (u & jnp.uint32(0xFFFF)).astype(jnp.uint16).astype(jnp.int16)
+    hi = (u >> jnp.uint32(16)).astype(jnp.uint16).astype(jnp.int16)
+    pairs = jnp.stack(
+        [lo.astype(jnp.float32), hi.astype(jnp.float32)], axis=1
+    )
+    return pairs.reshape(-1) * jnp.float32(1.0 / PCM_SCALE)

@@ -1,0 +1,106 @@
+"""Packed int16-pair section upload: losslessness and engine equivalence."""
+
+import io
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_pattern_detector_tpu.ops.packing import (
+    PCM_SCALE,
+    try_pack_pcm16,
+    unpack_pcm16,
+)
+
+SR = 8000
+
+
+class TestPackUnpack:
+    def test_roundtrip_bit_exact(self):
+        rng = np.random.default_rng(0)
+        pcm = rng.integers(-32768, 32768, size=4096).astype(np.int16)
+        section = (pcm.astype(np.float32)) / np.float32(PCM_SCALE)
+        packed = try_pack_pcm16(section)
+        assert packed is not None
+        assert packed.shape == (2048,)
+        out = np.asarray(unpack_pcm16(jnp.asarray(packed)))
+        np.testing.assert_array_equal(out, section)
+
+    def test_extremes_and_zeros(self):
+        section = np.array(
+            [-1.0, 32767 / 32768, 0.0, -0.0, 1 / 32768, -1 / 32768],
+            dtype=np.float32,
+        )
+        packed = try_pack_pcm16(section)
+        assert packed is not None
+        out = np.asarray(unpack_pcm16(jnp.asarray(packed)))
+        np.testing.assert_array_equal(out, section)
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            np.array([0.5, 1.0], dtype=np.float32),  # +1.0 = 32768: no int16
+            np.array([0.1, 0.25 + 1e-6], dtype=np.float32),  # not on grid
+            np.array([0.0, 0.5, 0.25], dtype=np.float32),  # odd length
+            np.array([0.0, np.float32(np.pi) / 4], dtype=np.float32),
+        ],
+    )
+    def test_refuses_lossy(self, bad):
+        assert try_pack_pcm16(bad) is None
+
+    def test_refuses_resampled_noise(self):
+        rng = np.random.default_rng(1)
+        assert try_pack_pcm16(rng.standard_normal(512).astype(np.float32) * 0.1) is None
+
+
+class TestEngineEquivalence:
+    def _detect(self, audio, clip, monkeypatch, packed: bool):
+        from audio_pattern_detector_tpu.models.detector import (
+            AudioPatternDetector,
+        )
+        from audio_pattern_detector_tpu.utils.clip import AudioClip, AudioStream
+
+        monkeypatch.setenv("APD_PACKED_UPLOAD", "1" if packed else "0")
+        det = AudioPatternDetector(
+            [AudioClip(name="c", audio=clip, sample_rate=SR)],
+            seconds_per_chunk=10,
+        )
+        stream = AudioStream(
+            name="s", audio_stream=io.BytesIO(audio.tobytes()), sample_rate=SR
+        )
+        results, total = det.find_clip_in_audio(stream)
+        return results, total
+
+    def test_packed_equals_unpacked_16bit_source(self, monkeypatch):
+        rng = np.random.default_rng(2)
+        t = np.arange(int(0.6 * SR)) / SR
+        clip = (0.5 * np.sin(2 * np.pi * 700.0 * t)).astype(np.float32)
+        # 16-bit-PCM-exact audio: quantise the synthetic mix like a WAV.
+        audio = 0.01 * rng.standard_normal(25 * SR)
+        audio[5 * SR : 5 * SR + len(clip)] += clip
+        audio[18 * SR : 18 * SR + len(clip)] += clip
+        audio = (
+            np.clip(np.round(audio * PCM_SCALE), -32768, 32767) / PCM_SCALE
+        ).astype(np.float32)
+        assert try_pack_pcm16(audio[: 2 * SR]) is not None
+
+        r_packed, t_packed = self._detect(audio, clip, monkeypatch, True)
+        r_plain, t_plain = self._detect(audio, clip, monkeypatch, False)
+        assert t_packed == t_plain
+        assert r_packed == r_plain
+        assert r_packed is not None
+        assert any(abs(x - 5.0) < 0.05 for x in r_packed["c"])
+        assert any(abs(x - 18.0) < 0.05 for x in r_packed["c"])
+
+    def test_float_source_falls_back_and_detects(self, monkeypatch):
+        rng = np.random.default_rng(3)
+        t = np.arange(int(0.6 * SR)) / SR
+        clip = (0.5 * np.sin(2 * np.pi * 700.0 * t)).astype(np.float32)
+        audio = (0.01 * rng.standard_normal(25 * SR)).astype(np.float32)
+        audio[5 * SR : 5 * SR + len(clip)] += clip
+        assert try_pack_pcm16(audio[: 2 * SR]) is None  # not PCM-exact
+
+        r_packed, _ = self._detect(audio, clip, monkeypatch, True)
+        r_plain, _ = self._detect(audio, clip, monkeypatch, False)
+        assert r_packed == r_plain
+        assert r_packed is not None and len(r_packed["c"]) >= 1
