@@ -31,6 +31,7 @@ from audio_pattern_detector_tpu.models import hostpath
 from audio_pattern_detector_tpu.ops.correlate import (
     CorrelationBankConsts,
     bank_correlate,
+    bank_correlate_multi,
     build_correlation_bank,
     class_overlap_save_geometry,
     section_segment_spectra,
@@ -605,11 +606,23 @@ def _class_step(
         ):
             shared_spec = section_segment_spectra(norm, first)
 
+    # With a class-shared geometry every group's inverse transform fuses
+    # into ONE batched irfft (the backend's FFT cost is per-op, nearly
+    # batch-independent — see bank_correlate_multi).
+    if shared_spec is not None:
+        correlations = bank_correlate_multi(
+            n_valid, [c for c, _ in group_consts], shared_spec
+        )
+    else:
+        correlations = [
+            bank_correlate(norm, n_valid, c, None) for c, _ in group_consts
+        ]
+
     outs = []
-    for (kind, m, k_detect, k_verify), (corr_consts, verify_consts) in zip(
-        metas, group_consts
-    ):
-        corr, valid_len = bank_correlate(norm, n_valid, corr_consts, shared_spec)
+    for (kind, m, k_detect, k_verify), (corr_consts, verify_consts), (
+        corr,
+        valid_len,
+    ) in zip(metas, group_consts, correlations):
 
         if lean and height_min > 0:
             # Production streaming path: two-tier detection + verification

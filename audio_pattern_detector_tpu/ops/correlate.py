@@ -190,6 +190,25 @@ def _correlate_raw(
     return jnp.abs(flat[:, off : off + L])
 
 
+def _finalize_correlation(
+    corr: jnp.ndarray,  # (G, L) |full correlation|, unnormalised
+    n_valid: jnp.ndarray,
+    consts: CorrelationBankConsts,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mask past valid_len and normalise by max(self_max, observed max)
+    (reference: audio_pattern_detector.py:487-494)."""
+    m = consts.clip_len
+    L = consts.full_len
+    valid_len = jnp.asarray(n_valid).astype(jnp.int32) + (m - 1)
+    in_range = jnp.arange(L, dtype=jnp.int32)[None, :] < valid_len
+    corr = jnp.where(in_range, corr, 0.0)
+
+    observed_max = jnp.max(corr, axis=1)  # (G,)
+    denom = jnp.maximum(consts.self_corr_max, observed_max)
+    corr = corr / jnp.maximum(denom, 1e-38)[:, None]
+    return corr, valid_len
+
+
 def bank_correlate(
     section: jnp.ndarray,  # (S,) f32 — normalised, NaN-scrubbed, zero-padded
     n_valid: jnp.ndarray,  # int32 — true sample count
@@ -205,15 +224,45 @@ def bank_correlate(
                  positions >= valid_len.
       valid_len: int32 — n_valid + m - 1, the true 'full' length.
     """
-    m = consts.clip_len
-    L = consts.full_len
     corr = _correlate_raw(section, consts, seg_spec)
+    return _finalize_correlation(corr, n_valid, consts)
 
-    valid_len = jnp.asarray(n_valid).astype(jnp.int32) + (m - 1)
-    in_range = jnp.arange(L, dtype=jnp.int32)[None, :] < valid_len
-    corr = jnp.where(in_range, corr, 0.0)
 
-    observed_max = jnp.max(corr, axis=1)  # (G,)
-    denom = jnp.maximum(consts.self_corr_max, observed_max)
-    corr = corr / jnp.maximum(denom, 1e-38)[:, None]
-    return corr, valid_len
+def bank_correlate_multi(
+    n_valid: jnp.ndarray,
+    consts_list: "list[CorrelationBankConsts] | tuple",
+    seg_spec: jnp.ndarray,  # (ns, N//2+1) shared section segment spectra
+) -> list[tuple[jnp.ndarray, jnp.ndarray]]:
+    """Every group of one shared-geometry class through ONE batched irfft.
+
+    On the target backend an FFT op costs a large fixed time nearly
+    independent of batch (measured: irfft over 672×32k = 5.7 ms ≈ irfft
+    over 336×32k; scripts/dev/fft_probe.py), so the per-chunk win comes
+    from fusing the groups' inverse transforms into a single op, not from
+    shrinking any one of them. Requires every group to carry the identical
+    class geometry (fft_len/step/pad_left/num_segments), which
+    ``PatternBank`` guarantees via ``class_overlap_save_geometry``.
+    """
+    first = consts_list[0]
+    N, ns, step = first.fft_len, first.num_segments, first.step
+    assert step > 0 and ns > 1
+    for c in consts_list:
+        assert (c.fft_len, c.step, c.num_segments) == (N, step, ns)
+
+    cat = jnp.concatenate(
+        [_bank_spec(c) for c in consts_list], axis=0
+    )  # (sum G, N//2+1)
+    y = jnp.fft.irfft(
+        seg_spec[None, :, :] * cat[:, None, :], n=N, axis=2
+    )  # (sum G, ns, N)
+    flat = y[:, :, :step].reshape(y.shape[0], ns * step)
+
+    results = []
+    g0 = 0
+    for c in consts_list:
+        g = c.bank_rfft_conj_ri.shape[1]
+        off = c.out_offset
+        corr = jnp.abs(flat[g0 : g0 + g, off : off + c.full_len])
+        results.append(_finalize_correlation(corr, n_valid, c))
+        g0 += g
+    return results

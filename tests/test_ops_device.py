@@ -503,6 +503,41 @@ class TestSharedClassGeometry:
                 np.asarray(c_shared), np.asarray(c_solo), atol=2e-6
             )
 
+    def test_multi_group_single_irfft_matches_per_group(self):
+        from audio_pattern_detector_tpu.ops.correlate import (
+            bank_correlate_multi,
+            class_overlap_save_geometry,
+            section_segment_spectra,
+        )
+
+        rng = np.random.default_rng(31)
+        S = 9 * SR
+        n = S - 123
+        sig = rng.standard_normal(n).astype(np.float32)
+        x = np.zeros(S, np.float32)
+        x[:n] = sig
+        xj, nv = jnp.asarray(x), jnp.int32(n)
+
+        ms = [1200, 2600]
+        geom = class_overlap_save_geometry(S, ms)
+        consts = []
+        for m in ms:
+            clips = rng.standard_normal((3, m)).astype(np.float32)
+            smax = np.array(
+                [np.abs(hostref.fft_correlate_1d(c, c)).max() for c in clips]
+            )
+            consts.append(
+                build_correlation_bank(clips, smax, S, shared_geometry=geom)
+            )
+        spec = section_segment_spectra(xj, consts[0])
+        multi = bank_correlate_multi(nv, consts, spec)
+        for c, (corr_m, vl_m) in zip(consts, multi):
+            corr_s, vl_s = bank_correlate(xj, nv, c, spec)
+            assert int(vl_m) == int(vl_s)
+            np.testing.assert_array_equal(
+                np.asarray(corr_m), np.asarray(corr_s)
+            )
+
     def test_pattern_bank_assigns_shared_geometry(self):
         from audio_pattern_detector_tpu.utils.clip import AudioClip
         from audio_pattern_detector_tpu.models.detector import AudioPatternDetector
