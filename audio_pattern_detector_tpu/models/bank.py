@@ -606,16 +606,20 @@ def _class_step(
         ):
             shared_spec = section_segment_spectra(norm, first)
 
-    # With a class-shared geometry every group's inverse transform fuses
-    # into ONE batched irfft (the backend's FFT cost is per-op, nearly
-    # batch-independent — see bank_correlate_multi).
-    if shared_spec is not None:
+    # Per-group inverse transforms (sharing the one section segment FFT).
+    # NOTE a single merged irfft for all groups (bank_correlate_multi) was
+    # measured SLOWER on the target backend (15.8 ms vs 13.0 ms same-window
+    # head-to-head): its FFT cost is non-monotonic in batch, so merging
+    # ops does not pay the way the fixed-cost model predicts. Opt in with
+    # APD_MERGED_IRFFT=1 for runtimes where it wins.
+    if shared_spec is not None and _os.environ.get("APD_MERGED_IRFFT") == "1":
         correlations = bank_correlate_multi(
             n_valid, [c for c, _ in group_consts], shared_spec
         )
     else:
         correlations = [
-            bank_correlate(norm, n_valid, c, None) for c, _ in group_consts
+            bank_correlate(norm, n_valid, c, shared_spec)
+            for c, _ in group_consts
         ]
 
     outs = []
