@@ -32,6 +32,7 @@ from audio_pattern_detector_tpu.ops.correlate import (
     CorrelationBankConsts,
     bank_correlate,
     bank_correlate_multi,
+    bank_correlate_unnormalised,
     build_correlation_bank,
     class_overlap_save_geometry,
     section_segment_spectra,
@@ -487,8 +488,16 @@ def _lean_group_packed(
     k_verify: int,
     height_min: float,
     verify_consts,
+    denom: "jnp.ndarray | None" = None,
 ) -> jnp.ndarray:
     """Production (lean) per-group tail: 16-lane small-tier detection.
+
+    With ``denom`` (the per-row correlation normaliser), ``corr`` arrives
+    UNNORMALISED and the height threshold scales per row instead —
+    skipping the normalising pass over (G, L). Candidate order, greedy
+    priority, and the verifier (slice-self-renormalising / Pearson) are
+    all invariant to the per-row scale (ops/correlate.py,
+    bank_correlate_unnormalised).
 
     The candidate mask and per-row counts cost one fused pass over (G, L);
     everything after — top_k extraction, greedy distance filter, bounds,
@@ -518,8 +527,9 @@ def _lean_group_packed(
     L = corr.shape[1]
     idx = jnp.arange(L, dtype=jnp.int32)[None, :]
     x = jnp.where(idx < valid_len, corr, -jnp.inf)
-    mask = short_run_local_maxima_mask(x) & (x >= height_min)
-    plateau = long_plateau_present(x, height_min)
+    thr = height_min if denom is None else height_min * denom[:, None]
+    mask = short_run_local_maxima_mask(x) & (x >= thr)
+    plateau = long_plateau_present(x, thr)
     counts = jnp.sum(mask, axis=1)  # (G,)
     scored = jnp.where(mask, x, -jnp.inf)
 
@@ -606,13 +616,24 @@ def _class_step(
         ):
             shared_spec = section_segment_spectra(norm, first)
 
-    # Per-group inverse transforms (sharing the one section segment FFT).
+    # Production lean path: unnormalised correlation + per-row scaled
+    # threshold skips the normalising pass over every (G, L) tensor
+    # (bank_correlate_unnormalised). Other paths take the normalised form.
+    lean_raw = lean and height_min > 0
+    if lean_raw:
+        correlations = [
+            bank_correlate_unnormalised(norm, n_valid, c, shared_spec)
+            for c, _ in group_consts
+        ]
     # NOTE a single merged irfft for all groups (bank_correlate_multi) was
     # measured SLOWER on the target backend (15.8 ms vs 13.0 ms same-window
     # head-to-head): its FFT cost is non-monotonic in batch, so merging
     # ops does not pay the way the fixed-cost model predicts. Opt in with
     # APD_MERGED_IRFFT=1 for runtimes where it wins.
-    if shared_spec is not None and _os.environ.get("APD_MERGED_IRFFT") == "1":
+    elif (
+        shared_spec is not None
+        and _os.environ.get("APD_MERGED_IRFFT") == "1"
+    ):
         correlations = bank_correlate_multi(
             n_valid, [c for c, _ in group_consts], shared_spec
         )
@@ -623,15 +644,14 @@ def _class_step(
         ]
 
     outs = []
-    for (kind, m, k_detect, k_verify), (corr_consts, verify_consts), (
-        corr,
-        valid_len,
-    ) in zip(metas, group_consts, correlations):
-
-        if lean and height_min > 0:
-            # Production streaming path: two-tier detection + verification
-            # (see _lean_group_packed). height_min <= 0 needs the general
-            # plateau mask, so it stays on the single-tier path below.
+    for (kind, m, k_detect, k_verify), (corr_consts, verify_consts), corr_out in zip(
+        metas, group_consts, correlations
+    ):
+        if lean_raw:
+            # Two-tier detection + verification (see _lean_group_packed).
+            # height_min <= 0 needs the general plateau mask, so it stays
+            # on the single-tier path below.
+            corr, denom, valid_len = corr_out
             outs.append(
                 {
                     "packed": _lean_group_packed(
@@ -644,10 +664,12 @@ def _class_step(
                         k_verify,
                         height_min,
                         verify_consts,
+                        denom,
                     )
                 }
             )
             continue
+        corr, valid_len = corr_out
 
         # Fast strict-mask peak finder; a plateau at/above the height
         # threshold (virtually impossible on real material, where it could

@@ -122,7 +122,9 @@ def short_run_local_maxima_mask(x: jnp.ndarray) -> jnp.ndarray:
     return (len1 | len2 | len3) & interior & finite
 
 
-def long_plateau_present(x: jnp.ndarray, height_min: float) -> jnp.ndarray:
+def long_plateau_present(
+    x: jnp.ndarray, height_min: "float | jnp.ndarray"
+) -> jnp.ndarray:
     """(G,) bool — any equal-value run of length ≥ 4 at/above ``height_min``.
 
     When False for a row, :func:`short_run_local_maxima_mask` provably
@@ -130,6 +132,8 @@ def long_plateau_present(x: jnp.ndarray, height_min: float) -> jnp.ndarray:
     sub-height plateaus are removed by the filter in both formulations and
     every run of length ≤ 3 is handled exactly. (Requires
     ``height_min > 0`` so silence/zero runs stay below it.)
+    ``height_min`` may be a (G, 1) per-row threshold (the lean path scales
+    it by the row's correlation normaliser instead of dividing (G, L)).
     """
     quad = (
         (x[:, :-3] == x[:, 1:-2])
