@@ -356,15 +356,26 @@ class PatternBank:
         amortised over B — the right mode when launches are expensive,
         e.g. remote runtimes). Identical results.
         """
+        return self.collect_chunks_batch(
+            self.dispatch_chunks_batch(chunks, previous_tail, mode)
+        )
+
+    def dispatch_chunks_batch(
+        self,
+        chunks: list[NDArray[np.float32]],
+        previous_tail: NDArray[np.float32] | None,
+        mode: str = "vmap",
+    ) -> list[tuple[int, Any, list[NDArray[np.float32]], int]]:
+        """Enqueue a chunk batch (async); pair with collect_chunks_batch.
+
+        The split lets offline scans double-buffer: dispatch batch i+1
+        while batch i's results transfer and unpack, hiding the per-launch
+        round trip behind device compute (find_clip_in_array)."""
         if mode not in ("vmap", "scan"):
             raise ValueError(f"mode must be 'vmap' or 'scan', got {mode!r}")
         sr = self.sample_rate
         b = len(chunks)
-        if b == 0:
-            return []
-        results: list[dict[str, list[int]]] = [dict() for _ in range(b)]
-        raw_sections_per_class: dict[int, list[NDArray[np.float32]]] = {}
-
+        dispatched = []
         for sw, cls in self.classes.items():
             S = cls["section_len"]
             sections = np.zeros((b, S), dtype=np.float32)
@@ -379,7 +390,6 @@ class PatternBank:
                 raws.append(raw)
                 sections[bi, : len(raw)] = raw
                 n_valids[bi] = len(raw)
-            raw_sections_per_class[sw] = raws
 
             group_consts = tuple((g.corr, g.verify) for g in cls["groups"])
             step_jit = _class_step_scan_jit if mode == "scan" else _class_step_batch_jit
@@ -391,6 +401,19 @@ class PatternBank:
                 metas=self._metas[sw],
                 height_min=self.height_min,
             )
+            dispatched.append((sw, flat, raws, b))
+        return dispatched
+
+    def collect_chunks_batch(
+        self, dispatched: list[tuple[int, Any, list[NDArray[np.float32]], int]]
+    ) -> list[dict[str, list[int]]]:
+        """Block on a dispatched chunk batch; per-chunk result dicts."""
+        if not dispatched:
+            return []
+        b = dispatched[0][3]
+        results: list[dict[str, list[int]]] = [dict() for _ in range(b)]
+        for sw, flat, raws, _b in dispatched:
+            cls = self.classes[sw]
             flat_np = np.asarray(flat)  # (B, total), ONE transfer per class
 
             reruns: dict[int, list[NDArray[np.float32]]] = {}  # bi -> packed
@@ -402,19 +425,19 @@ class PatternBank:
                     for ci, name in enumerate(g.names):
                         if host_fb[bi, ci]:
                             results[bi][name] = self._host_fallback(
-                                g, ci, raw_sections_per_class[sw][bi]
+                                g, ci, raws[bi]
                             )
                         elif needs_full[bi, ci]:
                             if bi not in reruns:
                                 reruns[bi] = self._full_tier_packed(
-                                    sw, raw_sections_per_class[sw][bi]
+                                    sw, raws[bi]
                                 )
                             rpos, rsel, rhost, _ = unpack_group(
                                 reruns[bi][gi], g.k_verify
                             )
                             if rhost[ci]:
                                 results[bi][name] = self._host_fallback(
-                                    g, ci, raw_sections_per_class[sw][bi]
+                                    g, ci, raws[bi]
                                 )
                             else:
                                 results[bi][name] = [

@@ -513,28 +513,57 @@ class AudioPatternDetector:
         all_peak_times: dict[str, list[float]] = {
             c.name: [] for c in self.audio_clips
         }
+        # Double-buffered: dispatch batch i+1 (async) before collecting
+        # batch i, hiding the per-launch round trip + h2d behind device
+        # compute. Lookback for batch i+1 comes from host-known chunks, so
+        # dispatch never waits on results.
         prev_tail: NDArray[np.float32] | None = None
+        pending: list[tuple[Any, list[NDArray[np.float32]]]] = []
         base_index = 0
-        for start in range(0, len(chunks), batch_size):
-            batch = chunks[start : start + batch_size]
-            results = bank.process_chunks_batch(batch, prev_tail, mode=batch_mode)
-            for bi, clip_peaks in enumerate(results):
-                index = base_index + bi
-                had_prev = index > 0
-                for audio_clip in self.audio_clips:
-                    name = audio_clip.name
-                    sliding_window = self._clip_datas[name]["sliding_window"]
-                    clip_seconds = len(self._clip_datas[name]["clip"]) / sr
-                    subtract = sliding_window if had_prev else 0
-                    for pos in clip_peaks.get(name, []):
-                        t = pos / sr - subtract + index * self.seconds_per_chunk
-                        t -= clip_seconds
-                        all_peak_times[name].append(t if t >= 0 else 0)
+        batches = [
+            chunks[s : s + batch_size]
+            for s in range(0, len(chunks), batch_size)
+        ]
+        for batch in batches:
+            pending.append(
+                (bank.dispatch_chunks_batch(batch, prev_tail, batch_mode), batch)
+            )
             prev_tail = batch[-1]
-            base_index += len(batch)
+            if len(pending) < 2 and batch is not batches[-1]:
+                continue
+            while pending:
+                dispatched, done_batch = pending.pop(0)
+                results = bank.collect_chunks_batch(dispatched)
+                base_index = self._fold_batch_results(
+                    results, base_index, all_peak_times, sr
+                )
+                if batch is not batches[-1]:
+                    break
 
         total_time = len(audio) / sr
         return all_peak_times, total_time
+
+    def _fold_batch_results(
+        self,
+        results: list[dict[str, list[int]]],
+        base_index: int,
+        all_peak_times: dict[str, list[float]],
+        sr: int,
+    ) -> int:
+        """Convert one batch's device peak positions to stream timestamps."""
+        for bi, clip_peaks in enumerate(results):
+            index = base_index + bi
+            had_prev = index > 0
+            for audio_clip in self.audio_clips:
+                name = audio_clip.name
+                sliding_window = self._clip_datas[name]["sliding_window"]
+                clip_seconds = len(self._clip_datas[name]["clip"]) / sr
+                subtract = sliding_window if had_prev else 0
+                for pos in clip_peaks.get(name, []):
+                    t = pos / sr - subtract + index * self.seconds_per_chunk
+                    t -= clip_seconds
+                    all_peak_times[name].append(t if t >= 0 else 0)
+        return base_index + len(results)
 
     def _process_chunk_debug(
         self,
