@@ -31,6 +31,7 @@ from audio_pattern_detector_tpu.models import hostpath
 from audio_pattern_detector_tpu.ops.correlate import (
     CorrelationBankConsts,
     bank_correlate,
+    bank_correlate_abs,
     bank_correlate_multi,
     bank_correlate_unnormalised,
     build_correlation_bank,
@@ -110,6 +111,10 @@ class PatternBank:
         self._packed_upload = (
             _os.environ.get("APD_PACKED_UPLOAD", "1") != "0"
         )
+        # Single-pass Pallas candidate scan for the lean tier (opt-in
+        # until measured faster on the target backend; see
+        # ops/pallas_peaks.py).
+        self._pallas = _os.environ.get("APD_PALLAS") == "1"
 
         # ── Group clips by (sliding_window, clip_len, strategy) ──
         grouped: dict[tuple[int, int, str], list[str]] = {}
@@ -254,6 +259,7 @@ class PatternBank:
                     group_consts,
                     metas=self._metas[sw],
                     height_min=self.height_min,
+                    pallas=self._pallas,
                 )
             else:
                 flat = _class_step_fused_jit(
@@ -263,6 +269,7 @@ class PatternBank:
                     group_consts,
                     metas=self._metas[sw],
                     height_min=self.height_min,
+                    pallas=self._pallas,
                 )
             dispatched.append((sw, flat, raw_section))
         return dispatched
@@ -400,6 +407,7 @@ class PatternBank:
                 group_consts,
                 metas=self._metas[sw],
                 height_min=self.height_min,
+                pallas=self._pallas,
             )
             dispatched.append((sw, flat, raws, b))
         return dispatched
@@ -562,6 +570,19 @@ def _lean_group_packed(
     flag = jnp.where(host_fallback, 1.0, jnp.where(needs_full, 2.0, 0.0))
 
     height, pos = topk_sparse(scored, k_lanes)
+    return _lean_tail(
+        norm, corr, valid_len, kind, m, k_verify, verify_consts,
+        pos, height, host_fallback, flag, k_lanes,
+    )
+
+
+def _lean_tail(
+    norm, corr, valid_len, kind, m, k_verify, verify_consts,
+    pos, height, host_fallback, flag, k_lanes,
+):
+    """Shared lean-tier tail: greedy filter → bounds → compact → verify →
+    packed payload. ``corr`` may be normalised or raw (the verifier is
+    per-row scale-invariant)."""
     alive = jnp.isfinite(height)
     keep = greedy_distance_filter(
         PeakCandidates(pos, height, alive, host_fallback), m
@@ -602,6 +623,94 @@ def _lean_group_packed(
     )
 
 
+def _lean_group_packed_pallas(
+    norm: jnp.ndarray,
+    corr: jnp.ndarray,  # (G, L) |correlation|, UNnormalised
+    valid_len: jnp.ndarray,
+    kind: str,
+    m: int,
+    k_detect: int,
+    k_verify: int,
+    height_min: float,
+    verify_consts,
+    self_corr_max: jnp.ndarray,  # (G,) f32
+) -> jnp.ndarray:
+    """Lean tier with the single-pass Pallas candidate scan.
+
+    ops/pallas_peaks.py::candidate_scan replaces the mask / count /
+    plateau / observed-max / block-max passes with ONE HBM read and no
+    (G, L) writes. Candidate extraction then expands the top-k_lanes
+    blocks (gathered with a ±2 halo straight from ``corr``) and
+    re-derives the exact true-threshold mask on the tiny expansion.
+    Flags use the conservative thr_min counts (see that module's
+    docstring) — never unsound, occasionally an unnecessary exact rerun.
+    """
+    from audio_pattern_detector_tpu.ops.pallas_peaks import (
+        BLOCK as PBLOCK,
+        candidate_scan,
+    )
+    from audio_pattern_detector_tpu.ops.slicing import slice_rows_windows
+
+    g, L = corr.shape
+    thr_min = height_min * self_corr_max
+    bmax, count_min, plateau_min, omax = candidate_scan(
+        corr, thr_min, valid_len
+    )
+    denom = jnp.maximum(jnp.maximum(self_corr_max, omax), 1e-38)
+    thr = (height_min * denom)[:, None, None]  # (G, 1, 1)
+
+    host_fallback = (count_min > k_detect) | plateau_min
+    k_lanes = min(_SMALL_TIER, k_detect)
+    needs_full = ~host_fallback & (count_min > k_lanes)
+    flag = jnp.where(host_fallback, 1.0, jnp.where(needs_full, 2.0, 0.0))
+
+    # Stage 2: rank blocks; ascending order keeps global tie semantics.
+    _, bidx = jax.lax.top_k(bmax, k_lanes)
+    border = jnp.sort(bidx, axis=1).astype(jnp.int32)  # (G, k_lanes)
+
+    # Stage 3: gather block windows with a ±2 halo and re-derive the
+    # exact candidate mask at the true threshold. Overlapping halos and
+    # clamped starts are neutralised by the block-range selection mask.
+    W = PBLOCK + 4
+    start = jnp.clip(border * PBLOCK - 2, 0, L - W)
+    xw = slice_rows_windows(corr, start, W)  # (G, k_lanes, W)
+    c = start[:, :, None] + jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    xw = jnp.where(c < valid_len, xw, -jnp.inf)
+
+    neg = jnp.full(xw.shape[:-1] + (1,), -jnp.inf, xw.dtype)
+    neg2 = jnp.full(xw.shape[:-1] + (2,), -jnp.inf, xw.dtype)
+    xm1 = jnp.concatenate([neg, xw[..., :-1]], axis=-1)
+    xm2 = jnp.concatenate([neg2, xw[..., :-2]], axis=-1)
+    xp1 = jnp.concatenate([xw[..., 1:], neg], axis=-1)
+    xp2 = jnp.concatenate([xw[..., 2:], neg2], axis=-1)
+    fin_p1 = jnp.isfinite(xp1)
+    fin_p2 = jnp.isfinite(xp2)
+    len1 = (xm1 < xw) & (xp1 < xw) & fin_p1
+    len2 = (xm1 < xw) & (xp1 == xw) & (xp2 < xw) & fin_p2
+    len3 = (
+        (xm2 < xw) & (xm1 == xw) & (xp1 == xw) & (xp2 < xw)
+        & fin_p2 & (c > 1)
+    )
+    in_block = (c >= border[:, :, None] * PBLOCK) & (
+        c < (border[:, :, None] + 1) * PBLOCK
+    )
+    mask = (
+        (len1 | len2 | len3)
+        & in_block
+        & (c > 0)
+        & jnp.isfinite(xw)
+        & (xw >= thr)
+    )
+    scored = jnp.where(mask, xw, -jnp.inf).reshape(g, k_lanes * W)
+    height, li = jax.lax.top_k(scored, k_lanes)
+    pos = jnp.take_along_axis(c.reshape(g, k_lanes * W), li, axis=1)
+
+    return _lean_tail(
+        norm, corr, valid_len, kind, m, k_verify, verify_consts,
+        pos, height, host_fallback, flag, k_lanes,
+    )
+
+
 def _class_step(
     section: jnp.ndarray,
     n_valid: jnp.ndarray,
@@ -611,6 +720,7 @@ def _class_step(
     metas: tuple,
     height_min: float,
     lean: bool = False,
+    pallas: bool = False,
 ) -> list[dict[str, jnp.ndarray]]:
     """The full per-chunk device program for one sliding-window class.
 
@@ -643,7 +753,14 @@ def _class_step(
     # threshold skips the normalising pass over every (G, L) tensor
     # (bank_correlate_unnormalised). Other paths take the normalised form.
     lean_raw = lean and height_min > 0
-    if lean_raw:
+    if lean_raw and pallas:
+        # Pallas lean path: raw |corr| only; the single-pass candidate
+        # scan derives the observed max itself (ops/pallas_peaks.py).
+        correlations = [
+            bank_correlate_abs(norm, n_valid, c, shared_spec)
+            for c, _ in group_consts
+        ]
+    elif lean_raw:
         correlations = [
             bank_correlate_unnormalised(norm, n_valid, c, shared_spec)
             for c, _ in group_consts
@@ -670,6 +787,25 @@ def _class_step(
     for (kind, m, k_detect, k_verify), (corr_consts, verify_consts), corr_out in zip(
         metas, group_consts, correlations
     ):
+        if lean_raw and pallas:
+            corr, valid_len = corr_out
+            outs.append(
+                {
+                    "packed": _lean_group_packed_pallas(
+                        norm,
+                        corr,
+                        valid_len,
+                        kind,
+                        m,
+                        k_detect,
+                        k_verify,
+                        height_min,
+                        verify_consts,
+                        corr_consts.self_corr_max,
+                    )
+                }
+            )
+            continue
         if lean_raw:
             # Two-tier detection + verification (see _lean_group_packed).
             # height_min <= 0 needs the general plateau mask, so it stays
@@ -793,7 +929,7 @@ def _class_step(
 # shape + static metas, so repeated detector construction (tests, CLI runs
 # in one process) reuses compiled programs.
 _class_step_jit = jax.jit(
-    _class_step, static_argnames=("metas", "height_min", "lean")
+    _class_step, static_argnames=("metas", "height_min", "lean", "pallas")
 )
 
 
@@ -801,17 +937,17 @@ _class_step_jit = jax.jit(
 # f32 vector, so the host pays a single device->host transfer (one RPC on
 # remote runtimes) per class per chunk.
 def _class_step_fused(
-    section, n_valid, loud, group_consts, *, metas, height_min
+    section, n_valid, loud, group_consts, *, metas, height_min, pallas=False
 ):
     outs = _class_step(
         section, n_valid, loud, group_consts,
-        metas=metas, height_min=height_min, lean=True,
+        metas=metas, height_min=height_min, lean=True, pallas=pallas,
     )
     return jnp.concatenate([o["packed"].reshape(-1) for o in outs])
 
 
 _class_step_fused_jit = jax.jit(
-    _class_step_fused, static_argnames=("metas", "height_min")
+    _class_step_fused, static_argnames=("metas", "height_min", "pallas")
 )
 
 
@@ -819,29 +955,31 @@ _class_step_fused_jit = jax.jit(
 # in (S/2,) f32 lanes (ops/packing.py) and is unpacked in-graph — half the
 # per-chunk h2d bytes, bit-exact when the pack succeeded host-side.
 def _class_step_fused_packed(
-    packed_section, n_valid, loud, group_consts, *, metas, height_min
+    packed_section, n_valid, loud, group_consts, *, metas, height_min,
+    pallas=False,
 ):
     from audio_pattern_detector_tpu.ops.packing import unpack_pcm16
 
     return _class_step_fused(
         unpack_pcm16(packed_section), n_valid, loud, group_consts,
-        metas=metas, height_min=height_min,
+        metas=metas, height_min=height_min, pallas=pallas,
     )
 
 
 _class_step_fused_packed_jit = jax.jit(
-    _class_step_fused_packed, static_argnames=("metas", "height_min")
+    _class_step_fused_packed, static_argnames=("metas", "height_min", "pallas")
 )
 
 
 # Batched variant: vmap over (section, n_valid); constants broadcast.
 def _class_step_batch(
-    sections, n_valids, loud, group_consts, *, metas, height_min
+    sections, n_valids, loud, group_consts, *, metas, height_min,
+    pallas=False,
 ):
     import functools
 
     step = functools.partial(
-        _class_step_fused, metas=metas, height_min=height_min
+        _class_step_fused, metas=metas, height_min=height_min, pallas=pallas
     )
     return jax.vmap(step, in_axes=(0, 0, None, None))(
         sections, n_valids, loud, group_consts
@@ -849,7 +987,7 @@ def _class_step_batch(
 
 
 _class_step_batch_jit = jax.jit(
-    _class_step_batch, static_argnames=("metas", "height_min")
+    _class_step_batch, static_argnames=("metas", "height_min", "pallas")
 )
 
 
@@ -859,13 +997,14 @@ _class_step_batch_jit = jax.jit(
 # overhead amortises over B — the launch-bound offline mode for remote
 # runtimes where each execution costs a round trip.
 def _class_step_scan(
-    sections, n_valids, loud, group_consts, *, metas, height_min
+    sections, n_valids, loud, group_consts, *, metas, height_min,
+    pallas=False,
 ):
     def body(carry, inp):
         section, n_valid = inp
         flat = _class_step_fused(
             section, n_valid, loud, group_consts,
-            metas=metas, height_min=height_min,
+            metas=metas, height_min=height_min, pallas=pallas,
         )
         return carry, flat
 
@@ -880,5 +1019,5 @@ def _class_step_scan(
 
 
 _class_step_scan_jit = jax.jit(
-    _class_step_scan, static_argnames=("metas", "height_min")
+    _class_step_scan, static_argnames=("metas", "height_min", "pallas")
 )

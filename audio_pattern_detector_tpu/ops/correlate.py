@@ -228,6 +228,21 @@ def bank_correlate(
     return _finalize_correlation(corr, n_valid, consts)
 
 
+def bank_correlate_abs(
+    section: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    consts: CorrelationBankConsts,
+    seg_spec: "jnp.ndarray | None" = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """|correlation| only — no normalising or reducing passes at all.
+
+    For the Pallas lean path, whose single-pass candidate scan derives
+    the observed max itself (ops/pallas_peaks.py)."""
+    corr = _correlate_raw(section, consts, seg_spec)
+    valid_len = jnp.asarray(n_valid).astype(jnp.int32) + (consts.clip_len - 1)
+    return corr, valid_len
+
+
 def bank_correlate_unnormalised(
     section: jnp.ndarray,
     n_valid: jnp.ndarray,
