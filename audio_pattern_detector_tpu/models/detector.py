@@ -397,9 +397,28 @@ class AudioPatternDetector:
             if on_checkpoint is not None:
                 on_checkpoint(StreamCheckpoint(p_i + 1, p_tail, p_time))
 
-        # stream_batch mode: (chunk, had_prev, cum_time) buffered per batch.
+        # stream_batch mode: (chunk, had_prev, cum_time) buffered per batch;
+        # one dispatched batch kept in flight (dispatch batch j+1 while the
+        # device runs batch j, collect j only then — hides the per-launch
+        # round trip behind device compute, like the offline scan path).
         batch_buf: "list[tuple[NDArray[np.float32], bool, float]]" = []
+        in_flight: "list[tuple[Any, int, list]]" = []
         chunk_samples = self._chunk_size // 4
+
+        def drain_batch() -> None:
+            dispatched, base_i, meta = in_flight.pop(0)
+            with watch.segment("collect"):
+                results = bank.collect_chunks_batch(dispatched)
+            for k, (chunk_k, had_prev_k, time_k) in enumerate(meta):
+                emit(base_i + k, had_prev_k, results[k])
+                if on_checkpoint is not None:
+                    on_checkpoint(
+                        StreamCheckpoint(
+                            base_i + k + 1,
+                            chunk_k[int(-max_sw * sr):].copy(),
+                            time_k,
+                        )
+                    )
 
         def flush_batch() -> None:
             if not batch_buf:
@@ -413,26 +432,17 @@ class AudioPatternDetector:
                 np.zeros(chunk_samples, dtype=np.float32)
                 for _ in range(stream_batch - n_real)
             ]
-            with watch.segment("collect"):
-                results = bank.process_chunks_batch(
+            with watch.segment("dispatch"):
+                dispatched = bank.dispatch_chunks_batch(
                     chunks,
                     previous_chunk if batch_buf[0][1] else None,
                     mode="scan",
                 )
-            base_i = i - n_real
-            for k in range(n_real):
-                chunk_k, had_prev_k, time_k = batch_buf[k]
-                emit(base_i + k, had_prev_k, results[k])
-                if on_checkpoint is not None:
-                    on_checkpoint(
-                        StreamCheckpoint(
-                            base_i + k + 1,
-                            chunk_k[int(-max_sw * sr):].copy(),
-                            time_k,
-                        )
-                    )
+            in_flight.append((dispatched, i - n_real, list(batch_buf)))
             previous_chunk = batch_buf[-1][0]
             batch_buf.clear()
+            if len(in_flight) > 1:
+                drain_batch()
 
         while True:
             with watch.segment("read"):
@@ -474,6 +484,8 @@ class AudioPatternDetector:
             i += 1
 
         flush_batch()
+        while in_flight:
+            drain_batch()
         while pending:
             drain_one()
         watch.finish()
