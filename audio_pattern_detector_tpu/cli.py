@@ -150,6 +150,16 @@ def main() -> None:
         ),
     )
     match_parser.add_argument(
+        "--stream-batch-mode",
+        choices=("scan", "vmap"),
+        default="scan",
+        help=(
+            "batched program for --stream-batch: 'scan' (sequential "
+            "in-launch, one-chunk memory; default) or 'vmap' (chunks in "
+            "parallel, higher memory and throughput). Identical results"
+        ),
+    )
+    match_parser.add_argument(
         "--offline-batch-mode",
         choices=("vmap", "scan"),
         default="vmap",

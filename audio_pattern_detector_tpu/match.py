@@ -280,6 +280,7 @@ def _run_detector(
     trace_dir: "str | None",
     pipeline_depth: int = 1,
     stream_batch: int = 1,
+    stream_batch_mode: str = "scan",
 ) -> tuple[dict[str, list[float]] | None, float]:
     from audio_pattern_detector_tpu.utils.profiling import device_trace
 
@@ -290,6 +291,7 @@ def _run_detector(
             accumulate_results=accumulate_results,
             pipeline_depth=pipeline_depth,
             stream_batch=stream_batch,
+            stream_batch_mode=stream_batch_mode,
         )
     if profile:
         stats = getattr(detector, "last_run_stats", None)
@@ -352,6 +354,7 @@ def match_pattern(
     offline_batch_mode: str = "vmap",
     pipeline_depth: int = 1,
     stream_batch: int = 1,
+    stream_batch_mode: str = "scan",
 ) -> tuple[dict[str, list[float]] | None, float]:
     """Find pattern matches in an audio file or stdin stream.
 
@@ -403,6 +406,7 @@ def match_pattern(
             pattern_clips=pattern_clips,
             pipeline_depth=pipeline_depth,
             stream_batch=stream_batch,
+            stream_batch_mode=stream_batch_mode,
             debug_mode=debug_mode,
             on_pattern_detected=on_pattern_detected,
             accumulate_results=accumulate_results,
@@ -442,7 +446,7 @@ def match_pattern(
                 peak_times, total_time = _run_detector(
                     detector, full_streaming_audio, on_pattern_detected,
                     accumulate_results, profile, trace_dir, pipeline_depth,
-                    stream_batch,
+                    stream_batch, stream_batch_mode,
                 )
         finally:
             stream_wrapper.close()
@@ -469,7 +473,7 @@ def match_pattern(
             peak_times, total_time = _run_detector(
                 detector, full_streaming_audio, on_pattern_detected,
                 accumulate_results, profile, trace_dir, pipeline_depth,
-                stream_batch,
+                stream_batch, stream_batch_mode,
             )
     return peak_times, total_time
 
@@ -487,6 +491,7 @@ def _match_pattern_wav_stdin(
     trace_dir: "str | None" = None,
     pipeline_depth: int = 1,
     stream_batch: int = 1,
+    stream_batch_mode: str = "scan",
 ) -> tuple[dict[str, list[float]] | None, float]:
     stream_wrapper = _WavStdinStreamWrapper(target_sample_rate)
     audio_name = "stdin"
@@ -505,7 +510,7 @@ def _match_pattern_wav_stdin(
     return _run_detector(
         detector, full_streaming_audio, on_pattern_detected,
         accumulate_results, profile, trace_dir, pipeline_depth,
-        stream_batch,
+        stream_batch, stream_batch_mode,
     )
 
 
@@ -519,6 +524,7 @@ def _match_pattern_multiplexed_stdin(
     height_min: float | None = None,
     pipeline_depth: int = 1,
     stream_batch: int = 1,
+    stream_batch_mode: str = "scan",
 ) -> tuple[dict[str, list[float]] | None, float]:
     """Multiplexed stdin: patterns via the binary protocol, then WAV audio."""
     pattern_clips = _read_patterns_from_multiplexed_stdin(target_sample_rate)
@@ -541,6 +547,7 @@ def _match_pattern_multiplexed_stdin(
         accumulate_results=accumulate_results,
         pipeline_depth=pipeline_depth,
         stream_batch=stream_batch,
+        stream_batch_mode=stream_batch_mode,
     )
 
 
@@ -601,6 +608,7 @@ def _run_match_with_output(
     offline_batch_mode: str = "vmap",
     pipeline_depth: int = 1,
     stream_batch: int = 1,
+    stream_batch_mode: str = "scan",
 ) -> tuple[None, float]:
     timestamp_format: str = getattr(args, "timestamp_format", "both")
     callback = _make_jsonl_callback(timestamp_format)
@@ -623,6 +631,7 @@ def _run_match_with_output(
         offline_batch_mode=offline_batch_mode,
         pipeline_depth=pipeline_depth,
         stream_batch=stream_batch,
+        stream_batch_mode=stream_batch_mode,
     )
     print(f"Total time processed: {seconds_to_time(seconds=total_time)}", file=sys.stderr)
     _emit_jsonl_end(total_time, timestamp_format)
@@ -667,6 +676,8 @@ def cmd_match(args: argparse.Namespace) -> None:
             height_min=height_min,
             pipeline_depth=getattr(args, "pipeline_depth", 1) or 1,
             stream_batch=getattr(args, "stream_batch", 1) or 1,
+            stream_batch_mode=getattr(args, "stream_batch_mode", "scan")
+            or "scan",
         )
         print(
             f"Total time processed: {seconds_to_time(seconds=total_time)}",
@@ -694,6 +705,7 @@ def cmd_match(args: argparse.Namespace) -> None:
 
     pipeline_depth: int = getattr(args, "pipeline_depth", 1) or 1
     stream_batch: int = getattr(args, "stream_batch", 1) or 1
+    stream_batch_mode: str = getattr(args, "stream_batch_mode", "scan") or "scan"
     if args.stdin:
         _run_match_with_output(
             args,
@@ -708,6 +720,7 @@ def cmd_match(args: argparse.Namespace) -> None:
             trace_dir=trace_dir,
             pipeline_depth=pipeline_depth,
             stream_batch=stream_batch,
+            stream_batch_mode=stream_batch_mode,
         )
     elif args.audio_file:
         offline_batch: "int | None" = getattr(args, "offline_batch", None)
@@ -725,6 +738,7 @@ def cmd_match(args: argparse.Namespace) -> None:
             offline_batch_mode=getattr(args, "offline_batch_mode", "vmap"),
             pipeline_depth=pipeline_depth,
             stream_batch=stream_batch,
+            stream_batch_mode=stream_batch_mode,
         )
     else:
         print("Please provide an audio file or --stdin or --multiplexed-stdin", file=sys.stderr)

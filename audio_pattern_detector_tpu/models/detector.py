@@ -286,6 +286,7 @@ class AudioPatternDetector:
         on_checkpoint: "Callable[[StreamCheckpoint], None] | None" = None,
         pipeline_depth: int = 1,
         stream_batch: int = 1,
+        stream_batch_mode: str = "scan",
     ) -> tuple[dict[str, list[float]] | None, float]:
         """Find clip occurrences in the audio stream.
 
@@ -315,11 +316,19 @@ class AudioPatternDetector:
         its batch boundary (≤ stream_batch · seconds_per_chunk latency).
         A short final batch is zero-padded on device and the padding's
         results discarded, so no extra program is compiled at stream end.
+        ``stream_batch_mode`` picks the batched program: "scan" (default,
+        sequential in-launch, one-chunk memory) or "vmap" (chunks in
+        parallel, B× intermediate memory — higher throughput when the
+        chip has headroom). Identical results.
         """
         if pipeline_depth < 1:
             raise ValueError(f"pipeline_depth must be >= 1, got {pipeline_depth}")
         if stream_batch < 1:
             raise ValueError(f"stream_batch must be >= 1, got {stream_batch}")
+        if stream_batch_mode not in ("scan", "vmap"):
+            raise ValueError(
+                f"stream_batch_mode must be 'scan' or 'vmap', got {stream_batch_mode!r}"
+            )
         if audio_stream.sample_rate != self.target_sample_rate:
             raise ValueError(
                 f"full_streaming_audio_clip {audio_stream.name} needs to be "
@@ -436,7 +445,7 @@ class AudioPatternDetector:
                 dispatched = bank.dispatch_chunks_batch(
                     chunks,
                     previous_chunk if batch_buf[0][1] else None,
-                    mode="scan",
+                    mode=stream_batch_mode,
                 )
             in_flight.append((dispatched, i - n_real, list(batch_buf)))
             previous_chunk = batch_buf[-1][0]

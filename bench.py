@@ -270,7 +270,7 @@ def run_bench() -> dict:
 
     from audio_pattern_detector_tpu.utils.clip import AudioStream
 
-    def run_stream_batch(n_iters: int, sb: int) -> float:
+    def run_stream_batch(n_iters: int, sb: int, mode: str) -> float:
         raw = b"".join(
             chunks[i % n_distinct].tobytes() for i in range(n_iters)
         )
@@ -278,19 +278,27 @@ def run_bench() -> dict:
             name="bench", audio_stream=io.BytesIO(raw), sample_rate=sr
         )
         t0 = time.perf_counter()
-        det.find_clip_in_audio(stream, accumulate_results=False, stream_batch=sb)
+        det.find_clip_in_audio(
+            stream,
+            accumulate_results=False,
+            stream_batch=sb,
+            stream_batch_mode=mode,
+        )
         return n_iters * chunk_seconds / (time.perf_counter() - t0)
 
-    stream_batch_n = int(os.environ.get("APD_BENCH_STREAM_BATCH", "4"))
+    stream_batch_n = int(os.environ.get("APD_BENCH_STREAM_BATCH", "8"))
     stream_batch_x = 0.0
-    try:
-        run_stream_batch(stream_batch_n, stream_batch_n)  # warm the scan program
-        for _ in range(2):
-            stream_batch_x = max(
-                stream_batch_x, run_stream_batch(5 * stream_batch_n, stream_batch_n)
-            )
-    except Exception as e:  # noqa: BLE001 — secondary metric only
-        print(f"[bench] stream-batch metric failed: {e}", file=sys.stderr)
+    modes = os.environ.get("APD_BENCH_STREAM_BATCH_MODES", "scan,vmap").split(",")
+    for mode in [m for m in modes if m]:
+        try:
+            run_stream_batch(stream_batch_n, stream_batch_n, mode)  # warm
+            for _ in range(2):
+                stream_batch_x = max(
+                    stream_batch_x,
+                    run_stream_batch(5 * stream_batch_n, stream_batch_n, mode),
+                )
+        except Exception as e:  # noqa: BLE001 — secondary metric only
+            print(f"[bench] stream-batch {mode} failed: {e}", file=sys.stderr)
 
     # Second streaming sample (the first ran before the big-chunk compiles).
     streaming2_x, _ = run_streaming(20)

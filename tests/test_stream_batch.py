@@ -61,6 +61,34 @@ def test_stream_batch_serial_identical(clip, n_chunks, batch):
     assert t_batched == t_serial
 
 
+@pytest.mark.parametrize("mode", ["scan", "vmap"])
+def test_stream_batch_modes_serial_identical(clip, mode):
+    chunk_s = 4
+    seconds = 6 * chunk_s - 1.5
+    audio = _audio_with_hits(clip, seconds, [1.0, 7.5, seconds - 2.0], seed=42)
+
+    def run(sb, m):
+        det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=chunk_s)
+        return det.find_clip_in_audio(
+            _stream(audio), stream_batch=sb, stream_batch_mode=m
+        )
+
+    serial, t_serial = run(1, "scan")
+    batched, t_batched = run(3, mode)
+    assert batched == serial
+    assert t_batched == t_serial
+
+
+def test_stream_batch_mode_validation(clip):
+    det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=4)
+    with pytest.raises(ValueError, match="stream_batch_mode"):
+        det.find_clip_in_audio(
+            _stream(np.zeros(SR, np.float32)),
+            stream_batch=2,
+            stream_batch_mode="nope",
+        )
+
+
 def test_stream_batch_callback_order(clip):
     chunk_s = 4
     audio = _audio_with_hits(clip, 16, [1.0, 6.0, 13.0], seed=3)
