@@ -300,6 +300,46 @@ def run_bench() -> dict:
         except Exception as e:  # noqa: BLE001 — secondary metric only
             print(f"[bench] stream-batch {mode} failed: {e}", file=sys.stderr)
 
+    # Combo: big chunks x stream-batch (e.g. 4x240 s per launch) — the
+    # launch amortisers compose. "cs:sb" pairs via APD_BENCH_COMBOS.
+    combo_x: dict[str, float] = {}
+    for spec in os.environ.get("APD_BENCH_COMBOS", "240:4").split(","):
+        if not spec:
+            continue
+        try:
+            cs, sb = (int(v) for v in spec.split(":"))
+            det_c = AudioPatternDetector(
+                audio_clips=clips, seconds_per_chunk=cs
+            )
+            n_iters = 2 * sb
+            raw = b"".join(
+                chunks[i % n_distinct].tobytes()
+                for i in range(n_iters * (cs // chunk_seconds))
+            )
+            stream = AudioStream(
+                name="combo", audio_stream=io.BytesIO(raw), sample_rate=sr
+            )
+            det_c.find_clip_in_audio(
+                stream, accumulate_results=False, stream_batch=sb
+            )  # warm
+            best_c = 0.0
+            for _ in range(2):
+                raw_stream = AudioStream(
+                    name="combo",
+                    audio_stream=io.BytesIO(raw),
+                    sample_rate=sr,
+                )
+                t0 = time.perf_counter()
+                det_c.find_clip_in_audio(
+                    raw_stream, accumulate_results=False, stream_batch=sb
+                )
+                best_c = max(
+                    best_c, n_iters * cs / (time.perf_counter() - t0)
+                )
+            combo_x[f"chunk{cs}_sb{sb}"] = best_c
+        except Exception as e:  # noqa: BLE001 — secondary metric only
+            print(f"[bench] combo {spec} failed: {e}", file=sys.stderr)
+
     # Second streaming sample (the first ran before the big-chunk compiles).
     streaming2_x, _ = run_streaming(20)
     streaming_x = max(streaming_x, streaming2_x)
@@ -308,7 +348,7 @@ def run_bench() -> dict:
     platform = jax.devices()[0].platform
     best = max(
         streaming_x, deep_x, batched_x, scanned_x, stream_batch_x,
-        *big_chunk_x.values(),
+        *big_chunk_x.values(), *combo_x.values(),
     )
     result = {
         "metric": "realtime_factor_64clip",
@@ -323,6 +363,10 @@ def run_bench() -> dict:
         **{
             f"chunk{s}_x_realtime": round(x, 1)
             for s, x in sorted(big_chunk_x.items())
+        },
+        **{
+            f"{k}_x_realtime": round(x, 1)
+            for k, x in sorted(combo_x.items())
         },
         "device_only_x_realtime": round(device_x, 1),
         "platform": platform,
@@ -438,6 +482,7 @@ def _report(result: dict) -> None:
         "chunk120_x_realtime",
         "chunk240_x_realtime",
         "chunk480_x_realtime",
+        "chunk240_sb4_x_realtime",
         "device_only_x_realtime",
         "platform",
         "measured_at",
