@@ -301,13 +301,15 @@ def run_bench() -> dict:
             print(f"[bench] stream-batch {mode} failed: {e}", file=sys.stderr)
 
     # Combo: big chunks x stream-batch (e.g. 4x240 s per launch) — the
-    # launch amortisers compose. "cs:sb" pairs via APD_BENCH_COMBOS.
+    # launch amortisers compose. "cs:sb[:mode]" via APD_BENCH_COMBOS.
     combo_x: dict[str, float] = {}
     for spec in os.environ.get("APD_BENCH_COMBOS", "240:4").split(","):
         if not spec:
             continue
         try:
-            cs, sb = (int(v) for v in spec.split(":"))
+            parts = spec.split(":")
+            cs, sb = int(parts[0]), int(parts[1])
+            mode = parts[2] if len(parts) > 2 else "scan"
             det_c = AudioPatternDetector(
                 audio_clips=clips, seconds_per_chunk=cs
             )
@@ -320,7 +322,10 @@ def run_bench() -> dict:
                 name="combo", audio_stream=io.BytesIO(raw), sample_rate=sr
             )
             det_c.find_clip_in_audio(
-                stream, accumulate_results=False, stream_batch=sb
+                stream,
+                accumulate_results=False,
+                stream_batch=sb,
+                stream_batch_mode=mode,
             )  # warm
             best_c = 0.0
             for _ in range(2):
@@ -331,12 +336,16 @@ def run_bench() -> dict:
                 )
                 t0 = time.perf_counter()
                 det_c.find_clip_in_audio(
-                    raw_stream, accumulate_results=False, stream_batch=sb
+                    raw_stream,
+                    accumulate_results=False,
+                    stream_batch=sb,
+                    stream_batch_mode=mode,
                 )
                 best_c = max(
                     best_c, n_iters * cs / (time.perf_counter() - t0)
                 )
-            combo_x[f"chunk{cs}_sb{sb}"] = best_c
+            suffix = "" if mode == "scan" else f"_{mode}"
+            combo_x[f"chunk{cs}_sb{sb}{suffix}"] = best_c
         except Exception as e:  # noqa: BLE001 — secondary metric only
             print(f"[bench] combo {spec} failed: {e}", file=sys.stderr)
 
