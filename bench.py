@@ -106,8 +106,18 @@ def run_bench() -> dict:
 
     rng = np.random.default_rng(7)
     n_distinct = 4
+    # 16-bit-PCM-grid audio, like real WAV/stdin sources — engages the
+    # packed int16-pair upload path (ops/packing.py) exactly as
+    # production streams do.
     chunks = [
-        (0.05 * rng.standard_normal(chunk_seconds * sr)).astype(np.float32)
+        (
+            np.clip(
+                np.round(0.05 * rng.standard_normal(chunk_seconds * sr) * 32768),
+                -32768,
+                32767,
+            )
+            / np.float32(32768.0)
+        ).astype(np.float32)
         for _ in range(n_distinct)
     ]
 
