@@ -44,7 +44,10 @@ from audio_pattern_detector_tpu.ops.loudness import (
     integrated_loudness_device,
     loudness_normalize_device,
 )
-from audio_pattern_detector_tpu.ops.packing import try_pack_pcm16
+from audio_pattern_detector_tpu.ops.packing import (
+    packed_upload_supported,
+    try_pack_pcm16,
+)
 from audio_pattern_detector_tpu.ops.peaks import (
     PeakCandidates,
     find_peaks_device_fast,
@@ -106,10 +109,14 @@ class PatternBank:
         self.chunk_samples = chunk_samples
         self.height_min = float(height_min)
         # Packed (int16-pair) section upload: halves h2d bytes for 16-bit
-        # PCM-exact chunks, bit-identical results (ops/packing.py). Opt-out
-        # knob for runtimes where bitcast/int ops misbehave.
+        # PCM-exact chunks, bit-identical results (ops/packing.py). Guarded
+        # by a one-per-process device round-trip of NaN-payload sentinel
+        # patterns — a runtime that canonicalises NaNs in transfer would
+        # silently corrupt near-full-scale samples, so packing auto-disables
+        # there. APD_PACKED_UPLOAD=0 is the manual opt-out.
         self._packed_upload = (
             _os.environ.get("APD_PACKED_UPLOAD", "1") != "0"
+            and packed_upload_supported()
         )
         # Single-pass Pallas candidate scan for the lean tier (opt-in
         # until measured faster on the target backend; see
@@ -567,22 +574,41 @@ def _lean_group_packed(
     host_fallback = (counts > k_detect) | plateau
     k_lanes = min(_SMALL_TIER, k_detect)
     needs_full = ~host_fallback & (counts > k_lanes)
+    if denom is not None:
+        # The multiply-form threshold (corr >= height_min·denom) is not
+        # bit-equivalent to the full tier's divide-form
+        # (corr/denom >= height_min) in f32: a sample within ~1 ulp of the
+        # boundary can land on different sides. Route any row holding a
+        # valid sample that close to its threshold through the exact
+        # full-tier rerun so the lean tier stays bitwise full-tier. The
+        # 8-ulp relative band fires ~never on real material (it needs a
+        # correlation value equal to the threshold to 1e-6 relative) and
+        # costs one extra launch when it does.
+        tol = 8.0 * jnp.float32(np.finfo(np.float32).eps) * jnp.abs(thr)
+        near = jnp.any(
+            jnp.isfinite(x) & (jnp.abs(x - thr) <= tol), axis=1
+        )
+        needs_full = needs_full | (~host_fallback & near)
     flag = jnp.where(host_fallback, 1.0, jnp.where(needs_full, 2.0, 0.0))
 
     height, pos = topk_sparse(scored, k_lanes)
     return _lean_tail(
         norm, corr, valid_len, kind, m, k_verify, verify_consts,
         pos, height, host_fallback, flag, k_lanes,
+        raw_corr=denom is not None,
     )
 
 
 def _lean_tail(
     norm, corr, valid_len, kind, m, k_verify, verify_consts,
     pos, height, host_fallback, flag, k_lanes,
+    raw_corr=False,
 ):
     """Shared lean-tier tail: greedy filter → bounds → compact → verify →
     packed payload. ``corr`` may be normalised or raw (the verifier is
-    per-row scale-invariant)."""
+    per-row scale-invariant); ``raw_corr`` says which, so candidates whose
+    verify slice would read the raw tail noise past ``valid_len`` can be
+    routed to the exact rerun."""
     alive = jnp.isfinite(height)
     keep = greedy_distance_filter(
         PeakCandidates(pos, height, alive, host_fallback), m
@@ -590,14 +616,28 @@ def _lean_tail(
     # Candidate bound checks (reference: audio_pattern_detector.py:531-546).
     half = (2 * m - 1) // 2
     keep = keep & ~(pos + half > valid_len + 5) & ~(pos - half < -5)
+    if raw_corr and kind != "marker":
+        # Raw corr carries ~1e-9 FFT noise past valid_len where the full
+        # tier reads exact zeros; verify_normal slices reach there only for
+        # candidates within a clip length of the section end (possible on
+        # the final short chunk of a stream). Flag those rows into the
+        # exact full-tier rerun so lean output stays bitwise full-tier.
+        reads_tail = keep & (pos + (m - 1) >= valid_len)
+        tail_rows = jnp.any(reads_tail, axis=1) & ~host_fallback
+        flag = jnp.where((flag == 0.0) & tail_rows, 2.0, flag)
     # Compact survivors, ascending by position.
     kv = min(k_verify, k_lanes)
     score = jnp.where(keep, -pos, -_BIG)
     sv, _ = jax.lax.top_k(score, kv)
     vpos = -sv
     valive = sv > -_BIG
-    # Survivors ≤ count ≤ k_lanes ≤ k_verify on unflagged rows, so the
-    # verify tier cannot overflow here; flagged rows are re-derived anyway.
+    # No verify-tier overflow possible here: the greedy distance filter
+    # leaves at most full_len//m + 1 survivors per row (minimum spacing m
+    # over a full_len row), and k_verify = min(1024, full_len//m + 4)
+    # exceeds that bound; the lane width kv = min(k_verify, k_lanes) also
+    # caps what the compaction can emit. (k_lanes <= k_verify is NOT
+    # guaranteed — k_verify can be < _SMALL_TIER for long clips — which is
+    # why kv takes the min.) Flagged rows are re-derived anyway.
 
     if kind == "marker":
         accept = verify_marker(norm, vpos, valive, verify_consts)

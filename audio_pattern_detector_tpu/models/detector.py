@@ -539,27 +539,25 @@ class AudioPatternDetector:
         # compute. Lookback for batch i+1 comes from host-known chunks, so
         # dispatch never waits on results.
         prev_tail: NDArray[np.float32] | None = None
-        pending: list[tuple[Any, list[NDArray[np.float32]]]] = []
+        pending: list[Any] = []
         base_index = 0
         batches = [
             chunks[s : s + batch_size]
             for s in range(0, len(chunks), batch_size)
         ]
-        for batch in batches:
+        for bi, batch in enumerate(batches):
             pending.append(
-                (bank.dispatch_chunks_batch(batch, prev_tail, batch_mode), batch)
+                bank.dispatch_chunks_batch(batch, prev_tail, batch_mode)
             )
             prev_tail = batch[-1]
-            if len(pending) < 2 and batch is not batches[-1]:
-                continue
-            while pending:
-                dispatched, done_batch = pending.pop(0)
-                results = bank.collect_chunks_batch(dispatched)
+            # Keep one batch in flight: collect batch i while batch i+1
+            # computes; the final iteration drains everything.
+            is_last = bi == len(batches) - 1
+            while len(pending) > (0 if is_last else 1):
+                results = bank.collect_chunks_batch(pending.pop(0))
                 base_index = self._fold_batch_results(
                     results, base_index, all_peak_times, sr
                 )
-                if batch is not batches[-1]:
-                    break
 
         total_time = len(audio) / sr
         return all_peak_times, total_time

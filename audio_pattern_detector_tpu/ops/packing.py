@@ -22,6 +22,56 @@ from numpy.typing import NDArray
 
 PCM_SCALE = 32768.0
 
+# Result of the one-per-process device round-trip probe (None = not yet run).
+_ROUNDTRIP_OK: bool | None = None
+
+
+def packed_upload_supported() -> bool:
+    """True iff packed uploads round-trip bit-exactly on this runtime.
+
+    Packed int16 pairs whose odd-index sample is near full scale (hi int16
+    in 0x7F80-0x7FFF / 0xFF80-0xFFFF) produce f32 lanes whose bit pattern
+    is a NaN; a transfer layer that canonicalises NaN payloads would
+    silently corrupt those samples. Rather than trusting the backend, this
+    sends a sentinel section containing every hazardous pattern class
+    through the real device unpack once per process and compares
+    bit-for-bit; callers (PatternBank) auto-disable packing on mismatch.
+    """
+    global _ROUNDTRIP_OK
+    if _ROUNDTRIP_OK is None:
+        # Pairs (even, odd) covering: +NaN / -NaN payloads (quiet + the
+        # 0x7F80/0xFF80 infinity edge), full-scale extremes, subnormal-range
+        # patterns, and ordinary values.
+        pairs = np.array(
+            [
+                [1, 0x7FC0],  # hi 0x7FC0: quiet-NaN bit pattern
+                [-1, 0x7F80],  # hi 0x7F80: +inf bit pattern
+                [0x7FFF, 0x7FFF],  # +full scale (signalling-NaN range)
+                [-0x8000, -0x8000],  # -full scale
+                [0x1234, -0x0040],  # hi 0xFFC0: negative quiet NaN
+                [0, -0x0080],  # hi 0xFF80: -inf bit pattern
+                [7, 42],  # ordinary small values
+                [0x0001, 0x0000],  # subnormal f32 pattern
+            ],
+            dtype=np.int16,
+        )
+        flat = pairs.reshape(-1).astype(np.float32) / np.float32(PCM_SCALE)
+        packed = try_pack_pcm16(flat)
+        if packed is None:  # pragma: no cover - sentinel is PCM-exact
+            _ROUNDTRIP_OK = False
+        else:
+            try:
+                out = np.asarray(jax.jit(unpack_pcm16)(jnp.asarray(packed)))
+                _ROUNDTRIP_OK = bool(
+                    out.shape == flat.shape
+                    and np.array_equal(
+                        out.view(np.uint32), flat.view(np.uint32)
+                    )
+                )
+            except Exception:  # pragma: no cover - degraded backend
+                _ROUNDTRIP_OK = False
+    return _ROUNDTRIP_OK
+
 
 def try_pack_pcm16(section: NDArray[np.float32]) -> NDArray[np.float32] | None:
     """(S,) f32 → (S/2,) f32 carrying int16 pairs, or None if lossy.

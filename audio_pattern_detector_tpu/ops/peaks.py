@@ -171,8 +171,14 @@ def topk_sparse(
     straddles the k-th selection boundary. Gathering blocks in ascending
     index order makes stage-3 ties resolve to the lower global index, so
     whenever a row holds ≤ k finite entries (the condition under which
-    every caller uses the result unflagged) the output is bitwise identical
-    to ``lax.top_k(scored, k)``.
+    every caller uses the result unflagged) the *finite* lanes are bitwise
+    identical to ``lax.top_k(scored, k)``.
+
+    Dead lanes (height == -inf) carry UNSPECIFIED positions: they point
+    into whichever -inf element the stage-3 expansion happened to select,
+    which generally differs from ``lax.top_k``'s choice and may lie in the
+    block padding (pos >= L). Callers must gate every use of ``pos`` on
+    ``isfinite(height)`` — all current callers do.
     """
     G, L = scored.shape
     nb = -(-L // block)

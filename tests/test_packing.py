@@ -104,3 +104,53 @@ class TestEngineEquivalence:
         r_plain, _ = self._detect(audio, clip, monkeypatch, False)
         assert r_packed == r_plain
         assert r_packed is not None and len(r_packed["c"]) >= 1
+
+
+class TestRoundtripProbe:
+    """packed_upload_supported: the one-per-process NaN-payload sentinel
+    round-trip that guards packing against transfer layers which
+    canonicalise NaN bit patterns (would silently corrupt near-full-scale
+    odd-index samples)."""
+
+    def test_supported_on_this_backend(self):
+        from audio_pattern_detector_tpu.ops import packing
+
+        assert packing.packed_upload_supported() is True
+        # Cached: second call must not re-probe (observable as stability).
+        assert packing.packed_upload_supported() is True
+
+    def test_bank_disables_packing_when_probe_fails(self, monkeypatch):
+        from audio_pattern_detector_tpu.models.bank import PatternBank
+        from audio_pattern_detector_tpu.ops import packing
+        import audio_pattern_detector_tpu.models.bank as bank_mod
+
+        monkeypatch.setattr(
+            bank_mod, "packed_upload_supported", lambda: False
+        )
+        rng = np.random.default_rng(0)
+        clip = (0.4 * rng.standard_normal(SR)).astype(np.float32)
+        from audio_pattern_detector_tpu import AudioClip, AudioPatternDetector
+
+        det = AudioPatternDetector(
+            audio_clips=[AudioClip(name="c", audio=clip, sample_rate=SR)],
+            seconds_per_chunk=20,
+        )
+        assert det._ensure_bank()._packed_upload is False
+
+    def test_probe_detects_canonicalising_backend(self, monkeypatch):
+        """If the device unpack returns canonicalised samples, the probe
+        must report unsupported (fresh cache per monkeypatched run)."""
+        from audio_pattern_detector_tpu.ops import packing
+
+        def corrupting_unpack(packed):
+            out = unpack_pcm16(packed)
+            # Simulate NaN canonicalisation: quiet every odd sample whose
+            # int16 pattern lies in the NaN-payload range.
+            q = jnp.round(out * PCM_SCALE).astype(jnp.int32)
+            odd = jnp.arange(out.shape[0]) % 2 == 1
+            hazard = odd & (((q & 0x7F80) == 0x7F80) | (q >= 32640))
+            return jnp.where(hazard, 0.0, out)
+
+        monkeypatch.setattr(packing, "_ROUNDTRIP_OK", None)
+        monkeypatch.setattr(packing, "unpack_pcm16", corrupting_unpack)
+        assert packing.packed_upload_supported() is False

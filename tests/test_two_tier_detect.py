@@ -125,3 +125,92 @@ def test_marker_hit_exercises_tiers_exactly():
     n = _count_candidates(bank, g, audio)
     assert n > 16, f"marker comb should exceed the small tier, got {n}"
     assert bank.process_chunk(audio, None)["m"] == _host_expected(bank, g, audio)
+
+
+class TestExactnessGuardFlags:
+    """The lean tier's multiply-form threshold and raw-tail-noise guards:
+    rows whose result could diverge from the full tier by ~1 ulp are
+    flagged into the exact full-tier rerun (flag 2)."""
+
+    @pytest.fixture(scope="class")
+    def lean_env(self):
+        import jax.numpy as jnp
+        from audio_pattern_detector_tpu.models.bank import _lean_group_packed
+        from audio_pattern_detector_tpu.ops.verify import (
+            build_normal_verify_consts,
+        )
+
+        m = 257
+        rng = np.random.default_rng(7)
+        cc = np.abs(rng.standard_normal((1, 2 * m - 1))).astype(np.float32)
+        cc /= cc.max()
+        consts = build_normal_verify_consts(cc, m, SR)
+
+        def run(corr_row, valid_len, denom_val=2.0, height_min=0.25):
+            corr = jnp.asarray(corr_row[None, :].astype(np.float32))
+            packed = np.asarray(
+                _lean_group_packed(
+                    jnp.zeros(8, dtype=np.float32),  # norm unused (normal)
+                    corr,
+                    jnp.int32(valid_len),
+                    "normal",
+                    m,
+                    64,  # k_detect
+                    16,  # k_verify
+                    height_min,
+                    consts,
+                    denom=jnp.asarray(
+                        np.array([denom_val], dtype=np.float32)
+                    ),
+                )
+            )
+            return packed[0, 2 * 16]  # flag column
+
+        return run, m
+
+    @staticmethod
+    def _row(L, peaks):
+        x = np.full(L, 1e-4, dtype=np.float32)
+        for pos, h in peaks:
+            x[pos - 1], x[pos], x[pos + 1] = h * 0.6, h, h * 0.6
+        return x
+
+    def test_clear_margin_row_unflagged(self, lean_env):
+        run, m = lean_env
+        L = 6000
+        x = self._row(L, [(1000, 0.9)])
+        assert run(x, valid_len=L - 100) == 0.0
+
+    def test_threshold_boundary_row_flags_full_rerun(self, lean_env):
+        run, m = lean_env
+        L = 6000
+        # Peak exactly at height_min * denom = 0.5: multiply vs divide
+        # threshold forms can disagree by 1 ulp here.
+        x = self._row(L, [(1000, 0.5)])
+        assert run(x, valid_len=L - 100) == 2.0
+
+    def test_near_ulp_boundary_flags_full_rerun(self, lean_env):
+        run, m = lean_env
+        L = 6000
+        h = np.float32(0.5) + np.float32(0.5) * np.float32(1.19e-7)
+        x = self._row(L, [(1000, float(h))])
+        assert run(x, valid_len=L - 100) == 2.0
+
+    def test_tail_reading_candidate_flags_full_rerun(self, lean_env):
+        run, m = lean_env
+        L = 6000
+        vl = L - 100
+        # Surviving candidate whose verify slice [pos-(m-1), pos+m-1]
+        # crosses valid_len: raw corr holds FFT noise there, full tier
+        # holds exact zeros. Candidates further out are dropped by the
+        # ±5 bound check, so the kept-and-tail-reading window is
+        # pos ∈ [vl-m+1, vl-m+6].
+        x = self._row(L, [(vl - m + 3, 0.9)])
+        assert run(x, vl) == 2.0
+
+    def test_interior_candidate_near_tail_unflagged(self, lean_env):
+        run, m = lean_env
+        L = 6000
+        vl = L - 100
+        x = self._row(L, [(vl - m, 0.9)])
+        assert run(x, vl) == 0.0
