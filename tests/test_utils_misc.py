@@ -35,9 +35,50 @@ class TestSecondsToTime:
     def test_no_decimals_truncates(self, seconds, expected):
         assert seconds_to_time(seconds, include_decimals=False) == expected
 
+    @pytest.mark.parametrize(
+        "seconds,expected",
+        [
+            (0.0004, "00:00:00.000"),  # rounds down at the half-ms edge
+            (0.0006, "00:00:00.001"),
+            (3599.9996, "01:00:00.000"),  # carry across the hour edge
+            (86399.999, "23:59:59.999"),
+            (86400.0, "24:00:00.000"),  # no day wrap
+            (359999.9999, "100:00:00.000"),  # >99 h carry
+        ],
+    )
+    def test_rounding_edges(self, seconds, expected):
+        assert seconds_to_time(seconds) == expected
+
+    @pytest.mark.parametrize(
+        "seconds,expected",
+        [
+            (59.9999, "00:00:59"),  # truncates, never rounds up
+            (360000.9, "100:00:00"),  # >99 h without decimals
+        ],
+    )
+    def test_no_decimals_edges(self, seconds, expected):
+        assert seconds_to_time(seconds, include_decimals=False) == expected
+
     def test_negative_rejected(self):
         with pytest.raises(ValueError, match="non-negative"):
             seconds_to_time(-0.5)
+
+    def test_matches_real_andrew_utils_when_installed(self):
+        """Cross-check against the real third-party formatter.
+
+        The package is unobtainable offline (docs/reference-parity.md);
+        this closes the loop automatically in any environment where it has
+        been installed."""
+        andrew_utils = pytest.importorskip("andrew_utils")
+        rng = np.random.default_rng(0)
+        values = list(rng.uniform(0, 400_000, size=10_000)) + [
+            0.0, 0.0005, 1.407375, 59.9999, 3599.9996, 86400.0, 360000.5,
+        ]
+        for v in values:
+            assert seconds_to_time(v) == andrew_utils.seconds_to_time(v)
+            assert seconds_to_time(
+                v, include_decimals=False
+            ) == andrew_utils.seconds_to_time(v, include_decimals=False)
 
 
 class TestNumpyEncoder:
