@@ -145,8 +145,10 @@ def main() -> None:
         help=(
             "run N consecutive chunks per device launch in the streaming "
             "loop (default: 1). Amortises per-launch round trips on remote "
-            "runtimes; identical results, events deferred to batch "
-            "boundaries (up to N chunks of latency)"
+            "runtimes; identical results, but live emission is deferred to "
+            "batch boundaries — up to N x chunk-seconds of added latency "
+            "(e.g. 8 x 60 s = 8 min), so keep N=1 for latency-sensitive "
+            "live streams"
         ),
     )
     match_parser.add_argument(

@@ -342,6 +342,25 @@ class AudioPatternDetector:
         total_time = 0.0
         i = 0
         if checkpoint is not None:
+            if checkpoint.chunk_index < 0:
+                raise ValueError(
+                    f"checkpoint chunk_index must be >= 0, got "
+                    f"{checkpoint.chunk_index}"
+                )
+            if checkpoint.chunk_index > 0 and checkpoint.previous_tail is None:
+                # Every non-head checkpoint carries a lookback tail (emitted
+                # ones always do); resuming without it would silently drop
+                # the overlap-save subtract and shift every timestamp by
+                # sliding_window seconds.
+                raise ValueError(
+                    "checkpoint at chunk_index > 0 must carry the previous "
+                    "chunk's lookback tail"
+                )
+            # A tail SHORTER than max_sliding_window*sr is legitimate: it
+            # means the checkpointed chunk itself was that short (a stream
+            # segment's final chunk), and the per-class lookback
+            # tail[-sw*sr:] then equals the serial run's short-chunk
+            # lookback exactly (tests/test_checkpoint.py pins this).
             previous_chunk = checkpoint.previous_tail
             total_time = checkpoint.total_time
             i = checkpoint.chunk_index

@@ -90,3 +90,189 @@ class TestCheckpointResume:
         ck = StreamCheckpoint(0, None, 0.0)
         rt = StreamCheckpoint.from_bytes(ck.to_bytes())
         assert rt.previous_tail is None
+
+
+class _ScriptedReader:
+    """Pipe-like reader delivering a scripted chunk sequence: read(n) may
+    return fewer than n bytes mid-stream (short read), like a real pipe."""
+
+    def __init__(self, chunks):
+        self._chunks = list(chunks)
+
+    def read(self, n):
+        if not self._chunks:
+            return b""
+        return self._chunks.pop(0)
+
+
+def scripted_stream(byte_chunks):
+    return AudioStream(
+        name="scripted", audio_stream=_ScriptedReader(byte_chunks),
+        sample_rate=SR,
+    )
+
+
+class TestCheckpointGuards:
+    def test_resume_without_tail_at_nonzero_index_rejected(self):
+        import io
+        import pytest
+
+        det = AudioPatternDetector(
+            audio_clips=[make_clip()], seconds_per_chunk=20
+        )
+        bad = StreamCheckpoint(3, None, 60.0)
+        with pytest.raises(ValueError, match="lookback tail"):
+            det.find_clip_in_audio(stream_of(np.zeros(SR, np.float32)), checkpoint=bad)
+
+    def test_negative_chunk_index_rejected(self):
+        import pytest
+
+        det = AudioPatternDetector(
+            audio_clips=[make_clip()], seconds_per_chunk=20
+        )
+        bad = StreamCheckpoint(-1, np.zeros(SR, np.float32), 0.0)
+        with pytest.raises(ValueError, match="chunk_index"):
+            det.find_clip_in_audio(stream_of(np.zeros(SR, np.float32)), checkpoint=bad)
+
+
+class TestShortTailResume:
+    """A checkpoint whose carried tail is SHORTER than the maximum sliding
+    window (the checkpointed chunk was a short segment-final chunk) must
+    resume exactly like a serial run fed the same chunk sequence."""
+
+    def test_short_mid_stream_chunk_resume_exact(self):
+        clip = make_clip(seed=3)
+        chunk_s = 20
+        det_kwargs = dict(audio_clips=[clip], seconds_per_chunk=chunk_s)
+
+        # Chunk script: one full chunk, one SHORT chunk (0.4 s — shorter
+        # than the 1 s sliding window), then a full chunk with a detection
+        # straddling nothing but landing after the short chunk.
+        rng = np.random.default_rng(1)
+        full1 = (0.01 * rng.standard_normal(chunk_s * SR)).astype(np.float32)
+        short = (0.01 * rng.standard_normal(int(0.4 * SR))).astype(np.float32)
+        full2 = (0.01 * rng.standard_normal(chunk_s * SR)).astype(np.float32)
+        full1[5 * SR : 6 * SR] += clip.audio
+        full2[2 * SR : 3 * SR] += clip.audio
+        # A copy straddling the short-chunk/full2 boundary: starts 0.1 s
+        # into the short chunk and finishes inside full2, so it is only
+        # contained in full2's section via the short-chunk lookback tail.
+        tail_off = int(0.1 * SR)
+        head_n = len(short) - tail_off
+        short[tail_off:] += clip.audio[:head_n]
+        full2[: len(clip.audio) - head_n] += clip.audio[head_n:]
+
+        serial_chunks = [c.tobytes() for c in (full1, short, full2)]
+        serial, serial_time = AudioPatternDetector(
+            **det_kwargs
+        ).find_clip_in_audio(scripted_stream(serial_chunks))
+
+        # Interrupted: run [full1, short], checkpoint, resume with [full2].
+        ckpts = []
+        AudioPatternDetector(**det_kwargs).find_clip_in_audio(
+            scripted_stream([c.tobytes() for c in (full1, short)]),
+            on_checkpoint=ckpts.append,
+        )
+        ck = StreamCheckpoint.from_bytes(ckpts[-1].to_bytes())
+        assert ck.chunk_index == 2
+        assert len(ck.previous_tail) == len(short)  # short tail
+        part1, _ = AudioPatternDetector(**det_kwargs).find_clip_in_audio(
+            scripted_stream([c.tobytes() for c in (full1, short)])
+        )
+        part2, resumed_time = AudioPatternDetector(
+            **det_kwargs
+        ).find_clip_in_audio(
+            scripted_stream([full2.tobytes()]), checkpoint=ck
+        )
+        assert sorted(part1["clip"] + part2["clip"]) == sorted(serial["clip"])
+        assert resumed_time == serial_time
+
+
+class TestGoldenCorpusResume:
+    """Resume-equals-uninterrupted on the real corpus (VERDICT r1 #8): every
+    chunk boundary of each golden section, including a resume landing on a
+    short final chunk."""
+
+    CASES = [
+        ("clips/rthk_beep.apd.toml", "rthk_section_with_beep.wav", 2),
+        ("clips/cbs_news.wav", "cbs_news_audio_section.wav", 4),
+        ("clips/天空下的彩虹intro.wav", "am1430_section_with_rainbow_intro.wav", 8),
+    ]
+
+    @staticmethod
+    def _load(rel):
+        import os
+        from tests.conftest import SAMPLE_AUDIOS
+
+        return os.path.join(SAMPLE_AUDIOS, rel)
+
+    def _run_case(self, clip_rel, audio_rel, chunk_s):
+        import wave
+
+        from audio_pattern_detector_tpu.utils.audio_io import load_wave_file
+
+        clip = AudioClip.from_audio_file(self._load(clip_rel), SR)
+        audio = load_wave_file(self._load(audio_rel), SR)
+
+        def det():
+            return AudioPatternDetector(
+                audio_clips=[clip], seconds_per_chunk=chunk_s
+            )
+
+        ckpts = []
+        full, full_time = det().find_clip_in_audio(
+            stream_of(audio), on_checkpoint=ckpts.append
+        )
+        name = clip.name
+        assert len(full[name]) >= 1 or "rthk" not in audio_rel
+
+        for ck in ckpts[:-1]:  # resume at every interior boundary
+            ck = StreamCheckpoint.from_bytes(ck.to_bytes())
+            cut = ck.chunk_index * chunk_s * SR
+            head, _ = det().find_clip_in_audio(stream_of(audio[:cut]))
+            tail, resumed_time = det().find_clip_in_audio(
+                stream_of(audio[cut:]), checkpoint=ck
+            )
+            assert sorted(head[name] + tail[name]) == sorted(full[name]), (
+                f"resume at chunk {ck.chunk_index} diverged"
+            )
+            assert resumed_time == full_time
+
+    def test_rthk_marker(self):
+        self._run_case(*self.CASES[0])
+
+    def test_cbs_normal(self):
+        self._run_case(*self.CASES[1])
+
+    def test_am1430_short_final_chunk(self):
+        self._run_case(*self.CASES[2])
+
+
+class TestStreamBatchCheckpointResume:
+    def test_stream_batch_checkpoints_resume_exact(self):
+        clip = make_clip(seed=9)
+        offsets = [5.0, 33.5, 61.0, 95.25]
+        audio = make_audio(clip, offsets, 130, seed=2)
+        chunk_s = 20
+        det_kwargs = dict(audio_clips=[clip], seconds_per_chunk=chunk_s)
+
+        full, full_time = AudioPatternDetector(**det_kwargs).find_clip_in_audio(
+            stream_of(audio)
+        )
+        ckpts = []
+        AudioPatternDetector(**det_kwargs).find_clip_in_audio(
+            stream_of(audio), stream_batch=3, on_checkpoint=ckpts.append
+        )
+        assert len(ckpts) == -(-len(audio) // (chunk_s * SR))
+        for ck in ckpts[:-1]:
+            cut = ck.chunk_index * chunk_s * SR
+            head, _ = AudioPatternDetector(**det_kwargs).find_clip_in_audio(
+                stream_of(audio[:cut])
+            )
+            tail, resumed_time = AudioPatternDetector(
+                **det_kwargs
+            ).find_clip_in_audio(
+                stream_of(audio[cut:]), checkpoint=ck, stream_batch=3
+            )
+            assert sorted(head["clip"] + tail["clip"]) == sorted(full["clip"])
+            assert resumed_time == full_time
