@@ -83,12 +83,105 @@ def shard_group_consts(
     return corr_sharded, verify_sharded
 
 
+def pad_group_consts(
+    corr: CorrelationBankConsts,
+    verify: "NormalVerifyConsts | MarkerVerifyConsts",
+    g_pad: int,
+) -> tuple[CorrelationBankConsts, Any]:
+    """Pad one group's constants to ``g_pad`` clip rows by repeating row 0.
+
+    Duplicated rows compute exactly what clip 0 computes (same spectra,
+    same verifier constants); callers slice results back to the real clip
+    count, so padding only makes non-divisible groups shardable — it never
+    changes results. Host numpy work, done once at init.
+    """
+
+    def pad0(a: Any) -> Any:
+        arr = np.asarray(a)
+        reps = np.concatenate(
+            [arr, np.repeat(arr[:1], g_pad - arr.shape[0], axis=0)]
+        )
+        return jnp.asarray(reps)
+
+    def pad1(a: Any) -> Any:  # (2, G, F) spectra
+        arr = np.asarray(a)
+        reps = np.concatenate(
+            [arr, np.repeat(arr[:, :1], g_pad - arr.shape[1], axis=1)],
+            axis=1,
+        )
+        return jnp.asarray(reps)
+
+    g = corr.self_corr_max.shape[0]
+    if g_pad == g:
+        return corr, verify
+    if g_pad < g:
+        raise ValueError(f"cannot pad group of {g} down to {g_pad}")
+    corr_p = replace(
+        corr,
+        bank_rfft_conj_ri=pad1(corr.bank_rfft_conj_ri),
+        self_corr_max=pad0(corr.self_corr_max),
+    )
+    if isinstance(verify, NormalVerifyConsts):
+        verify_p = replace(
+            verify,
+            corr_clip_partitions=pad0(verify.corr_clip_partitions),
+            ds_clip=pad0(verify.ds_clip),
+        )
+    else:
+        verify_p = replace(
+            verify,
+            band_whole=pad0(verify.band_whole),
+            dom_freq=pad0(verify.dom_freq),
+            lock_hz=pad0(verify.lock_hz),
+            band_frame=pad0(verify.band_frame),
+            thresholds=pad0(verify.thresholds),
+        )
+    return corr_p, verify_p
+
+
+def group_spec_tree(
+    corr: CorrelationBankConsts,
+    verify: "NormalVerifyConsts | MarkerVerifyConsts",
+    axis: str,
+) -> tuple[CorrelationBankConsts, Any]:
+    """PartitionSpec pytree matching one group's (corr, verify) consts:
+    clip-bank (G) axes partitioned over ``axis``, shared structure
+    replicated. For use as shard_map in_specs."""
+    corr_spec = replace(
+        corr,
+        bank_rfft_conj_ri=P(None, axis, None),
+        self_corr_max=P(axis),
+    )
+    if isinstance(verify, NormalVerifyConsts):
+        verify_spec = replace(
+            verify,
+            corr_clip_partitions=P(axis, None, None),
+            ds_clip=P(axis, None),
+        )
+    else:
+        verify_spec = replace(
+            verify,
+            hann_whole=P(None),
+            freqs_whole=P(None),
+            band_whole=P(axis, None),
+            dom_freq=P(axis),
+            lock_hz=P(axis),
+            hann_frame=P(None),
+            freqs_frame=P(None),
+            band_frame=P(axis, None),
+            thresholds=P(axis, None),
+        )
+    return corr_spec, verify_spec
+
+
 class BankShardedBank:
     """A PatternBank whose group constants live sharded across a mesh axis.
 
-    Drop-in for PatternBank.process_chunk: same inputs, same results; the
-    device programs run bank-parallel. Group sizes must be divisible by
-    the axis size (pad the bank with dummy clips if needed).
+    Drop-in for PatternBank's dispatch/collect/process_chunk surface: same
+    inputs, same results; the device programs run bank-parallel via GSPMD.
+    Groups whose size does not divide the shard count are padded
+    automatically with duplicate rows (results sliced back — see
+    :func:`pad_group_consts`).
     """
 
     def __init__(self, bank: PatternBank, mesh: Mesh, axis: str = "bank") -> None:
@@ -102,19 +195,23 @@ class BankShardedBank:
         for sw, cls in bank.classes.items():
             shard_groups = []
             for g in cls["groups"]:
-                if len(g.names) % n_shards != 0:
-                    raise ValueError(
-                        f"group of {len(g.names)} clips not divisible by "
-                        f"{n_shards} bank shards"
-                    )
-                shard_groups.append(shard_group_consts(mesh, axis, g.corr, g.verify))
+                g_real = len(g.names)
+                g_pad = -(-g_real // n_shards) * n_shards
+                corr_c, verify_c = pad_group_consts(g.corr, g.verify, g_pad)
+                shard_groups.append(
+                    shard_group_consts(mesh, axis, corr_c, verify_c)
+                )
             self._sharded[sw] = tuple(shard_groups)
 
-    def process_chunk(self, chunk, previous_chunk):
-        """Synchronous chunk processing over the sharded bank."""
+    # ── Per-chunk execution (same dispatch/collect pairing as
+    # PatternBank: dispatch enqueues asynchronously, collect blocks) ──
+
+    def dispatch_chunk(self, chunk, previous_chunk):
+        """Enqueue one chunk over the sharded bank (async); returns opaque
+        per-class records for :meth:`collect_chunk`."""
         bank = self._bank
         sr = bank.sample_rate
-        results: dict[str, list[int]] = {}
+        dispatched = []
         for sw, cls in bank.classes.items():
             if previous_chunk is not None:
                 raw_section = np.concatenate(
@@ -136,17 +233,44 @@ class BankShardedBank:
                     height_min=bank.height_min,
                     lean=True,
                 )
+            dispatched.append((sw, outs, raw_section))
+        return dispatched
 
-            for g, out in zip(cls["groups"], outs):
+    def collect_chunk(self, dispatched):
+        """Block on a dispatched chunk; accepted peak positions per clip.
+
+        Flag-2 rows (lean small-tier miss) re-derive through the serial
+        full-width device program (`PatternBank._full_tier_packed`) — the
+        same full-tier rerun the unsharded engine uses; flag-1 rows take
+        the exact host path."""
+        bank = self._bank
+        results: dict[str, list[int]] = {}
+        for sw, outs, raw_section in dispatched:
+            cls = bank.classes[sw]
+            rerun = None  # lazy full-tier device rerun (per section)
+            for gi, (g, out) in enumerate(zip(cls["groups"], outs)):
                 pos, sel, host_fb, needs_full = unpack_group(
                     np.asarray(out["packed"]), g.k_verify
                 )
-                # needs_full (lean small-tier miss) is exact via the host
-                # path too — the sharded program has no full-tier rerun.
-                overflow = host_fb | needs_full
                 for ci, name in enumerate(g.names):
-                    if overflow[ci]:
+                    if host_fb[ci]:
                         results[name] = bank._host_fallback(g, ci, raw_section)
+                    elif needs_full[ci]:
+                        if rerun is None:
+                            rerun = bank._full_tier_packed(sw, raw_section)
+                        rpos, rsel, rhost, _ = unpack_group(
+                            rerun[gi], g.k_verify
+                        )
+                        if rhost[ci]:
+                            results[name] = bank._host_fallback(
+                                g, ci, raw_section
+                            )
+                        else:
+                            results[name] = [int(p) for p in rpos[ci][rsel[ci]]]
                     else:
                         results[name] = [int(p) for p in pos[ci][sel[ci]]]
         return results
+
+    def process_chunk(self, chunk, previous_chunk):
+        """Synchronous dispatch + collect of one chunk."""
+        return self.collect_chunk(self.dispatch_chunk(chunk, previous_chunk))

@@ -74,6 +74,7 @@ class ShardedDetector:
         self.mesh = mesh
         self.time_size = mesh.shape["time"]
         self.stream_size = mesh.shape.get("stream", 1)
+        self.bank_size = mesh.shape.get("bank", 1)
         self.chunk_seconds = chunk_seconds
 
         self._detector = AudioPatternDetector(
@@ -89,6 +90,21 @@ class ShardedDetector:
         self.max_halo = max(
             sw * self.sample_rate for sw in self.bank.classes
         )
+        # Per-class group consts, padded to a bank-axis-divisible clip
+        # count when the mesh has a "bank" axis (2-D bank × time sharding;
+        # padded rows duplicate clip 0 and are sliced off on unpack).
+        from audio_pattern_detector_tpu.parallel.bankshard import (
+            pad_group_consts,
+        )
+
+        self._class_consts: dict[int, tuple] = {}
+        for sw, cls in self.bank.classes.items():
+            consts = []
+            for g in cls["groups"]:
+                g_real = len(g.names)
+                g_pad = -(-g_real // self.bank_size) * self.bank_size
+                consts.append(pad_group_consts(g.corr, g.verify, g_pad))
+            self._class_consts[sw] = tuple(consts)
         # jit cache key: (sliding_window, slab-has-lookback-carry)
         self._jitted: dict[tuple[int, bool], Any] = {}
 
@@ -108,11 +124,26 @@ class ShardedDetector:
         chunk = self.chunk_samples
         time_size = self.time_size
         has_stream = "stream" in self.mesh.axis_names
+        has_bank = self.bank_size > 1
         blk_spec = P("stream" if has_stream else None, "time")
         tail_spec = P("stream" if has_stream else None, None)
 
         loud = cls["loud"]
-        group_consts = tuple((g.corr, g.verify) for g in cls["groups"])
+        group_consts = self._class_consts[sw]
+        if has_bank:
+            from audio_pattern_detector_tpu.parallel.bankshard import (
+                group_spec_tree,
+            )
+
+            gc_specs: Any = tuple(
+                group_spec_tree(c, v, "bank") for c, v in group_consts
+            )
+            out_spec = P(
+                "stream" if has_stream else None, "time", "bank"
+            )
+        else:
+            gc_specs = P()
+            out_spec = P(*blk_spec)
 
         def local_fn(blk, prev_tail, t_actual, loud_c, gconsts):
             # blk: (B_local, 1, chunk) — this device's time slice.
@@ -163,8 +194,8 @@ class ShardedDetector:
         mapped = shard_map(
             local_fn,
             mesh=self.mesh,
-            in_specs=(P(*blk_spec, None), tail_spec, P(), P(), P()),
-            out_specs=P(*blk_spec),
+            in_specs=(P(*blk_spec, None), tail_spec, P(), P(), gc_specs),
+            out_specs=out_spec,
             check_vma=False,
         )
         return jax.jit(
@@ -272,6 +303,12 @@ class ShardedStreamSession:
         chunk = sd.chunk_samples
         results: dict[str, list[list[float]]] = {}
 
+        # Per-device stream algebra, shared by every class below.
+        d_idx = np.arange(sd.time_size)
+        owned_d = np.clip(t_actual - d_idx * chunk, 0, chunk)  # (Dt,)
+        active_d = owned_d > 0
+        index_d = self._base + d_idx
+
         for sw, cls in sd.bank.classes.items():
             key = (sw, has_prev)
             if key not in sd._jitted:
@@ -285,44 +322,91 @@ class ShardedStreamSession:
             prev_tail_dev = jax.device_put(prev_tail, tail_sharding)
 
             outs = sd._jitted[key](blocks_dev, prev_tail_dev, jnp.float32(t_actual))
-            for g, out in zip(cls["groups"], outs):
-                packed = np.asarray(out["packed"])  # (B, Dt, G, 2K+2)
+            subtract_d = np.where((d_idx > 0) | has_prev, sw, 0.0)  # (Dt,)
+
+            # Full-tier device reruns, cached per (b, d) section — shared
+            # across this class's groups (the rerun program covers all).
+            reruns: dict[tuple[int, int], list[NDArray[np.float32]]] = {}
+
+            def rerun_for(b: int, d: int) -> list[NDArray[np.float32]]:
+                cell = (b, d)
+                if cell not in reruns:
+                    raw = _device_section(
+                        slab, prev_tail, b, d, chunk, halo,
+                        int(owned_d[d]), has_prev,
+                    )
+                    reruns[cell] = sd.bank._full_tier_packed(sw, raw)
+                return reruns[cell]
+
+            for gi, (g, out) in enumerate(zip(cls["groups"], outs)):
+                g_real = len(g.names)
+                packed = np.asarray(out["packed"])[:, :, :g_real, :]
                 pos, sel, host_fb, needs_full = unpack_group(packed, g.k_verify)
-                # needs_full rows re-derive on the exact host path (the
-                # sharded program has no full-tier rerun).
-                overflow = host_fb | needs_full
+                clip_seconds = g.clip_len / sr
+
+                # Vectorised timestamp algebra over (B, Dt, G, K):
+                # t = pos/sr - subtract + index*chunk_s - clip_s, clamped.
+                t_all = np.maximum(
+                    pos / sr
+                    - subtract_d[None, :, None, None]
+                    + index_d[None, :, None, None] * sd.chunk_seconds
+                    - clip_seconds,
+                    0.0,
+                )
+                flagged = host_fb | needs_full  # (B, Dt, G)
+                clean = (
+                    sel
+                    & ~flagged[..., None]
+                    & active_d[None, :, None, None]
+                )
+
+                # Flagged active cells (rare): flag 2 re-derives through
+                # the serial full-width DEVICE program; flag 1 (or a rerun
+                # that itself overflows) takes the exact host path.
+                cell_times: dict[tuple[int, int], list[float]] = {}
+                for b, d, ci in np.argwhere(
+                    flagged & active_d[None, :, None]
+                ):
+                    if needs_full[b, d, ci] and not host_fb[b, d, ci]:
+                        rpos, rsel, rhost, _ = unpack_group(
+                            rerun_for(b, d)[gi], g.k_verify
+                        )
+                        if rhost[ci]:
+                            hits = sd.bank._host_fallback(
+                                g,
+                                ci,
+                                _device_section(
+                                    slab, prev_tail, b, d, chunk, halo,
+                                    int(owned_d[d]), has_prev,
+                                ),
+                            )
+                        else:
+                            hits = [int(p) for p in rpos[ci][rsel[ci]]]
+                    else:
+                        hits = sd.bank._host_fallback(
+                            g,
+                            ci,
+                            _device_section(
+                                slab, prev_tail, b, d, chunk, halo,
+                                int(owned_d[d]), has_prev,
+                            ),
+                        )
+                    cell_times[(b, ci)] = cell_times.get((b, ci), []) + [
+                        max(
+                            p / sr
+                            - subtract_d[d]
+                            + index_d[d] * sd.chunk_seconds
+                            - clip_seconds,
+                            0.0,
+                        )
+                        for p in hits
+                    ]
+
                 for ci, name in enumerate(g.names):
-                    clip_seconds = g.clip_len / sr
                     per_stream: list[list[float]] = []
                     for b in range(B):
-                        times: list[float] = []
-                        for d in range(sd.time_size):
-                            owned = min(max(t_actual - d * chunk, 0), chunk)
-                            if owned == 0:
-                                continue  # device past the stream end
-                            lookback = d > 0 or has_prev
-                            subtract = sw if lookback else 0
-                            index = self._base + d
-                            if overflow[b, d, ci]:
-                                raw = _device_section(
-                                    slab, prev_tail, b, d, chunk, halo,
-                                    owned, has_prev,
-                                )
-                                hits: "list[int]" = sd.bank._host_fallback(
-                                    g, ci, raw
-                                )
-                            else:
-                                hits = [
-                                    int(p) for p in pos[b, d, ci][sel[b, d, ci]]
-                                ]
-                            for p in hits:
-                                t = (
-                                    p / sr
-                                    - subtract
-                                    + index * sd.chunk_seconds
-                                    - clip_seconds
-                                )
-                                times.append(t if t >= 0 else 0)
+                        times = t_all[b, :, ci][clean[b, :, ci]].tolist()
+                        times.extend(cell_times.get((b, ci), []))
                         per_stream.append(sorted(times))
                     results[name] = per_stream
         # Advance carry/base for the next slab.

@@ -70,7 +70,30 @@ class TestBankSharded:
         got = sharded.process_chunk(c1, c0)
         assert got == ref
 
-    def test_indivisible_group_rejected(self):
-        bank, _ = build_bank()
-        with pytest.raises(ValueError, match="not divisible"):
-            BankShardedBank(bank, make_mesh({"bank": 3}))
+    def test_indivisible_group_auto_pads(self):
+        """8-clip groups over 3 shards: padded to 9 with duplicate rows,
+        results identical to the unsharded bank."""
+        bank, clips = build_bank()
+        rng = np.random.default_rng(3)
+        audio = (0.01 * rng.standard_normal(10 * SR)).astype(np.float32)
+        audio[3 * SR : 4 * SR] += clips[7].audio
+        sharded = BankShardedBank(bank, make_mesh({"bank": 3}))
+        ref = bank.process_chunk(audio, None)
+        got = sharded.process_chunk(audio, None)
+        assert got == ref
+        assert ref["n7"]
+
+    def test_dispatch_collect_async_pair(self):
+        """dispatch/collect split: two chunks in flight produce the same
+        results as synchronous processing."""
+        bank, clips = build_bank()
+        rng = np.random.default_rng(4)
+        c0 = (0.01 * rng.standard_normal(10 * SR)).astype(np.float32)
+        c1 = (0.01 * rng.standard_normal(10 * SR)).astype(np.float32)
+        c0[2 * SR : 3 * SR] += clips[1].audio
+        c1[5 * SR : 5 * SR + len(clips[9].audio)] += 0.8 * clips[9].audio
+        sharded = BankShardedBank(bank, make_mesh({"bank": 8}))
+        d0 = sharded.dispatch_chunk(c0, None)
+        d1 = sharded.dispatch_chunk(c1, c0)  # in flight behind d0
+        assert sharded.collect_chunk(d0) == bank.process_chunk(c0, None)
+        assert sharded.collect_chunk(d1) == bank.process_chunk(c1, c0)
