@@ -193,6 +193,16 @@ class PatternBank:
                 ]
                 verify = build_marker_verify_consts(m, sample_rate, dom, vparams)
                 tone_freqs: list[float | None] = [tone_frequencies[n] for n in names]
+                # A real tone hit floods |corr| with a candidate comb —
+                # peaks every half period across the ±m alignment envelope,
+                # up to ~2·m·f/sr raw candidates per hit. Size k_detect to
+                # hold ~8 simultaneous hits so hit-bearing chunks stay
+                # on-device (flag 2 → row-granular full-tier rerun) instead
+                # of overflowing to the host path; the wider lanes cost
+                # nothing in the lean program (k_detect is only a flag
+                # threshold there) and price only the rare rerun.
+                comb = int(np.ceil(2.0 * m * float(dom.max()) / sample_rate))
+                k_detect = min(16384, max(k_detect, 8 * comb + 256))
             else:
                 verify = build_normal_verify_consts(corr_clips_np, m, sample_rate)
                 vparams = [{} for _ in names]
@@ -225,6 +235,10 @@ class PatternBank:
             self._metas[sw] = tuple(
                 (g.kind, g.clip_len, g.k_detect, g.k_verify) for g in cls["groups"]
             )
+        # Class geometries + lazy single-row consts for the row-granular
+        # full-tier rerun (hit path; see _full_tier_row).
+        self._shared_geoms = shared_geoms
+        self._row_consts: dict[tuple[int, int, int], tuple] = {}
 
     # ── Per-chunk execution ──
     #
@@ -290,28 +304,20 @@ class PatternBank:
         for sw, flat, raw_section in dispatched:
             cls = self.classes[sw]
             flat_np = np.asarray(flat)  # ONE device->host transfer per class
-            rerun: list[NDArray[np.float32]] | None = None  # lazy full-tier
+            flagged: list[tuple[int, int, bool]] = []
             for gi, (g, packed) in enumerate(
                 zip(cls["groups"], _split_fused(flat_np, cls["groups"]))
             ):
                 pos, sel, host_fb, needs_full = unpack_group(packed, g.k_verify)
                 for ci, name in enumerate(g.names):
-                    if host_fb[ci]:
-                        results[name] = self._host_fallback(g, ci, raw_section)
-                    elif needs_full[ci]:
-                        if rerun is None:
-                            rerun = self._full_tier_packed(sw, raw_section)
-                        rpos, rsel, rhost, _ = unpack_group(
-                            rerun[gi], g.k_verify
-                        )
-                        if rhost[ci]:
-                            results[name] = self._host_fallback(
-                                g, ci, raw_section
-                            )
-                        else:
-                            results[name] = [int(p) for p in rpos[ci][rsel[ci]]]
+                    if host_fb[ci] or needs_full[ci]:
+                        flagged.append((gi, ci, bool(host_fb[ci])))
                     else:
                         results[name] = [int(p) for p in pos[ci][sel[ci]]]
+            if flagged:
+                resolved = self.resolve_flagged_rows(sw, flagged, raw_section)
+                for (gi, ci), hits in resolved.items():
+                    results[cls["groups"][gi].names[ci]] = hits
         return results
 
     def _full_tier_packed(
@@ -335,6 +341,110 @@ class PatternBank:
             lean=False,
         )
         return [np.asarray(o["packed"]) for o in outs]
+
+    # Above this many flagged rows in one class, one whole-class rerun
+    # launch beats per-row launches (each row launch carries the fixed
+    # RPC cost; the class program amortises it over G rows).
+    _ROW_RERUN_MAX = 4
+
+    def _row_consts_for(self, sw: int, gi: int, ci: int) -> tuple:
+        """Single-row (corr, verify) consts for clip ``ci`` of group ``gi``
+        — built once from the group's host data with the SAME class-shared
+        overlap-save geometry, so the row's correlation is computed by the
+        identical FFT decomposition the class program uses."""
+        key = (sw, gi, ci)
+        if key not in self._row_consts:
+            cls = self.classes[sw]
+            g = cls["groups"][gi]
+            corr_row = build_correlation_bank(
+                g.clips_np[ci : ci + 1],
+                g.self_max_np[ci : ci + 1],
+                cls["section_len"],
+                overlap_save=g.corr.num_segments > 1,
+                shared_geometry=self._shared_geoms.get(sw),
+            )
+            if g.kind == "marker":
+                verify_row: Any = build_marker_verify_consts(
+                    g.clip_len,
+                    self.sample_rate,
+                    np.array([g.tone_freqs[ci]], dtype=np.float64),
+                    [g.verification_params[ci]],
+                )
+            else:
+                verify_row = build_normal_verify_consts(
+                    g.corr_clips_np[ci : ci + 1],
+                    g.clip_len,
+                    self.sample_rate,
+                )
+            self._row_consts[key] = (corr_row, verify_row)
+        return self._row_consts[key]
+
+    def _full_tier_row(
+        self, sw: int, gi: int, ci: int, raw_section: NDArray[np.float32]
+    ) -> NDArray[np.float32]:
+        """Re-derive ONE clip row through the full-width single-tier
+        program — the cheap rerun for hit-dense rows (a marker hit's
+        candidate comb floods the 16-lane tier on exactly that clip's row;
+        re-deriving the whole class costs G× the correlation work).
+
+        Returns the row's packed payload (2·k_verify + 2,). One executable
+        per group shape, cached process-wide like every class program."""
+        cls = self.classes[sw]
+        g = cls["groups"][gi]
+        S = cls["section_len"]
+        section = np.zeros(S, dtype=np.float32)
+        section[: len(raw_section)] = raw_section
+        outs = _class_step_jit(
+            jnp.asarray(section),
+            jnp.float32(len(raw_section)),
+            cls["loud"],
+            (self._row_consts_for(sw, gi, ci),),
+            metas=((g.kind, g.clip_len, g.k_detect, g.k_verify),),
+            height_min=self.height_min,
+            lean=False,
+        )
+        return np.asarray(outs[0]["packed"])[0]
+
+    def resolve_flagged_rows(
+        self,
+        sw: int,
+        flagged: "list[tuple[int, int, bool]]",
+        raw_section: NDArray[np.float32],
+    ) -> dict[tuple[int, int], list[int]]:
+        """Resolve flagged (group, clip) rows of one section exactly.
+
+        ``flagged``: (gi, ci, is_host_flag) triples. Host-flagged rows (1)
+        take the exact host path. Device-flagged rows (2) re-derive through
+        the row-granular full-tier program when few, or one whole-class
+        full-tier launch when many; a rerun that itself overflows falls
+        back to the host path. Returns {(gi, ci): accepted positions}."""
+        cls = self.classes[sw]
+        out: dict[tuple[int, int], list[int]] = {}
+        device_rows = [(gi, ci) for gi, ci, host in flagged if not host]
+        host_rows = [(gi, ci) for gi, ci, host in flagged if host]
+
+        class_rerun: "list[NDArray[np.float32]] | None" = None
+        if len(device_rows) > self._ROW_RERUN_MAX:
+            class_rerun = self._full_tier_packed(sw, raw_section)
+        for gi, ci in device_rows:
+            g = cls["groups"][gi]
+            if class_rerun is not None:
+                rpos, rsel, rhost, _ = unpack_group(
+                    class_rerun[gi], g.k_verify
+                )
+                row = (rpos[ci], rsel[ci], bool(rhost[ci]))
+            else:
+                packed_row = self._full_tier_row(sw, gi, ci, raw_section)
+                rpos, rsel, rhost, _ = unpack_group(packed_row, g.k_verify)
+                row = (rpos, rsel, bool(rhost))
+            if row[2]:
+                host_rows.append((gi, ci))
+            else:
+                out[(gi, ci)] = [int(p) for p in row[0][row[1]]]
+        for gi, ci in host_rows:
+            g = cls["groups"][gi]
+            out[(gi, ci)] = self._host_fallback(g, ci, raw_section)
+        return out
 
     def process_chunk(
         self,
@@ -431,37 +541,25 @@ class PatternBank:
             cls = self.classes[sw]
             flat_np = np.asarray(flat)  # (B, total), ONE transfer per class
 
-            reruns: dict[int, list[NDArray[np.float32]]] = {}  # bi -> packed
+            flagged_by_bi: dict[int, list[tuple[int, int, bool]]] = {}
             for gi, (g, packed) in enumerate(
                 zip(cls["groups"], _split_fused(flat_np, cls["groups"]))
             ):
                 pos, sel, host_fb, needs_full = unpack_group(packed, g.k_verify)
                 for bi in range(b):
                     for ci, name in enumerate(g.names):
-                        if host_fb[bi, ci]:
-                            results[bi][name] = self._host_fallback(
-                                g, ci, raws[bi]
+                        if host_fb[bi, ci] or needs_full[bi, ci]:
+                            flagged_by_bi.setdefault(bi, []).append(
+                                (gi, ci, bool(host_fb[bi, ci]))
                             )
-                        elif needs_full[bi, ci]:
-                            if bi not in reruns:
-                                reruns[bi] = self._full_tier_packed(
-                                    sw, raws[bi]
-                                )
-                            rpos, rsel, rhost, _ = unpack_group(
-                                reruns[bi][gi], g.k_verify
-                            )
-                            if rhost[ci]:
-                                results[bi][name] = self._host_fallback(
-                                    g, ci, raws[bi]
-                                )
-                            else:
-                                results[bi][name] = [
-                                    int(p) for p in rpos[ci][rsel[ci]]
-                                ]
                         else:
                             results[bi][name] = [
                                 int(p) for p in pos[bi, ci][sel[bi, ci]]
                             ]
+            for bi, flagged in flagged_by_bi.items():
+                resolved = self.resolve_flagged_rows(sw, flagged, raws[bi])
+                for (gi, ci), hits in resolved.items():
+                    results[bi][cls["groups"][gi].names[ci]] = hits
         return results
 
     def _host_fallback(

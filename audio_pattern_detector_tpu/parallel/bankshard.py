@@ -240,35 +240,27 @@ class BankShardedBank:
         """Block on a dispatched chunk; accepted peak positions per clip.
 
         Flag-2 rows (lean small-tier miss) re-derive through the serial
-        full-width device program (`PatternBank._full_tier_packed`) — the
-        same full-tier rerun the unsharded engine uses; flag-1 rows take
-        the exact host path."""
+        row-granular full-tier device program
+        (`PatternBank.resolve_flagged_rows`); flag-1 rows take the exact
+        host path."""
         bank = self._bank
         results: dict[str, list[int]] = {}
         for sw, outs, raw_section in dispatched:
             cls = bank.classes[sw]
-            rerun = None  # lazy full-tier device rerun (per section)
+            flagged: list[tuple[int, int, bool]] = []
             for gi, (g, out) in enumerate(zip(cls["groups"], outs)):
                 pos, sel, host_fb, needs_full = unpack_group(
                     np.asarray(out["packed"]), g.k_verify
                 )
                 for ci, name in enumerate(g.names):
-                    if host_fb[ci]:
-                        results[name] = bank._host_fallback(g, ci, raw_section)
-                    elif needs_full[ci]:
-                        if rerun is None:
-                            rerun = bank._full_tier_packed(sw, raw_section)
-                        rpos, rsel, rhost, _ = unpack_group(
-                            rerun[gi], g.k_verify
-                        )
-                        if rhost[ci]:
-                            results[name] = bank._host_fallback(
-                                g, ci, raw_section
-                            )
-                        else:
-                            results[name] = [int(p) for p in rpos[ci][rsel[ci]]]
+                    if host_fb[ci] or needs_full[ci]:
+                        flagged.append((gi, ci, bool(host_fb[ci])))
                     else:
                         results[name] = [int(p) for p in pos[ci][sel[ci]]]
+            if flagged:
+                resolved = bank.resolve_flagged_rows(sw, flagged, raw_section)
+                for (gi, ci), hits in resolved.items():
+                    results[cls["groups"][gi].names[ci]] = hits
         return results
 
     def process_chunk(self, chunk, previous_chunk):

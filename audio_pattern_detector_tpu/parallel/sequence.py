@@ -324,20 +324,10 @@ class ShardedStreamSession:
             outs = sd._jitted[key](blocks_dev, prev_tail_dev, jnp.float32(t_actual))
             subtract_d = np.where((d_idx > 0) | has_prev, sw, 0.0)  # (Dt,)
 
-            # Full-tier device reruns, cached per (b, d) section — shared
-            # across this class's groups (the rerun program covers all).
-            reruns: dict[tuple[int, int], list[NDArray[np.float32]]] = {}
-
-            def rerun_for(b: int, d: int) -> list[NDArray[np.float32]]:
-                cell = (b, d)
-                if cell not in reruns:
-                    raw = _device_section(
-                        slab, prev_tail, b, d, chunk, halo,
-                        int(owned_d[d]), has_prev,
-                    )
-                    reruns[cell] = sd.bank._full_tier_packed(sw, raw)
-                return reruns[cell]
-
+            # Pass 1 (vectorised): clean timestamps per group + flagged
+            # cells collected per (b, d) section.
+            group_arrays = []
+            flagged_cells: dict[tuple[int, int], list[tuple[int, int, bool]]] = {}
             for gi, (g, out) in enumerate(zip(cls["groups"], outs)):
                 g_real = len(g.names)
                 packed = np.asarray(out["packed"])[:, :, :g_real, :]
@@ -359,39 +349,27 @@ class ShardedStreamSession:
                     & ~flagged[..., None]
                     & active_d[None, :, None, None]
                 )
-
-                # Flagged active cells (rare): flag 2 re-derives through
-                # the serial full-width DEVICE program; flag 1 (or a rerun
-                # that itself overflows) takes the exact host path.
-                cell_times: dict[tuple[int, int], list[float]] = {}
+                group_arrays.append((g, t_all, clean, clip_seconds))
                 for b, d, ci in np.argwhere(
                     flagged & active_d[None, :, None]
                 ):
-                    if needs_full[b, d, ci] and not host_fb[b, d, ci]:
-                        rpos, rsel, rhost, _ = unpack_group(
-                            rerun_for(b, d)[gi], g.k_verify
-                        )
-                        if rhost[ci]:
-                            hits = sd.bank._host_fallback(
-                                g,
-                                ci,
-                                _device_section(
-                                    slab, prev_tail, b, d, chunk, halo,
-                                    int(owned_d[d]), has_prev,
-                                ),
-                            )
-                        else:
-                            hits = [int(p) for p in rpos[ci][rsel[ci]]]
-                    else:
-                        hits = sd.bank._host_fallback(
-                            g,
-                            ci,
-                            _device_section(
-                                slab, prev_tail, b, d, chunk, halo,
-                                int(owned_d[d]), has_prev,
-                            ),
-                        )
-                    cell_times[(b, ci)] = cell_times.get((b, ci), []) + [
+                    flagged_cells.setdefault((int(b), int(d)), []).append(
+                        (gi, int(ci), bool(host_fb[b, d, ci]))
+                    )
+
+            # Pass 2 (rare): resolve flagged cells exactly — row-granular
+            # full-tier DEVICE reruns (whole-class rerun above the row
+            # threshold), host path only for flag-1 / rerun overflow.
+            cell_times: dict[tuple[int, int, int], list[float]] = {}
+            for (b, d), triples in flagged_cells.items():
+                raw = _device_section(
+                    slab, prev_tail, b, d, chunk, halo,
+                    int(owned_d[d]), has_prev,
+                )
+                resolved = sd.bank.resolve_flagged_rows(sw, triples, raw)
+                for (gi, ci), hits in resolved.items():
+                    clip_seconds = group_arrays[gi][3]
+                    cell_times.setdefault((gi, b, ci), []).extend(
                         max(
                             p / sr
                             - subtract_d[d]
@@ -400,13 +378,15 @@ class ShardedStreamSession:
                             0.0,
                         )
                         for p in hits
-                    ]
+                    )
 
+            # Pass 3: assemble per-clip per-stream sorted lists.
+            for gi, (g, t_all, clean, _cs) in enumerate(group_arrays):
                 for ci, name in enumerate(g.names):
                     per_stream: list[list[float]] = []
                     for b in range(B):
                         times = t_all[b, :, ci][clean[b, :, ci]].tolist()
-                        times.extend(cell_times.get((b, ci), []))
+                        times.extend(cell_times.get((gi, b, ci), []))
                         per_stream.append(sorted(times))
                     results[name] = per_stream
         # Advance carry/base for the next slab.

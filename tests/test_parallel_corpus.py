@@ -178,11 +178,17 @@ class TestShardedFullTierRerun:
             lambda *a, **k: host_calls.append(1) or orig_host(*a, **k),
         )
         rerun_calls: list[int] = []
-        orig_rerun = sd.bank._full_tier_packed
+        orig_row = sd.bank._full_tier_row
+        monkeypatch.setattr(
+            sd.bank,
+            "_full_tier_row",
+            lambda *a, **k: rerun_calls.append(1) or orig_row(*a, **k),
+        )
+        orig_cls = sd.bank._full_tier_packed
         monkeypatch.setattr(
             sd.bank,
             "_full_tier_packed",
-            lambda *a, **k: rerun_calls.append(1) or orig_rerun(*a, **k),
+            lambda *a, **k: rerun_calls.append(1) or orig_cls(*a, **k),
         )
 
         got = detections_from_sharded(sd.detect(audio[None, :]), 0)

@@ -214,3 +214,101 @@ class TestExactnessGuardFlags:
         vl = L - 100
         x = self._row(L, [(vl - m, 0.9)])
         assert run(x, vl) == 0.0
+
+
+class TestRowGranularRerun:
+    """Flag-2 rows re-derive through the single-ROW full-tier program when
+    few (the hit path: one extra launch covering 1/G of the class work);
+    whole-class rerun only above the row threshold."""
+
+    def test_single_dense_row_uses_row_rerun(self, noise_clip_detector, monkeypatch):
+        det, bank = noise_clip_detector
+        g = bank.classes[1]["groups"][0]
+        audio = _chunk_with_copies(g.clips_np[0], 18, 20, seed=21)
+        assert _count_candidates(bank, g, audio) > 16
+
+        row_calls, cls_calls = [], []
+        orig_row = bank._full_tier_row
+        orig_cls = bank._full_tier_packed
+        monkeypatch.setattr(
+            bank, "_full_tier_row",
+            lambda *a, **k: row_calls.append(a[:3]) or orig_row(*a, **k),
+        )
+        monkeypatch.setattr(
+            bank, "_full_tier_packed",
+            lambda *a, **k: cls_calls.append(1) or orig_cls(*a, **k),
+        )
+        got = bank.process_chunk(audio, None)["c"]
+        assert got == _host_expected(bank, g, audio)
+        assert row_calls == [(1, 0, 0)]
+        assert not cls_calls
+
+    def test_many_flagged_rows_use_class_rerun(self, monkeypatch):
+        """> _ROW_RERUN_MAX flagged rows in one class switch to ONE
+        whole-class rerun launch."""
+        rng = np.random.default_rng(31)
+        base = (0.4 * rng.standard_normal(SR)).astype(np.float32)
+        # 6 clips sharing one group; a chunk stuffed with copies of each
+        # floods every row's small tier.
+        clips = [
+            AudioClip(name=f"c{i}", audio=base * (0.8 + 0.04 * i), sample_rate=SR)
+            for i in range(6)
+        ]
+        det = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=24)
+        bank = det._ensure_bank()
+        g = bank.classes[1]["groups"][0]
+        audio = _chunk_with_copies(base, 20, 24, seed=32)
+
+        row_calls, cls_calls = [], []
+        orig_row = bank._full_tier_row
+        orig_cls = bank._full_tier_packed
+        monkeypatch.setattr(
+            bank, "_full_tier_row",
+            lambda *a, **k: row_calls.append(1) or orig_row(*a, **k),
+        )
+        monkeypatch.setattr(
+            bank, "_full_tier_packed",
+            lambda *a, **k: cls_calls.append(1) or orig_cls(*a, **k),
+        )
+        got = bank.process_chunk(audio, None)
+        for ci, name in enumerate(g.names):
+            assert got[name] == _host_expected_row(bank, g, ci, audio)
+        assert cls_calls == [1]
+        assert not row_calls
+
+    def test_marker_row_rerun_matches_host(self, monkeypatch):
+        t = np.arange(int(0.25 * SR)) / SR
+        tone = (0.8 * np.sin(2 * np.pi * 1040.0 * t)).astype(np.float32)
+        clip = AudioClip(
+            name="m", audio=tone, sample_rate=SR, strategy="marker_tone",
+        )
+        det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=20)
+        bank = det._ensure_bank()
+        g = bank.classes[1]["groups"][0]
+        rng = np.random.default_rng(5)
+        audio = (0.002 * rng.standard_normal(20 * SR)).astype(np.float32)
+        o = int(7.25 * SR)
+        audio[o : o + len(tone)] += tone
+
+        row_calls = []
+        orig_row = bank._full_tier_row
+        monkeypatch.setattr(
+            bank, "_full_tier_row",
+            lambda *a, **k: row_calls.append(1) or orig_row(*a, **k),
+        )
+        assert bank.process_chunk(audio, None)["m"] == _host_expected(bank, g, audio)
+        assert row_calls  # marker comb floods the small tier -> row rerun
+
+
+def _host_expected_row(bank, g, ci, section):
+    return hostpath.process_section_host(
+        audio_section=section,
+        clip=g.clips_np[ci],
+        correlation_clip=g.corr_clips_np[ci],
+        correlation_clip_absolute_max=float(g.self_max_np[ci]),
+        sr=SR,
+        height_min=bank.height_min,
+        is_short_clip=g.clip_len / SR < 0.5,
+        tone_frequency=g.tone_freqs[ci],
+        verification_params=g.verification_params[ci],
+    )
