@@ -89,10 +89,16 @@ def main() -> None:
         "--chunk-seconds",
         metavar="seconds",
         type=str,
-        default="60",
+        default=None,
         help=(
-            'seconds per chunk for sliding window (default: 60, use "auto" to '
-            "auto-compute based on pattern length)"
+            "seconds per chunk for sliding window. Default: 60 for stdin "
+            "(live) streams; for whole files the engine auto-sizes chunks "
+            "up to 240 s from the file duration (identical detections — "
+            "results are chunk-size-invariant — but fewer, larger device "
+            "launches; since a file scan emits as it processes, the only "
+            "latency cost is up to 240 s between event flushes). Pass an "
+            'explicit value to override, or "auto" to use the minimum '
+            "chunk the patterns allow"
         ),
     )
     match_parser.add_argument(

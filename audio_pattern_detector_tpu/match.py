@@ -337,6 +337,48 @@ def _run_detector_offline(
     return (peak_times if accumulate_results else None), total_time
 
 
+AUTO_PERF_MAX_CHUNK_SECONDS = 240
+
+
+def _auto_perf_chunk_seconds(
+    audio_source: str, pattern_clips: list[AudioClip], sr: int
+) -> int:
+    """File-mode default chunk size: as few launches as the file allows.
+
+    Detections are chunk-size-invariant (pinned by the offline-scan and
+    big-chunk equivalence tests), but every chunk pays a fixed per-launch
+    cost on remote device runtimes — so for whole files the default sizes
+    chunks up to AUTO_PERF_MAX_CHUNK_SECONDS from the file duration
+    instead of shipping the live-stream 60 s default. Small files keep
+    60 s chunks (single launch anyway; also keeps behaviour identical to
+    the reference corpus flows). Falls back to 60 when the duration is
+    unprobeable."""
+    from audio_pattern_detector_tpu.utils.audio_io import get_audio_duration
+
+    duration: float | None = None
+    if audio_source.lower().endswith(".wav"):
+        try:
+            with wave.open(audio_source, "rb") as w:
+                rate = w.getframerate()
+                duration = w.getnframes() / rate if rate else None
+        except (wave.Error, OSError):
+            duration = None
+    else:
+        duration = get_audio_duration(audio_source)
+
+    if duration is None or duration <= 60:
+        chunk = 60
+    else:
+        chunk = min(AUTO_PERF_MAX_CHUNK_SECONDS, int(np.ceil(duration)))
+    # The engine requires seconds_per_chunk >= 2x the largest sliding
+    # window (reference: audio_pattern_detector.py:122-136).
+    max_sw = max(
+        (max(1, int(np.ceil(c.clip_length_seconds()))) for c in pattern_clips),
+        default=1,
+    )
+    return max(chunk, 2 * max_sw)
+
+
 def match_pattern(
     audio_source: str | None,
     pattern_files: list[str],
@@ -344,6 +386,7 @@ def match_pattern(
     on_pattern_detected: PatternDetectedCallback | None = None,
     accumulate_results: bool = True,
     seconds_per_chunk: int | None = 60,
+    chunk_seconds_auto_perf: bool = False,
     from_stdin: bool = False,
     target_sample_rate: int | None = None,
     debug_dir: str = "./tmp",
@@ -419,6 +462,10 @@ def match_pattern(
         )
 
     assert audio_source is not None
+    if chunk_seconds_auto_perf and not debug_mode and offline_batch is None:
+        seconds_per_chunk = _auto_perf_chunk_seconds(
+            audio_source, pattern_clips, sr
+        )
     audio_name = Path(audio_source).stem
     print(f"Finding pattern in audio file {audio_name}...", file=sys.stderr)
 
@@ -599,6 +646,7 @@ def _run_match_with_output(
     audio_source: str | None,
     from_stdin: bool = False,
     seconds_per_chunk: int | None = 60,
+    chunk_seconds_auto_perf: bool = False,
     target_sample_rate: int | None = None,
     debug_dir: str = "./tmp",
     height_min: float | None = None,
@@ -621,6 +669,7 @@ def _run_match_with_output(
         on_pattern_detected=callback,
         accumulate_results=False,
         seconds_per_chunk=seconds_per_chunk,
+        chunk_seconds_auto_perf=chunk_seconds_auto_perf,
         from_stdin=from_stdin,
         target_sample_rate=target_sample_rate,
         debug_dir=debug_dir,
@@ -640,8 +689,14 @@ def _run_match_with_output(
 
 def cmd_match(args: argparse.Namespace) -> None:
     """Handler for the ``match`` subcommand."""
-    chunk_seconds_str = getattr(args, "chunk_seconds", "60")
-    if chunk_seconds_str.lower() == "auto":
+    chunk_seconds_str = getattr(args, "chunk_seconds", None)
+    chunk_auto_perf = False
+    if chunk_seconds_str is None:
+        # No explicit chunk size: 60 s for live streams; file mode
+        # auto-sizes from the file duration (see _auto_perf_chunk_seconds).
+        seconds_per_chunk: int | None = 60
+        chunk_auto_perf = True
+    elif chunk_seconds_str.lower() == "auto":
         seconds_per_chunk = None
     else:
         try:
@@ -729,6 +784,7 @@ def cmd_match(args: argparse.Namespace) -> None:
             pattern_files,
             args.audio_file,
             seconds_per_chunk=seconds_per_chunk,
+            chunk_seconds_auto_perf=chunk_auto_perf,
             target_sample_rate=target_sample_rate,
             debug_dir=debug_dir,
             height_min=height_min,

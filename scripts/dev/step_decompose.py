@@ -1,0 +1,224 @@
+"""Decompose the flagship device step: backend-fixed vs addressable cost.
+
+VERDICT r1 #4: the measured ~24 ms device step sits ~18× above the
+HBM-bandwidth floor (~1.3 ms); this probe attributes the gap. It times a
+cumulative ladder of programs on the flagship shapes (64-clip bank, 60 s
+chunk), each dependency-chained through a token so the runtime cannot
+memoise or overlap iterations (the only trustworthy method on this
+backend — see docs/scaling.md):
+
+  launch   — trivial token program: per-launch RPC floor
+  loudness — + integrated loudness + normalize (rfft/irfft conv pair)
+  secfft   — + class-shared section segment FFT
+  corr     — + both groups' correlation irffts (unnormalised lean form)
+  mask     — + candidate mask/counts/plateau + hierarchical top-k
+  tail     — + greedy filter, bounds, compaction, both verifiers =
+              the full lean class step (cross-check vs _class_step_jit)
+
+Marginal cost of each stage = its cumulative time minus the previous
+stage's. The backend-fixed share is `launch` + the FFT ops' fixed cost
+(every FFT op on this runtime costs ~5-6 ms nearly independent of batch —
+bench_results/fft_sweep.json); the rest is addressable.
+
+Run in a healthy window:  python scripts/dev/step_decompose.py
+Writes bench_results/step_decompose.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0,
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ITERS = int(os.environ.get("APD_PROBE_ITERS", "10"))
+REPEATS = int(os.environ.get("APD_PROBE_REPEATS", "3"))
+
+
+def time_chained(step) -> float:
+    token = jnp.float32(0.0)
+    token = jax.block_until_ready(step(token))
+    samples = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        tok = token
+        for _ in range(ITERS):
+            tok = step(tok)
+        jax.block_until_ready(tok)
+        samples.append((time.perf_counter() - t0) / ITERS)
+    return float(np.median(samples))
+
+
+def main() -> None:
+    from __graft_entry__ import _make_bank
+    from audio_pattern_detector_tpu.models.bank import (
+        _class_step_jit,
+        _lean_group_packed,
+    )
+    from audio_pattern_detector_tpu.ops.correlate import (
+        bank_correlate_unnormalised,
+        section_segment_spectra,
+    )
+    from audio_pattern_detector_tpu.ops.loudness import (
+        integrated_loudness_device,
+        loudness_normalize_device,
+    )
+    from audio_pattern_detector_tpu.ops.peaks import (
+        long_plateau_present,
+        short_run_local_maxima_mask,
+        topk_sparse,
+    )
+
+    sr = 8000
+    bank, _clips = _make_bank(num_normal=32, num_marker=32, chunk_seconds=60)
+    sw = sorted(bank.classes)[0]
+    cls = bank.classes[sw]
+    metas = bank._metas[sw]
+    S = cls["section_len"]
+    loud = cls["loud"]
+    gcs = tuple((g.corr, g.verify) for g in cls["groups"])
+    height_min = bank.height_min
+
+    rng = np.random.default_rng(0)
+    base = jnp.asarray((0.05 * rng.standard_normal(S)).astype(np.float32))
+
+    def tok_mix(token):
+        # Fold the token into the section so every stage depends on the
+        # previous iteration's full output.
+        return base + token * jnp.float32(1e-12)
+
+    def out_tok(x):
+        return jnp.sum(x) * jnp.float32(1e-12)
+
+    first = gcs[0][0]
+    shared = all(
+        (c.fft_len, c.step, c.pad_left, c.num_segments)
+        == (first.fft_len, first.step, first.pad_left, first.num_segments)
+        for c, _ in gcs
+    )
+
+    @jax.jit
+    def p_launch(token):
+        return token + jnp.float32(1.0)
+
+    @jax.jit
+    def p_loudness(token):
+        sec = tok_mix(token)
+        lufs = integrated_loudness_device(sec, jnp.int32(S), loud)
+        norm = loudness_normalize_device(sec, lufs)
+        return out_tok(norm)
+
+    @jax.jit
+    def p_secfft(token):
+        sec = tok_mix(token)
+        lufs = integrated_loudness_device(sec, jnp.int32(S), loud)
+        norm = loudness_normalize_device(sec, lufs)
+        spec = section_segment_spectra(norm, first) if shared else norm
+        return out_tok(jnp.abs(spec))
+
+    def correlations(norm, spec):
+        return [
+            bank_correlate_unnormalised(norm, jnp.int32(S), c, spec)
+            for c, _ in gcs
+        ]
+
+    @jax.jit
+    def p_corr(token):
+        sec = tok_mix(token)
+        lufs = integrated_loudness_device(sec, jnp.int32(S), loud)
+        norm = loudness_normalize_device(sec, lufs)
+        spec = section_segment_spectra(norm, first) if shared else None
+        outs = correlations(norm, spec)
+        return sum(out_tok(corr) for corr, _, _ in outs)
+
+    @jax.jit
+    def p_mask(token):
+        sec = tok_mix(token)
+        lufs = integrated_loudness_device(sec, jnp.int32(S), loud)
+        norm = loudness_normalize_device(sec, lufs)
+        spec = section_segment_spectra(norm, first) if shared else None
+        acc = jnp.float32(0.0)
+        for (kind, m, k_detect, k_verify), (corr, _, valid_len) in zip(
+            metas, correlations(norm, spec)
+        ):
+            L = corr.shape[1]
+            idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+            x = jnp.where(idx < valid_len, corr, -jnp.inf)
+            denom = jnp.float32(1.0)
+            thr = height_min * denom
+            mask = short_run_local_maxima_mask(x) & (x >= thr)
+            plateau = long_plateau_present(x, thr)
+            counts = jnp.sum(mask, axis=1)
+            scored = jnp.where(mask, x, -jnp.inf)
+            h, p = topk_sparse(scored, 16)
+            acc += out_tok(h) + out_tok(counts.astype(jnp.float32))
+            acc += out_tok(plateau.astype(jnp.float32))
+        return acc
+
+    @jax.jit
+    def p_full(token):
+        sec = tok_mix(token)
+        outs = _class_step_jit(
+            sec,
+            jnp.float32(S),
+            loud,
+            gcs,
+            metas=metas,
+            height_min=height_min,
+            lean=True,
+        )
+        return sum(out_tok(o["packed"]) for o in outs)
+
+    ladder = [
+        ("launch", p_launch),
+        ("loudness", p_loudness),
+        ("secfft", p_secfft),
+        ("corr", p_corr),
+        ("mask", p_mask),
+        ("full_lean_step", p_full),
+    ]
+    results: dict[str, float] = {}
+    prev = 0.0
+    for name, fn in ladder:
+        t = time_chained(fn)
+        results[name] = t
+        print(
+            f"{name:16s} cumulative {t * 1e3:8.2f} ms   "
+            f"marginal {(t - prev) * 1e3:8.2f} ms",
+            flush=True,
+        )
+        prev = t
+
+    out = {
+        "platform": jax.devices()[0].platform,
+        "iters": ITERS,
+        "repeats": REPEATS,
+        "cumulative_s": results,
+        "marginal_ms": {
+            name: round((results[name] - (results[ladder[i - 1][0]] if i else 0.0)) * 1e3, 3)
+            for i, (name, _) in enumerate(ladder)
+        },
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "bench_results",
+        "step_decompose.json",
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out["marginal_ms"]))
+
+
+if __name__ == "__main__":
+    main()

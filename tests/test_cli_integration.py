@@ -345,3 +345,72 @@ class TestShowConfig:
     def test_no_command_prints_help(self):
         r = run_cli([])
         assert r.returncode == 1
+
+
+class TestAutoPerfChunking:
+    """File-mode default auto-sizes chunks from the file duration
+    (identical events, fewer launches); explicit --chunk-seconds and
+    stdin mode keep the reference behaviour."""
+
+    @staticmethod
+    def _long_wav(tmp_path, seconds=100):
+        rng = np.random.default_rng(0)
+        t = np.arange(int(0.6 * 8000)) / 8000
+        clip = (0.5 * np.sin(2 * np.pi * 700.0 * t)).astype(np.float32)
+        audio = (0.01 * rng.standard_normal(seconds * 8000)).astype(np.float32)
+        audio[5 * 8000 : 5 * 8000 + len(clip)] += clip
+        late = (seconds - 20) * 8000
+        audio[late : late + len(clip)] += clip
+        clip_path = os.path.join(tmp_path, "c.wav")
+        audio_path = os.path.join(tmp_path, "a.wav")
+        with open(clip_path, "wb") as f:
+            f.write(wav_bytes_int16(clip, 8000))
+        with open(audio_path, "wb") as f:
+            f.write(wav_bytes_int16(audio, 8000))
+        return clip_path, audio_path
+
+    def test_default_single_launch_same_events(self, tmp_path):
+        clip_path, audio_path = self._long_wav(str(tmp_path))
+        r_auto = run_cli(
+            ["match", "--pattern-file", clip_path, audio_path, "--profile"]
+        )
+        r_60 = run_cli(
+            [
+                "match", "--pattern-file", clip_path, audio_path,
+                "--chunk-seconds", "60", "--profile",
+            ]
+        )
+        assert r_auto.returncode == 0 and r_60.returncode == 0
+        assert parse_jsonl(r_auto.stdout) == parse_jsonl(r_60.stdout)
+        events = parse_jsonl(r_auto.stdout)
+        hits = [e for e in events if e["type"] == "pattern_detected"]
+        assert len(hits) == 2
+
+        def chunks_of(stderr: bytes) -> int:
+            import json as _json
+
+            line = next(
+                ln for ln in stderr.decode().splitlines()
+                if ln.startswith("profile:")
+            )
+            return _json.loads(line[len("profile:") :])["chunks"]
+
+        # 100 s file: auto-perf scans it as ONE 100 s chunk; explicit 60
+        # keeps the reference chunking (2 launches).
+        assert chunks_of(r_auto.stderr) == 1
+        assert chunks_of(r_60.stderr) == 2
+
+    def test_stdin_keeps_60s_chunks(self, tmp_path):
+        clip_path, audio_path = self._long_wav(str(tmp_path), seconds=70)
+        with open(audio_path, "rb") as f:
+            wav = f.read()
+        r = run_cli(
+            ["match", "--pattern-file", clip_path, "--stdin", "--profile"],
+            stdin_bytes=wav,
+        )
+        assert r.returncode == 0
+        line = next(
+            ln for ln in r.stderr.decode().splitlines()
+            if ln.startswith("profile:")
+        )
+        assert json.loads(line[len("profile:") :])["chunks"] == 2  # 60 + 10
