@@ -17,6 +17,7 @@ import json
 import os
 import sys
 import wave
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any
 
@@ -34,6 +35,39 @@ from audio_pattern_detector_tpu.utils.audio_io import (
 )
 from audio_pattern_detector_tpu.utils.clip import AudioClip, AudioStream
 from audio_pattern_detector_tpu.utils.timefmt import seconds_to_time
+
+
+@dataclass
+class EngineOptions:
+    """Everything the engine run needs beyond the input source.
+
+    One object threads through the CLI handlers, the library entry point,
+    and the stream-specific runners, replacing a dozen parallel kwargs.
+    Defaults mirror the CLI defaults."""
+
+    seconds_per_chunk: int | None = 60
+    chunk_auto_perf: bool = False
+    target_sample_rate: int = DEFAULT_TARGET_SAMPLE_RATE
+    debug_mode: bool = False
+    debug_dir: str = "./tmp"
+    height_min: float | None = None
+    profile: bool = False
+    trace_dir: str | None = None
+    offline_batch: int | None = None
+    offline_batch_mode: str = "vmap"
+    pipeline_depth: int = 1
+    stream_batch: int = 1
+    stream_batch_mode: str = "scan"
+
+    def build_detector(self, clips: list[AudioClip]) -> AudioPatternDetector:
+        return AudioPatternDetector(
+            audio_clips=clips,
+            debug_mode=self.debug_mode,
+            seconds_per_chunk=self.seconds_per_chunk,
+            target_sample_rate=self.target_sample_rate,
+            debug_dir=self.debug_dir,
+            height_min=self.height_min,
+        )
 
 
 def _emit_jsonl(event_type: str, **kwargs: Any) -> None:
@@ -94,12 +128,32 @@ def _read_patterns_from_multiplexed_stdin(target_sample_rate: int) -> list[Audio
     return pattern_clips
 
 
+def _seek_riff_chunk(stream: Any, want: bytes, missing_msg: str) -> int:
+    """Advance ``stream`` to the payload of RIFF chunk ``want``, skipping
+    others; returns the found chunk's declared size."""
+    import struct
+
+    while True:
+        chunk_id = stream.read(4)
+        if len(chunk_id) < 4:
+            raise ValueError(missing_msg)
+        size_bytes = stream.read(4)
+        if len(size_bytes) < 4:
+            raise ValueError("WAV file truncated")
+        size = struct.unpack("<I", size_bytes)[0]
+        if chunk_id == want:
+            return size
+        if len(stream.read(size)) != size:
+            raise ValueError("WAV file truncated while skipping chunk")
+
+
 def _validate_wav_header(stream: Any, target_sample_rate: int) -> tuple[int, int]:
     """Walk RIFF chunks and validate a streamable WAV header.
 
     Accepts mono 16/32-bit PCM or 32-bit IEEE float at exactly the target
     rate (stdin audio must be pre-resampled; reference: match.py:215-283).
-    Returns (audio_format, bits_per_sample).
+    Leaves the stream positioned at the data payload and returns
+    (audio_format, bits_per_sample).
     """
     import struct
 
@@ -111,18 +165,8 @@ def _validate_wav_header(stream: Any, target_sample_rate: int) -> tuple[int, int
     if wave_sig != b"WAVE":
         raise ValueError(f"Not a WAV file: expected WAVE, got {wave_sig!r}")
 
-    while True:
-        chunk_id = stream.read(4)
-        if len(chunk_id) < 4:
-            raise ValueError("WAV file missing fmt chunk")
-        chunk_size = struct.unpack("<I", stream.read(4))[0]
-        if chunk_id == b"fmt ":
-            break
-        skipped = stream.read(chunk_size)
-        if len(skipped) != chunk_size:
-            raise ValueError("WAV file truncated while skipping chunk")
-
-    fmt_data = stream.read(chunk_size)
+    fmt_size = _seek_riff_chunk(stream, b"fmt ", "WAV file missing fmt chunk")
+    fmt_data = stream.read(fmt_size)
     if len(fmt_data) < 16:
         raise ValueError("WAV fmt chunk too short")
     audio_format, channels, sample_rate, _, _, bits_per_sample = struct.unpack(
@@ -142,51 +186,45 @@ def _validate_wav_header(stream: Any, target_sample_rate: int) -> tuple[int, int
     if sample_rate != target_sample_rate:
         raise ValueError(f"Expected {target_sample_rate} Hz, got {sample_rate}")
 
-    while True:
-        chunk_id = stream.read(4)
-        if len(chunk_id) < 4:
-            raise ValueError("WAV file missing data chunk")
-        chunk_size_bytes = stream.read(4)
-        if len(chunk_size_bytes) < 4:
-            raise ValueError("WAV file truncated")
-        if chunk_id == b"data":
-            break
-        chunk_size = struct.unpack("<I", chunk_size_bytes)[0]
-        skipped = stream.read(chunk_size)
-        if len(skipped) != chunk_size:
-            raise ValueError("WAV file truncated while skipping chunk")
-
+    _seek_riff_chunk(stream, b"data", "WAV file missing data chunk")
     return audio_format, bits_per_sample
+
+
+# Sample decode table: numpy dtype + scale to float32 in [-1, 1), keyed by
+# (wav_audio_format, bits_per_sample). Shared by both stream wrappers.
+_SAMPLE_CODECS: dict[tuple[int, int], tuple[np.dtype, float]] = {
+    (1, 16): (np.dtype(np.int16), 1.0 / 32768.0),
+    (1, 32): (np.dtype(np.int32), 1.0 / 2147483648.0),
+    (3, 32): (np.dtype(np.float32), 1.0),
+}
+
+
+def _decode_samples(
+    data: bytes, dtype: np.dtype, scale: float
+) -> NDArray[np.float32]:
+    raw = np.frombuffer(data, dtype=dtype)
+    if scale == 1.0 and dtype == np.float32:
+        return raw  # already float32 — zero-copy
+    return (raw.astype(np.float32) * np.float32(scale)).astype(np.float32)
 
 
 class _WavStdinStreamWrapper:
     """Stream float32 PCM from a WAV on stdin (header-validated)."""
 
     def __init__(self, target_sample_rate: int) -> None:
-        self._audio_format, self._bits_per_sample = _validate_wav_header(
+        audio_format, bits = _validate_wav_header(
             sys.stdin.buffer, target_sample_rate
         )
-        if self._audio_format == 3:
-            self._dtype = np.dtype(np.float32)
-        elif self._bits_per_sample == 16:
-            self._dtype = np.dtype(np.int16)
-        else:
-            self._dtype = np.dtype(np.int32)
-        fmt_name = "float32" if self._audio_format == 3 else f"int{self._bits_per_sample}"
+        self._dtype, self._scale = _SAMPLE_CODECS[(audio_format, bits)]
+        fmt_name = "float32" if audio_format == 3 else f"int{bits}"
         print(f"WAV stdin: {target_sample_rate}Hz, mono, {fmt_name}", file=sys.stderr)
 
     def read(self, size: int, /) -> bytes:
         target_samples = size // 4  # output float32
-        read_bytes = target_samples * self._dtype.itemsize
-        data = sys.stdin.buffer.read(read_bytes)
+        data = sys.stdin.buffer.read(target_samples * self._dtype.itemsize)
         if not data:
             return b""
-        raw = np.frombuffer(data, dtype=self._dtype)
-        if self._dtype == np.int16:
-            return (raw.astype(np.float32) / np.float32(32768.0)).tobytes()
-        if self._dtype == np.int32:
-            return (raw.astype(np.float32) / np.float32(2147483648.0)).tobytes()
-        return raw.tobytes()
+        return _decode_samples(data, self._dtype, self._scale).tobytes()
 
 
 class _WavFileStreamWrapper:
@@ -243,12 +281,11 @@ class _WavFileStreamWrapper:
             return b""
 
         if self._sampwidth == 2:
-            audio = np.frombuffer(raw_data, dtype=np.int16).astype(np.float32) / 32768.0
+            audio = _decode_samples(raw_data, *(_SAMPLE_CODECS[(1, 16)]))
         elif self._sampwidth == 4:
-            audio = (
-                np.frombuffer(raw_data, dtype=np.int32).astype(np.float32) / 2147483648.0
-            )
+            audio = _decode_samples(raw_data, *(_SAMPLE_CODECS[(1, 32)]))
         elif self._sampwidth == 1:
+            # stdlib wave yields unsigned 8-bit; centre then scale.
             audio = (
                 np.frombuffer(raw_data, dtype=np.uint8).astype(np.float32) - 128.0
             ) / 128.0
@@ -271,70 +308,62 @@ class _WavFileStreamWrapper:
 
 
 
-def _run_detector(
+def _scan(
     detector: AudioPatternDetector,
     stream: AudioStream,
+    opts: EngineOptions,
     on_pattern_detected: PatternDetectedCallback | None,
     accumulate_results: bool,
-    profile: bool,
-    trace_dir: "str | None",
-    pipeline_depth: int = 1,
-    stream_batch: int = 1,
-    stream_batch_mode: str = "scan",
 ) -> tuple[dict[str, list[float]] | None, float]:
+    """Run one stream through the detector under ``opts``.
+
+    Two execution shapes: the streaming loop (live emission, optional
+    pipelining / stream batching), or — when ``opts.offline_batch`` is set
+    — the whole-stream batched scan via ``find_clip_in_array`` (identical
+    chunking/lookback/timestamp algebra, ``offline_batch`` chunks per
+    device launch, events fired post-scan in timestamp order)."""
     from audio_pattern_detector_tpu.utils.profiling import device_trace
 
-    with device_trace(trace_dir):
-        result = detector.find_clip_in_audio(
-            stream,
-            on_pattern_detected=on_pattern_detected,
-            accumulate_results=accumulate_results,
-            pipeline_depth=pipeline_depth,
-            stream_batch=stream_batch,
-            stream_batch_mode=stream_batch_mode,
-        )
-    if profile:
+    with device_trace(opts.trace_dir):
+        if opts.offline_batch is None:
+            result = detector.find_clip_in_audio(
+                stream,
+                on_pattern_detected=on_pattern_detected,
+                accumulate_results=accumulate_results,
+                pipeline_depth=opts.pipeline_depth,
+                stream_batch=opts.stream_batch,
+                stream_batch_mode=opts.stream_batch_mode,
+            )
+        else:
+            audio = _drain_stream(stream)
+            peak_times, total_time = detector.find_clip_in_array(
+                audio,
+                batch_size=opts.offline_batch,
+                batch_mode=opts.offline_batch_mode,
+            )
+            if on_pattern_detected is not None:
+                for t, name in sorted(
+                    (t, name) for name, ts in peak_times.items() for t in ts
+                ):
+                    on_pattern_detected(name, t)
+            result = (peak_times if accumulate_results else None), total_time
+
+    if opts.profile:
         stats = getattr(detector, "last_run_stats", None)
         if stats is not None:
             print(f"profile: {json.dumps(stats.as_dict())}", file=sys.stderr)
     return result
 
 
-def _run_detector_offline(
-    detector: AudioPatternDetector,
-    stream: AudioStream,
-    on_pattern_detected: PatternDetectedCallback | None,
-    accumulate_results: bool,
-    batch_chunks: int,
-    trace_dir: "str | None",
-    batch_mode: str = "vmap",
-) -> tuple[dict[str, list[float]] | None, float]:
-    """Offline batched scan: identical results to the streaming loop via
-    ``find_clip_in_array`` (same chunking/lookback/timestamp algebra), but
-    ``batch_chunks`` chunks per device launch — computed in parallel
-    (``batch_mode="vmap"``) or sequentially inside one launch
-    (``batch_mode="scan"``, one-chunk memory footprint and per-launch
-    overhead amortised over the batch). Events fire after the scan, sorted
-    by timestamp — the throughput mode for whole files, not live streams."""
-    from audio_pattern_detector_tpu.utils.profiling import device_trace
-
+def _drain_stream(stream: AudioStream) -> NDArray[np.float32]:
+    """Read a float32 AudioStream to exhaustion (offline scan input)."""
     bufs = []
     while True:
         b = stream.audio_stream.read(1 << 22)
         if not b:
             break
         bufs.append(b)
-    audio = np.frombuffer(b"".join(bufs), dtype=np.float32)
-    with device_trace(trace_dir):
-        peak_times, total_time = detector.find_clip_in_array(
-            audio, batch_size=batch_chunks, batch_mode=batch_mode
-        )
-    if on_pattern_detected is not None:
-        for t, name in sorted(
-            (t, name) for name, ts in peak_times.items() for t in ts
-        ):
-            on_pattern_detected(name, t)
-    return (peak_times if accumulate_results else None), total_time
+    return np.frombuffer(b"".join(bufs), dtype=np.float32)
 
 
 AUTO_PERF_MAX_CHUNK_SECONDS = 240
@@ -424,46 +453,67 @@ def match_pattern(
             raise ValueError(f"Audio {audio_source} does not exist")
 
     sr = target_sample_rate if target_sample_rate is not None else DEFAULT_TARGET_SAMPLE_RATE
-
-    pattern_clips = []
-    clip_names_seen: dict[str, str] = {}
-    for pattern_file in pattern_files:
-        if not os.path.exists(pattern_file):
-            raise ValueError(f"Pattern {pattern_file} does not exist")
-        pattern_clip = AudioClip.from_audio_file(pattern_file, sample_rate=sr)
-        if pattern_clip.name in clip_names_seen:
-            raise ValueError(
-                f"Duplicate clip name '{pattern_clip.name}' from files:\n"
-                f"  - {clip_names_seen[pattern_clip.name]}\n"
-                f"  - {pattern_file}\n"
-                f"Use --pattern-file with name=path syntax to specify unique names."
-            )
-        clip_names_seen[pattern_clip.name] = pattern_file
-        pattern_clips.append(pattern_clip)
-
-    if len(pattern_clips) == 0:
-        raise ValueError("No pattern clips passed")
+    opts = EngineOptions(
+        seconds_per_chunk=seconds_per_chunk,
+        chunk_auto_perf=chunk_seconds_auto_perf,
+        target_sample_rate=sr,
+        debug_mode=debug_mode,
+        debug_dir=debug_dir,
+        height_min=height_min,
+        profile=profile,
+        trace_dir=trace_dir,
+        offline_batch=offline_batch,
+        offline_batch_mode=offline_batch_mode,
+        pipeline_depth=pipeline_depth,
+        stream_batch=stream_batch,
+        stream_batch_mode=stream_batch_mode,
+    )
+    pattern_clips = _load_pattern_clips(pattern_files, sr)
 
     if from_stdin:
         return _match_pattern_wav_stdin(
-            pattern_clips=pattern_clips,
-            pipeline_depth=pipeline_depth,
-            stream_batch=stream_batch,
-            stream_batch_mode=stream_batch_mode,
-            debug_mode=debug_mode,
-            on_pattern_detected=on_pattern_detected,
-            accumulate_results=accumulate_results,
-            seconds_per_chunk=seconds_per_chunk,
-            target_sample_rate=sr,
-            debug_dir=debug_dir,
-            height_min=height_min,
-            profile=profile,
-            trace_dir=trace_dir,
+            pattern_clips, opts, on_pattern_detected, accumulate_results
         )
-
     assert audio_source is not None
-    if chunk_seconds_auto_perf and not debug_mode and offline_batch is None:
-        seconds_per_chunk = _auto_perf_chunk_seconds(
+    return _match_pattern_file(
+        audio_source, pattern_clips, opts, on_pattern_detected,
+        accumulate_results,
+    )
+
+
+def _load_pattern_clips(pattern_files: list[str], sr: int) -> list[AudioClip]:
+    """Load pattern files into clips, rejecting duplicate clip names."""
+    clips: list[AudioClip] = []
+    seen: dict[str, str] = {}
+    for pattern_file in pattern_files:
+        if not os.path.exists(pattern_file):
+            raise ValueError(f"Pattern {pattern_file} does not exist")
+        clip = AudioClip.from_audio_file(pattern_file, sample_rate=sr)
+        if clip.name in seen:
+            raise ValueError(
+                f"Duplicate clip name '{clip.name}' from files:\n"
+                f"  - {seen[clip.name]}\n"
+                f"  - {pattern_file}\n"
+                f"Use --pattern-file with name=path syntax to specify unique names."
+            )
+        seen[clip.name] = pattern_file
+        clips.append(clip)
+    if not clips:
+        raise ValueError("No pattern clips passed")
+    return clips
+
+
+def _match_pattern_file(
+    audio_source: str,
+    pattern_clips: list[AudioClip],
+    opts: EngineOptions,
+    on_pattern_detected: PatternDetectedCallback | None,
+    accumulate_results: bool,
+) -> tuple[dict[str, list[float]] | None, float]:
+    """File mode: stream a WAV directly, anything else through ffmpeg."""
+    sr = opts.target_sample_rate
+    if opts.chunk_auto_perf and not opts.debug_mode and opts.offline_batch is None:
+        opts.seconds_per_chunk = _auto_perf_chunk_seconds(
             audio_source, pattern_clips, sr
         )
     audio_name = Path(audio_source).stem
@@ -472,129 +522,70 @@ def match_pattern(
     if audio_source.lower().endswith(".wav"):
         stream_wrapper = _WavFileStreamWrapper(audio_source, sr)
         try:
-            full_streaming_audio = AudioStream(
-                name=audio_name, audio_stream=stream_wrapper, sample_rate=sr
+            return _scan(
+                opts.build_detector(pattern_clips),
+                AudioStream(
+                    name=audio_name, audio_stream=stream_wrapper, sample_rate=sr
+                ),
+                opts,
+                on_pattern_detected,
+                accumulate_results,
             )
-            detector = AudioPatternDetector(
-                debug_mode=debug_mode,
-                audio_clips=pattern_clips,
-                seconds_per_chunk=seconds_per_chunk,
-                target_sample_rate=sr,
-                debug_dir=debug_dir,
-                height_min=height_min,
-            )
-            if offline_batch is not None:
-                peak_times, total_time = _run_detector_offline(
-                    detector, full_streaming_audio, on_pattern_detected,
-                    accumulate_results, offline_batch, trace_dir,
-                    offline_batch_mode,
-                )
-            else:
-                peak_times, total_time = _run_detector(
-                    detector, full_streaming_audio, on_pattern_detected,
-                    accumulate_results, profile, trace_dir, pipeline_depth,
-                    stream_batch, stream_batch_mode,
-                )
         finally:
             stream_wrapper.close()
-        return peak_times, total_time
 
+    # Non-WAV sources decode through an ffmpeg child process; per the
+    # reference contract the ffmpeg path does not honour --height-min
+    # (reference: match.py:191-212 constructs its detector without it).
+    opts_ffmpeg = opts
+    if opts.height_min is not None:
+        from dataclasses import replace as _dc_replace
+
+        opts_ffmpeg = _dc_replace(opts, height_min=None)
     with ffmpeg_get_float32_pcm(audio_source, target_sample_rate=sr, ac=1) as stdout:
-        full_streaming_audio = AudioStream(
-            name=audio_name, audio_stream=stdout, sample_rate=sr
+        return _scan(
+            opts_ffmpeg.build_detector(pattern_clips),
+            AudioStream(name=audio_name, audio_stream=stdout, sample_rate=sr),
+            opts_ffmpeg,
+            on_pattern_detected,
+            accumulate_results,
         )
-        detector = AudioPatternDetector(
-            debug_mode=debug_mode,
-            audio_clips=pattern_clips,
-            seconds_per_chunk=seconds_per_chunk,
-            target_sample_rate=sr,
-            debug_dir=debug_dir,
-        )
-        if offline_batch is not None:
-            peak_times, total_time = _run_detector_offline(
-                detector, full_streaming_audio, on_pattern_detected,
-                accumulate_results, offline_batch, trace_dir,
-                offline_batch_mode,
-            )
-        else:
-            peak_times, total_time = _run_detector(
-                detector, full_streaming_audio, on_pattern_detected,
-                accumulate_results, profile, trace_dir, pipeline_depth,
-                stream_batch, stream_batch_mode,
-            )
-    return peak_times, total_time
 
 
 def _match_pattern_wav_stdin(
     pattern_clips: list[AudioClip],
-    debug_mode: bool,
+    opts: EngineOptions,
     on_pattern_detected: PatternDetectedCallback | None,
     accumulate_results: bool,
-    seconds_per_chunk: int | None,
-    target_sample_rate: int,
-    debug_dir: str = "./tmp",
-    height_min: float | None = None,
-    profile: bool = False,
-    trace_dir: "str | None" = None,
-    pipeline_depth: int = 1,
-    stream_batch: int = 1,
-    stream_batch_mode: str = "scan",
 ) -> tuple[dict[str, list[float]] | None, float]:
-    stream_wrapper = _WavStdinStreamWrapper(target_sample_rate)
-    audio_name = "stdin"
-    print(f"Finding pattern in audio stream {audio_name}...", file=sys.stderr)
-    full_streaming_audio = AudioStream(
-        name=audio_name, audio_stream=stream_wrapper, sample_rate=target_sample_rate
-    )
-    detector = AudioPatternDetector(
-        debug_mode=debug_mode,
-        audio_clips=pattern_clips,
-        seconds_per_chunk=seconds_per_chunk,
-        target_sample_rate=target_sample_rate,
-        debug_dir=debug_dir,
-        height_min=height_min,
-    )
-    return _run_detector(
-        detector, full_streaming_audio, on_pattern_detected,
-        accumulate_results, profile, trace_dir, pipeline_depth,
-        stream_batch, stream_batch_mode,
+    sr = opts.target_sample_rate
+    stream_wrapper = _WavStdinStreamWrapper(sr)
+    print("Finding pattern in audio stream stdin...", file=sys.stderr)
+    return _scan(
+        opts.build_detector(pattern_clips),
+        AudioStream(name="stdin", audio_stream=stream_wrapper, sample_rate=sr),
+        opts,
+        on_pattern_detected,
+        accumulate_results,
     )
 
 
 def _match_pattern_multiplexed_stdin(
-    debug_mode: bool,
+    opts: EngineOptions,
     on_pattern_detected: PatternDetectedCallback | None,
     accumulate_results: bool,
-    seconds_per_chunk: int | None,
-    target_sample_rate: int,
-    debug_dir: str = "./tmp",
-    height_min: float | None = None,
-    pipeline_depth: int = 1,
-    stream_batch: int = 1,
-    stream_batch_mode: str = "scan",
 ) -> tuple[dict[str, list[float]] | None, float]:
     """Multiplexed stdin: patterns via the binary protocol, then WAV audio."""
-    pattern_clips = _read_patterns_from_multiplexed_stdin(target_sample_rate)
+    sr = opts.target_sample_rate
+    pattern_clips = _read_patterns_from_multiplexed_stdin(sr)
     print("Reading WAV audio from stdin...", file=sys.stderr)
-    stream_wrapper = _WavStdinStreamWrapper(target_sample_rate)
-    full_streaming_audio = AudioStream(
-        name="stdin", audio_stream=stream_wrapper, sample_rate=target_sample_rate
-    )
-    detector = AudioPatternDetector(
-        debug_mode=debug_mode,
-        audio_clips=pattern_clips,
-        seconds_per_chunk=seconds_per_chunk,
-        target_sample_rate=target_sample_rate,
-        debug_dir=debug_dir,
-        height_min=height_min,
-    )
-    return detector.find_clip_in_audio(
-        full_streaming_audio,
-        on_pattern_detected=on_pattern_detected,
-        accumulate_results=accumulate_results,
-        pipeline_depth=pipeline_depth,
-        stream_batch=stream_batch,
-        stream_batch_mode=stream_batch_mode,
+    stream_wrapper = _WavStdinStreamWrapper(sr)
+    return _scan(
+        opts.build_detector(pattern_clips),
+        AudioStream(name="stdin", audio_stream=stream_wrapper, sample_rate=sr),
+        opts,
+        on_pattern_detected,
+        accumulate_results,
     )
 
 
@@ -644,19 +635,8 @@ def _run_match_with_output(
     args: argparse.Namespace,
     pattern_files: list[str],
     audio_source: str | None,
+    opts: EngineOptions,
     from_stdin: bool = False,
-    seconds_per_chunk: int | None = 60,
-    chunk_seconds_auto_perf: bool = False,
-    target_sample_rate: int | None = None,
-    debug_dir: str = "./tmp",
-    height_min: float | None = None,
-    profile: bool = False,
-    trace_dir: "str | None" = None,
-    offline_batch: int | None = None,
-    offline_batch_mode: str = "vmap",
-    pipeline_depth: int = 1,
-    stream_batch: int = 1,
-    stream_batch_mode: str = "scan",
 ) -> tuple[None, float]:
     timestamp_format: str = getattr(args, "timestamp_format", "both")
     callback = _make_jsonl_callback(timestamp_format)
@@ -668,79 +648,47 @@ def _run_match_with_output(
         debug_mode=args.debug,
         on_pattern_detected=callback,
         accumulate_results=False,
-        seconds_per_chunk=seconds_per_chunk,
-        chunk_seconds_auto_perf=chunk_seconds_auto_perf,
+        seconds_per_chunk=opts.seconds_per_chunk,
+        chunk_seconds_auto_perf=opts.chunk_auto_perf,
         from_stdin=from_stdin,
-        target_sample_rate=target_sample_rate,
-        debug_dir=debug_dir,
-        height_min=height_min,
-        profile=profile,
-        trace_dir=trace_dir,
-        offline_batch=offline_batch,
-        offline_batch_mode=offline_batch_mode,
-        pipeline_depth=pipeline_depth,
-        stream_batch=stream_batch,
-        stream_batch_mode=stream_batch_mode,
+        target_sample_rate=getattr(args, "target_sample_rate", None),
+        debug_dir=opts.debug_dir,
+        height_min=opts.height_min,
+        profile=opts.profile,
+        trace_dir=opts.trace_dir,
+        offline_batch=opts.offline_batch,
+        offline_batch_mode=opts.offline_batch_mode,
+        pipeline_depth=opts.pipeline_depth,
+        stream_batch=opts.stream_batch,
+        stream_batch_mode=opts.stream_batch_mode,
     )
     print(f"Total time processed: {seconds_to_time(seconds=total_time)}", file=sys.stderr)
     _emit_jsonl_end(total_time, timestamp_format)
     return None, total_time
 
 
-def cmd_match(args: argparse.Namespace) -> None:
-    """Handler for the ``match`` subcommand."""
-    chunk_seconds_str = getattr(args, "chunk_seconds", None)
-    chunk_auto_perf = False
-    if chunk_seconds_str is None:
-        # No explicit chunk size: 60 s for live streams; file mode
-        # auto-sizes from the file duration (see _auto_perf_chunk_seconds).
-        seconds_per_chunk: int | None = 60
-        chunk_auto_perf = True
-    elif chunk_seconds_str.lower() == "auto":
-        seconds_per_chunk = None
-    else:
-        try:
-            seconds_per_chunk = int(chunk_seconds_str)
-        except ValueError:
-            print(
-                f"Error: --chunk-seconds must be 'auto' or a positive integer, "
-                f"got '{chunk_seconds_str}'",
-                file=sys.stderr,
-            )
-            sys.exit(1)
-
-    target_sample_rate = getattr(args, "target_sample_rate", None)
-    sr = target_sample_rate if target_sample_rate is not None else DEFAULT_TARGET_SAMPLE_RATE
-    debug_dir: str = getattr(args, "debug_dir", "./tmp")
-    height_min: float | None = getattr(args, "height_min", None)
-    profile: bool = getattr(args, "profile", False)
-    trace_dir: "str | None" = getattr(args, "trace_dir", None)
-    multiplexed_stdin = getattr(args, "multiplexed_stdin", False)
-    timestamp_format: str = getattr(args, "timestamp_format", "both")
-
-    if multiplexed_stdin:
-        callback = _make_jsonl_callback(timestamp_format)
-        _emit_jsonl("start", source="multiplexed-stdin")
-        _, total_time = _match_pattern_multiplexed_stdin(
-            debug_mode=args.debug,
-            on_pattern_detected=callback,
-            accumulate_results=False,
-            seconds_per_chunk=seconds_per_chunk,
-            target_sample_rate=sr,
-            debug_dir=debug_dir,
-            height_min=height_min,
-            pipeline_depth=getattr(args, "pipeline_depth", 1) or 1,
-            stream_batch=getattr(args, "stream_batch", 1) or 1,
-            stream_batch_mode=getattr(args, "stream_batch_mode", "scan")
-            or "scan",
-        )
+def _parse_chunk_seconds(args: argparse.Namespace) -> tuple[int | None, bool]:
+    """(seconds_per_chunk, auto_perf): None CLI value → 60 s with file-mode
+    auto-perf sizing; "auto" → engine-computed minimum; else the integer."""
+    raw = getattr(args, "chunk_seconds", None)
+    if raw is None:
+        return 60, True
+    if raw.lower() == "auto":
+        return None, False
+    try:
+        return int(raw), False
+    except ValueError:
         print(
-            f"Total time processed: {seconds_to_time(seconds=total_time)}",
+            f"Error: --chunk-seconds must be 'auto' or a positive integer, "
+            f"got '{raw}'",
             file=sys.stderr,
         )
-        _emit_jsonl_end(total_time, timestamp_format)
-        return
+        sys.exit(1)
 
+
+def _collect_pattern_files(args: argparse.Namespace) -> list[str]:
+    """Explicit --pattern-file paths plus --pattern-folder globs
+    (``*.wav`` + ``*.apd.toml``, announced on stderr)."""
     pattern_files: list[str] = []
     if args.pattern_folder:
         for folder in args.pattern_folder:
@@ -750,7 +698,45 @@ def cmd_match(args: argparse.Namespace) -> None:
                     pattern_files.append(pattern_file)
     if args.pattern_file:
         pattern_files.extend(args.pattern_file)
+    return pattern_files
 
+
+def cmd_match(args: argparse.Namespace) -> None:
+    """Handler for the ``match`` subcommand."""
+    seconds_per_chunk, chunk_auto_perf = _parse_chunk_seconds(args)
+    sr = getattr(args, "target_sample_rate", None) or DEFAULT_TARGET_SAMPLE_RATE
+    opts = EngineOptions(
+        seconds_per_chunk=seconds_per_chunk,
+        chunk_auto_perf=chunk_auto_perf,
+        target_sample_rate=sr,
+        debug_mode=args.debug,
+        debug_dir=getattr(args, "debug_dir", "./tmp"),
+        height_min=getattr(args, "height_min", None),
+        pipeline_depth=getattr(args, "pipeline_depth", 1) or 1,
+        stream_batch=getattr(args, "stream_batch", 1) or 1,
+        stream_batch_mode=getattr(args, "stream_batch_mode", "scan") or "scan",
+    )
+    timestamp_format: str = getattr(args, "timestamp_format", "both")
+
+    if getattr(args, "multiplexed_stdin", False):
+        # The multiplexed IPC mode ignores --profile/--trace-dir (matching
+        # the reference surface, which exposes neither there).
+        callback = _make_jsonl_callback(timestamp_format)
+        _emit_jsonl("start", source="multiplexed-stdin")
+        _, total_time = _match_pattern_multiplexed_stdin(
+            opts, callback, accumulate_results=False
+        )
+        print(
+            f"Total time processed: {seconds_to_time(seconds=total_time)}",
+            file=sys.stderr,
+        )
+        _emit_jsonl_end(total_time, timestamp_format)
+        return
+
+    opts.profile = getattr(args, "profile", False)
+    opts.trace_dir = getattr(args, "trace_dir", None)
+
+    pattern_files = _collect_pattern_files(args)
     if not pattern_files:
         print(
             "Please provide either --pattern-file, --pattern-folder, or --multiplexed-stdin",
@@ -758,44 +744,12 @@ def cmd_match(args: argparse.Namespace) -> None:
         )
         sys.exit(1)
 
-    pipeline_depth: int = getattr(args, "pipeline_depth", 1) or 1
-    stream_batch: int = getattr(args, "stream_batch", 1) or 1
-    stream_batch_mode: str = getattr(args, "stream_batch_mode", "scan") or "scan"
     if args.stdin:
-        _run_match_with_output(
-            args,
-            pattern_files,
-            None,
-            from_stdin=True,
-            seconds_per_chunk=seconds_per_chunk,
-            target_sample_rate=target_sample_rate,
-            debug_dir=debug_dir,
-            height_min=height_min,
-            profile=profile,
-            trace_dir=trace_dir,
-            pipeline_depth=pipeline_depth,
-            stream_batch=stream_batch,
-            stream_batch_mode=stream_batch_mode,
-        )
+        _run_match_with_output(args, pattern_files, None, opts, from_stdin=True)
     elif args.audio_file:
-        offline_batch: "int | None" = getattr(args, "offline_batch", None)
-        _run_match_with_output(
-            args,
-            pattern_files,
-            args.audio_file,
-            seconds_per_chunk=seconds_per_chunk,
-            chunk_seconds_auto_perf=chunk_auto_perf,
-            target_sample_rate=target_sample_rate,
-            debug_dir=debug_dir,
-            height_min=height_min,
-            profile=profile,
-            trace_dir=trace_dir,
-            offline_batch=offline_batch,
-            offline_batch_mode=getattr(args, "offline_batch_mode", "vmap"),
-            pipeline_depth=pipeline_depth,
-            stream_batch=stream_batch,
-            stream_batch_mode=stream_batch_mode,
-        )
+        opts.offline_batch = getattr(args, "offline_batch", None)
+        opts.offline_batch_mode = getattr(args, "offline_batch_mode", "vmap")
+        _run_match_with_output(args, pattern_files, args.audio_file, opts)
     else:
         print("Please provide an audio file or --stdin or --multiplexed-stdin", file=sys.stderr)
         sys.exit(1)

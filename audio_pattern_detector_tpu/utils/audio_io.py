@@ -132,16 +132,13 @@ def slicing_with_zero_padding(
     Asymmetric floor/ceil split so odd widths keep the middle sample centred
     (reference: audio_utils.py:177-191).
     """
-    padding = width / 2
-    beg = int(middle_index - math.floor(padding))
-    end = int(middle_index + math.ceil(padding))
-    if beg < 0:
-        end = end - beg
-        array = np.pad(array, (-beg, 0), "constant")
-        beg = 0
-    if end > len(array):
-        array = np.pad(array, (0, end - len(array)), "constant")
-    return array[beg:end]
+    beg = int(middle_index - math.floor(width / 2))
+    end = int(middle_index + math.ceil(width / 2))
+    out = np.zeros(end - beg, dtype=array.dtype)
+    lo, hi = max(beg, 0), min(end, len(array))
+    if hi > lo:
+        out[lo - beg : hi - beg] = array[lo:hi]
+    return out
 
 
 def load_wave_file(file_path: str, expected_sample_rate: int) -> NDArray[np.float32]:
@@ -173,6 +170,27 @@ def resample_preserve_maxima(
     return hostref.resample_preserve_maxima(curve_f32, num_samples)
 
 
+def _ffmpeg_decode_cmd(
+    source: str,
+    target_sample_rate: int | None,
+    ac: int | None,
+    from_stdin: bool,
+    input_format: str | None,
+) -> list[str]:
+    """ffmpeg argv decoding ``source`` to f32le PCM on stdout."""
+    inp = (
+        (["-f", input_format] if input_format else []) + ["-i", "pipe:0"]
+        if from_stdin
+        else ["-i", source]
+    )
+    opts = ["-f", "f32le", "-acodec", "pcm_f32le"]
+    if ac is not None:
+        opts += ["-ac", str(ac)]
+    if target_sample_rate is not None:
+        opts += ["-ar", str(target_sample_rate)]
+    return ["ffmpeg", *inp, *opts, "-loglevel", "error", "pipe:"]
+
+
 @contextmanager
 def ffmpeg_get_float32_pcm(
     full_audio_path: str,
@@ -182,24 +200,12 @@ def ffmpeg_get_float32_pcm(
     input_format: str | None = None,
 ) -> Generator[IO[bytes], None, None]:
     """Stream float32 little-endian PCM from an ffmpeg child process."""
-    command = ["ffmpeg"]
-    if from_stdin:
-        if input_format:
-            command.extend(["-f", input_format])
-        command.extend(["-i", "pipe:0"])
-    else:
-        command.extend(["-i", full_audio_path])
-    command.extend(["-f", "f32le", "-acodec", "pcm_f32le"])
-    if ac is not None:
-        command.extend(["-ac", str(ac)])
-    if target_sample_rate is not None:
-        command.extend(["-ar", str(target_sample_rate)])
-    command.extend(["-loglevel", "error", "pipe:"])
-
     process = None
     try:
         process = subprocess.Popen(
-            command,
+            _ffmpeg_decode_cmd(
+                full_audio_path, target_sample_rate, ac, from_stdin, input_format
+            ),
             stdin=sys.stdin.buffer if from_stdin else None,
             stdout=subprocess.PIPE,
         )
@@ -234,22 +240,19 @@ def write_wav_file(
 
 def get_audio_duration(audio_path: str) -> float | None:
     """Duration in seconds via ffprobe (None when indeterminate)."""
-    import json
-
-    probe_cmd = [
-        "ffprobe",
-        "-v",
-        "error",
-        "-show_entries",
-        "format=duration",
-        "-of",
-        "json",
-        audio_path,
-    ]
-    result = subprocess.run(probe_cmd, capture_output=True, text=True)
+    result = subprocess.run(
+        [
+            "ffprobe", "-v", "error",
+            "-show_entries", "format=duration",
+            "-of", "default=noprint_wrappers=1:nokey=1",
+            audio_path,
+        ],
+        capture_output=True,
+        text=True,
+    )
     if result.returncode != 0:
         raise ValueError(f"ffprobe failed: {result.stderr}")
-    duration_str = json.loads(result.stdout).get("format", {}).get("duration")
-    if duration_str is None:
+    value = result.stdout.strip()
+    if not value or value == "N/A":
         return None
-    return float(duration_str)
+    return float(value)
