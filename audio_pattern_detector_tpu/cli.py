@@ -125,11 +125,13 @@ def main() -> None:
         "--pipeline-depth",
         metavar="chunks",
         type=int,
-        default=1,
+        default=None,
         help=(
-            "number of chunks kept in flight on the device (default: 1). "
-            "Deeper pipelines raise streaming throughput on remote runtimes; "
-            "each chunk's events are deferred by that many chunks"
+            "number of chunks kept in flight on the device (default: 1 for "
+            "streams; 2 for whole-file runs with default chunking, where "
+            "live latency doesn't apply). Deeper pipelines raise streaming "
+            "throughput on remote runtimes; each chunk's events are "
+            "deferred by that many chunks"
         ),
     )
     match_parser.add_argument(

@@ -55,7 +55,10 @@ class EngineOptions:
     trace_dir: str | None = None
     offline_batch: int | None = None
     offline_batch_mode: str = "vmap"
-    pipeline_depth: int = 1
+    # None = auto: 1 (live emission) everywhere except file-mode auto-perf
+    # runs, which double-buffer (2) — whole-file scans have no live-latency
+    # budget, and the overlap hides the per-launch round trip + host decode.
+    pipeline_depth: int | None = None
     stream_batch: int = 1
     stream_batch_mode: str = "scan"
 
@@ -330,7 +333,7 @@ def _scan(
                 stream,
                 on_pattern_detected=on_pattern_detected,
                 accumulate_results=accumulate_results,
-                pipeline_depth=opts.pipeline_depth,
+                pipeline_depth=opts.pipeline_depth or 1,
                 stream_batch=opts.stream_batch,
                 stream_batch_mode=opts.stream_batch_mode,
             )
@@ -393,7 +396,13 @@ def _auto_perf_chunk_seconds(
         except (wave.Error, OSError):
             duration = None
     else:
-        duration = get_audio_duration(audio_source)
+        # get_audio_duration raises when ffprobe fails (or is missing);
+        # auto-perf sizing is an optimisation, so treat any probe failure
+        # as "unknown duration" and keep the 60 s default.
+        try:
+            duration = get_audio_duration(audio_source)
+        except (ValueError, OSError):
+            duration = None
 
     if duration is None or duration <= 60:
         chunk = 60
@@ -424,7 +433,7 @@ def match_pattern(
     trace_dir: str | None = None,
     offline_batch: int | None = None,
     offline_batch_mode: str = "vmap",
-    pipeline_depth: int = 1,
+    pipeline_depth: int | None = None,
     stream_batch: int = 1,
     stream_batch_mode: str = "scan",
 ) -> tuple[dict[str, list[float]] | None, float]:
@@ -437,7 +446,8 @@ def match_pattern(
     whole file through the batched device path — N chunks per launch,
     streaming-identical results, events emitted post-scan.
     ``pipeline_depth`` keeps that many chunks in flight on the device
-    (identical results; emission deferred by that many chunks).
+    (identical results; emission deferred by that many chunks); None =
+    auto — 1, except file-mode auto-perf runs which double-buffer (2).
     ``stream_batch`` runs that many consecutive chunks per device launch
     in the streaming loop (identical results; emission deferred to batch
     boundaries) — the live-stream launch amortiser.
@@ -516,6 +526,8 @@ def _match_pattern_file(
         opts.seconds_per_chunk = _auto_perf_chunk_seconds(
             audio_source, pattern_clips, sr
         )
+        if opts.pipeline_depth is None:
+            opts.pipeline_depth = 2
     audio_name = Path(audio_source).stem
     print(f"Finding pattern in audio file {audio_name}...", file=sys.stderr)
 
@@ -712,7 +724,7 @@ def cmd_match(args: argparse.Namespace) -> None:
         debug_mode=args.debug,
         debug_dir=getattr(args, "debug_dir", "./tmp"),
         height_min=getattr(args, "height_min", None),
-        pipeline_depth=getattr(args, "pipeline_depth", 1) or 1,
+        pipeline_depth=getattr(args, "pipeline_depth", None),
         stream_batch=getattr(args, "stream_batch", 1) or 1,
         stream_batch_mode=getattr(args, "stream_batch_mode", "scan") or "scan",
     )

@@ -320,12 +320,30 @@ class PatternBank:
                     results[cls["groups"][gi].names[ci]] = hits
         return results
 
+    # Wide-rerun candidate-lane cap. A marker group's comb-sized k_detect
+    # (thousands of lanes) prices the rerun's top_k + greedy far above what
+    # real hit densities need (~600 candidates for one comb + crosstalk):
+    # the capped program keeps the greedy filter on its parallel fixed-point
+    # path and the top_k modest. Rows whose count exceeds the cap come back
+    # host-flagged and escalate to the full-width program (then host).
+    _WIDE_RERUN_CAP = 1024
+
+    def _wide_metas(self, sw: int, capped: bool) -> tuple:
+        if not capped:
+            return self._metas[sw]
+        return tuple(
+            (kind, m, min(kd, self._WIDE_RERUN_CAP), kv)
+            for kind, m, kd, kv in self._metas[sw]
+        )
+
     def _full_tier_packed(
-        self, sw: int, raw_section: NDArray[np.float32]
+        self, sw: int, raw_section: NDArray[np.float32], capped: bool = True
     ) -> list[NDArray[np.float32]]:
         """Re-derive one section through the full-width (k_detect-lane)
-        single-tier device program — the slow-but-complete tier behind the
-        lean program's needs_full flag (rare: chunks near a pattern hit)."""
+        WIDE-lean device program — the complete tier behind the lean
+        program's needs_full flag (rare: chunks near a pattern hit). Wide
+        keeps the lean payload/verify structure, so the rerun costs about
+        one extra lean launch, not the rich tier's k_verify-lane verify."""
         cls = self.classes[sw]
         S = cls["section_len"]
         section = np.zeros(S, dtype=np.float32)
@@ -336,9 +354,10 @@ class PatternBank:
             jnp.float32(len(raw_section)),
             cls["loud"],
             group_consts,
-            metas=self._metas[sw],
+            metas=self._wide_metas(sw, capped),
             height_min=self.height_min,
-            lean=False,
+            lean=True,
+            wide=True,
         )
         return [np.asarray(o["packed"]) for o in outs]
 
@@ -380,7 +399,12 @@ class PatternBank:
         return self._row_consts[key]
 
     def _full_tier_row(
-        self, sw: int, gi: int, ci: int, raw_section: NDArray[np.float32]
+        self,
+        sw: int,
+        gi: int,
+        ci: int,
+        raw_section: NDArray[np.float32],
+        capped: bool = True,
     ) -> NDArray[np.float32]:
         """Re-derive ONE clip row through the full-width single-tier
         program — the cheap rerun for hit-dense rows (a marker hit's
@@ -394,14 +418,16 @@ class PatternBank:
         S = cls["section_len"]
         section = np.zeros(S, dtype=np.float32)
         section[: len(raw_section)] = raw_section
+        kd = min(g.k_detect, self._WIDE_RERUN_CAP) if capped else g.k_detect
         outs = _class_step_jit(
             jnp.asarray(section),
             jnp.float32(len(raw_section)),
             cls["loud"],
             (self._row_consts_for(sw, gi, ci),),
-            metas=((g.kind, g.clip_len, g.k_detect, g.k_verify),),
+            metas=((g.kind, g.clip_len, kd, g.k_verify),),
             height_min=self.height_min,
-            lean=False,
+            lean=True,
+            wide=True,
         )
         return np.asarray(outs[0]["packed"])[0]
 
@@ -423,9 +449,16 @@ class PatternBank:
         device_rows = [(gi, ci) for gi, ci, host in flagged if not host]
         host_rows = [(gi, ci) for gi, ci, host in flagged if host]
 
+        # Capped-width rerun first (escalate below); the cap only matters
+        # for groups whose k_detect exceeds it.
+        cap_is_real = any(
+            g.k_detect > self._WIDE_RERUN_CAP for g in cls["groups"]
+        )
         class_rerun: "list[NDArray[np.float32]] | None" = None
         if len(device_rows) > self._ROW_RERUN_MAX:
-            class_rerun = self._full_tier_packed(sw, raw_section)
+            class_rerun = self._full_tier_packed(sw, raw_section, capped=True)
+
+        escalate: list[tuple[int, int]] = []
         for gi, ci in device_rows:
             g = cls["groups"][gi]
             if class_rerun is not None:
@@ -434,13 +467,48 @@ class PatternBank:
                 )
                 row = (rpos[ci], rsel[ci], bool(rhost[ci]))
             else:
-                packed_row = self._full_tier_row(sw, gi, ci, raw_section)
+                packed_row = self._full_tier_row(
+                    sw, gi, ci, raw_section, capped=True
+                )
                 rpos, rsel, rhost, _ = unpack_group(packed_row, g.k_verify)
                 row = (rpos, rsel, bool(rhost))
             if row[2]:
-                host_rows.append((gi, ci))
+                # Host flag from the capped program: either count exceeded
+                # the cap (escalate to the true k_detect width) or a
+                # genuine host condition (resolved after escalation).
+                if cap_is_real and g.k_detect > self._WIDE_RERUN_CAP:
+                    escalate.append((gi, ci))
+                else:
+                    host_rows.append((gi, ci))
             else:
                 out[(gi, ci)] = [int(p) for p in row[0][row[1]]]
+
+        if escalate:
+            full_rerun: "list[NDArray[np.float32]] | None" = None
+            if len(escalate) > self._ROW_RERUN_MAX:
+                full_rerun = self._full_tier_packed(
+                    sw, raw_section, capped=False
+                )
+            for gi, ci in escalate:
+                g = cls["groups"][gi]
+                if full_rerun is not None:
+                    rpos, rsel, rhost, _ = unpack_group(
+                        full_rerun[gi], g.k_verify
+                    )
+                    row = (rpos[ci], rsel[ci], bool(rhost[ci]))
+                else:
+                    packed_row = self._full_tier_row(
+                        sw, gi, ci, raw_section, capped=False
+                    )
+                    rpos, rsel, rhost, _ = unpack_group(
+                        packed_row, g.k_verify
+                    )
+                    row = (rpos, rsel, bool(rhost))
+                if row[2]:
+                    host_rows.append((gi, ci))
+                else:
+                    out[(gi, ci)] = [int(p) for p in row[0][row[1]]]
+
         for gi, ci in host_rows:
             g = cls["groups"][gi]
             out[(gi, ci)] = self._host_fallback(g, ci, raw_section)
@@ -625,8 +693,16 @@ def _lean_group_packed(
     height_min: float,
     verify_consts,
     denom: "jnp.ndarray | None" = None,
+    wide: bool = False,
 ) -> jnp.ndarray:
     """Production (lean) per-group tail: 16-lane small-tier detection.
+
+    ``wide=True`` is the flag-2 RERUN variant: identical structure at the
+    full k_detect lane width (exact for every row with count ≤ k_detect),
+    normalised correlation (divide-form threshold — no near-ulp or
+    raw-tail guards needed), and two-tier verification so the rerun's
+    cost stays near the lean program's instead of the rich tier's
+    k_verify-lane-wide verify. Callers pass ``denom=None`` with it.
 
     With ``denom`` (the per-row correlation normaliser), ``corr`` arrives
     UNNORMALISED and the height threshold scales per row instead —
@@ -641,11 +717,12 @@ def _lean_group_packed(
     width, which is exact for every row whose raw above-height candidate
     count fits the tier (virtually every real chunk: the 0.25 height
     threshold admits few or no local maxima). Rows that don't fit are
-    flagged for the host, which REruns the chunk through the single-tier
-    full-width program (`_class_step_jit(lean=False)`, exact for counts ≤
-    k_detect) — one extra round trip on the rare chunk near a pattern hit,
-    zero data-dependent control flow in the hot program (``lax.cond``-like
-    constructs carry heavy per-launch costs on the target runtime).
+    flagged for the host, which REruns the chunk through the full-width
+    wide-lean program (`_class_step_jit(lean=True, wide=True)`, exact for
+    counts ≤ k_detect) — one extra round trip on the rare chunk near a
+    pattern hit, zero data-dependent control flow in the hot program
+    (``lax.cond``-like constructs carry heavy per-launch costs on the
+    target runtime).
 
     Flag column semantics (index 2·k_verify): 0 = row exact as returned;
     1 = exact HOST fallback required (count > k_detect, or a ≥4-long
@@ -670,7 +747,7 @@ def _lean_group_packed(
     scored = jnp.where(mask, x, -jnp.inf)
 
     host_fallback = (counts > k_detect) | plateau
-    k_lanes = min(_SMALL_TIER, k_detect)
+    k_lanes = k_detect if wide else min(_SMALL_TIER, k_detect)
     needs_full = ~host_fallback & (counts > k_lanes)
     if denom is not None:
         # The multiply-form threshold (corr >= height_min·denom) is not
@@ -694,6 +771,7 @@ def _lean_group_packed(
         norm, corr, valid_len, kind, m, k_verify, verify_consts,
         pos, height, host_fallback, flag, k_lanes,
         raw_corr=denom is not None,
+        wide=wide,
     )
 
 
@@ -701,12 +779,17 @@ def _lean_tail(
     norm, corr, valid_len, kind, m, k_verify, verify_consts,
     pos, height, host_fallback, flag, k_lanes,
     raw_corr=False,
+    wide=False,
 ):
     """Shared lean-tier tail: greedy filter → bounds → compact → verify →
     packed payload. ``corr`` may be normalised or raw (the verifier is
     per-row scale-invariant); ``raw_corr`` says which, so candidates whose
     verify slice would read the raw tail noise past ``valid_len`` can be
-    routed to the exact rerun."""
+    routed to the exact rerun. ``wide`` (the rerun variant) compacts to the
+    full k_verify lanes and verifies two-tier (small lane width unless a
+    row's survivors overflow it — rare enough that the lax.cond's
+    both-branch cost in batch contexts never applies: the rerun is only
+    launched on single sections)."""
     alive = jnp.isfinite(height)
     keep = greedy_distance_filter(
         PeakCandidates(pos, height, alive, host_fallback), m
@@ -729,18 +812,47 @@ def _lean_tail(
     sv, _ = jax.lax.top_k(score, kv)
     vpos = -sv
     valive = sv > -_BIG
-    # No verify-tier overflow possible here: the greedy distance filter
-    # leaves at most full_len//m + 1 survivors per row (minimum spacing m
-    # over a full_len row), and k_verify = min(1024, full_len//m + 4)
-    # exceeds that bound; the lane width kv = min(k_verify, k_lanes) also
-    # caps what the compaction can emit. (k_lanes <= k_verify is NOT
-    # guaranteed — k_verify can be < _SMALL_TIER for long clips — which is
-    # why kv takes the min.) Flagged rows are re-derived anyway.
+    # No verify-tier overflow possible on the SMALL tier: the greedy
+    # distance filter leaves at most full_len//m + 1 survivors per row
+    # (minimum spacing m over a full_len row), and k_verify =
+    # min(1024, full_len//m + 4) exceeds that bound; the lane width
+    # kv = min(k_verify, k_lanes) also caps what the compaction can emit.
+    # (k_lanes <= k_verify is NOT guaranteed — k_verify can be <
+    # _SMALL_TIER for long clips — which is why kv takes the min.)
+    # Flagged rows are re-derived anyway. On the WIDE tier k_verify can
+    # cap at 1024 below the survivor bound for very short clips; such
+    # rows carry the verify-overflow column (exact host fallback), the
+    # same escape the rich tier uses.
+    verify_overflow = (
+        jnp.sum(keep, axis=1) > kv
+        if wide
+        else jnp.zeros(flag.shape[0], dtype=bool)
+    )
 
     if kind == "marker":
-        accept = verify_marker(norm, vpos, valive, verify_consts)
+        verify_accept = lambda p, a: verify_marker(norm, p, a, verify_consts)  # noqa: E731
     else:
-        accept = verify_normal(corr, vpos, valive, verify_consts)[0]
+        verify_accept = lambda p, a: verify_normal(corr, p, a, verify_consts)[0]  # noqa: E731
+
+    if wide and kv > _SMALL_TIER:
+        # Two-tier verification (same shape as the rich path's): the
+        # compaction puts live lanes first, so when every row's survivors
+        # fit the small tier — true for all but pathological hit
+        # densities — verifying the first _SMALL_TIER lanes is exact.
+        max_alive = jnp.max(jnp.sum(valive.astype(jnp.int32), axis=1))
+
+        def small_tier(_):
+            acc = verify_accept(vpos[:, :_SMALL_TIER], valive[:, :_SMALL_TIER])
+            return jnp.pad(acc, ((0, 0), (0, kv - _SMALL_TIER)))
+
+        def full_tier(_):
+            return verify_accept(vpos, valive)
+
+        accept = jax.lax.cond(
+            max_alive <= _SMALL_TIER, small_tier, full_tier, None
+        )
+    else:
+        accept = verify_accept(vpos, valive)
 
     sel = (valive & accept).astype(jnp.float32)
     vposf = vpos.astype(jnp.float32)
@@ -755,7 +867,7 @@ def _lean_tail(
             vposf,
             sel,
             flag[:, None].astype(jnp.float32),
-            jnp.zeros((flag.shape[0], 1), dtype=jnp.float32),
+            verify_overflow[:, None].astype(jnp.float32),
         ],
         axis=1,
     )
@@ -859,13 +971,21 @@ def _class_step(
     height_min: float,
     lean: bool = False,
     pallas: bool = False,
+    wide: bool = False,
 ) -> list[dict[str, jnp.ndarray]]:
     """The full per-chunk device program for one sliding-window class.
 
     With ``lean=True`` (the production streaming configuration) each group
     returns only the packed int32 decision payload — (G, 2K+2), a few KB —
     so no other per-candidate tensor is materialised in HBM as a program
-    output. The rich variant serves tests/debug introspection."""
+    output. The rich variant serves tests/debug introspection.
+
+    ``wide=True`` is the flag-2 rerun program: lean structure and payload
+    at the full k_detect candidate width (see _lean_group_packed). It
+    exists because the rich tier's k_verify-lane-wide verification makes
+    it far more expensive than the lean program (a marker group's comb-
+    sized k_detect drives hundreds of verify lanes), while the rerun only
+    ever needs the lean payload."""
     # n_valid may arrive as f32 (non-f32 uploads are rejected by the
     # degraded tunnel backend); convert in-graph.
     n_valid = jnp.asarray(n_valid).astype(jnp.int32)
@@ -889,8 +1009,9 @@ def _class_step(
 
     # Production lean path: unnormalised correlation + per-row scaled
     # threshold skips the normalising pass over every (G, L) tensor
-    # (bank_correlate_unnormalised). Other paths take the normalised form.
-    lean_raw = lean and height_min > 0
+    # (bank_correlate_unnormalised). Other paths take the normalised form
+    # (the wide rerun included: divide-form thresholds need no ulp guard).
+    lean_raw = lean and height_min > 0 and not wide
     if lean_raw and pallas:
         # Pallas lean path: raw |corr| only; the single-pass candidate
         # scan derives the observed max itself (ops/pallas_peaks.py).
@@ -925,6 +1046,26 @@ def _class_step(
     for (kind, m, k_detect, k_verify), (corr_consts, verify_consts), corr_out in zip(
         metas, group_consts, correlations
     ):
+        if wide:
+            corr, valid_len = corr_out
+            outs.append(
+                {
+                    "packed": _lean_group_packed(
+                        norm,
+                        corr,
+                        valid_len,
+                        kind,
+                        m,
+                        k_detect,
+                        k_verify,
+                        height_min,
+                        verify_consts,
+                        denom=None,
+                        wide=True,
+                    )
+                }
+            )
+            continue
         if lean_raw and pallas:
             corr, valid_len = corr_out
             outs.append(
@@ -1067,7 +1208,7 @@ def _class_step(
 # shape + static metas, so repeated detector construction (tests, CLI runs
 # in one process) reuses compiled programs.
 _class_step_jit = jax.jit(
-    _class_step, static_argnames=("metas", "height_min", "lean", "pallas")
+    _class_step, static_argnames=("metas", "height_min", "lean", "pallas", "wide")
 )
 
 

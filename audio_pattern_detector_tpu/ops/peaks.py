@@ -230,20 +230,34 @@ def _parallel_greedy_max_k() -> int:
 def _greedy_distance_sequential(
     cand: PeakCandidates, min_distance: int
 ) -> jnp.ndarray:
-    """K-step sequential greedy (vector ops per step, shared across bank)."""
+    """Sequential greedy (vector ops per step, shared across bank).
+
+    Candidates arrive height-desc sorted, so each row's alive lanes are a
+    prefix (dead lanes carry -inf heights and never suppress). The loop
+    therefore stops at the bank-wide alive maximum instead of walking all
+    K lanes — on wide tiers (K = k_detect, thousands of lanes) the true
+    candidate count is usually a small fraction of the lane width."""
     k = cand.pos.shape[1]
     lane = jnp.arange(k, dtype=jnp.int32)[None, :]
+    n_alive = jnp.max(jnp.sum(cand.alive.astype(jnp.int32), axis=1))
 
-    def body(i, keep):
+    def cond(state):
+        i, _ = state
+        return i < n_alive
+
+    def body(state):
+        i, keep = state
         cur_alive = jax.lax.dynamic_index_in_dim(
             keep & cand.alive, i, axis=1
         )  # (G, 1)
         cur_pos = jax.lax.dynamic_index_in_dim(cand.pos, i, axis=1)  # (G, 1)
         d = jnp.abs(cand.pos - cur_pos)  # (G, K)
         suppress = cur_alive & (d < min_distance) & (lane != i)
-        return keep & ~suppress
+        return i + 1, keep & ~suppress
 
-    keep = jax.lax.fori_loop(0, k, body, jnp.ones_like(cand.alive))
+    _, keep = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.ones_like(cand.alive))
+    )
     return keep & cand.alive
 
 

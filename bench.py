@@ -160,7 +160,13 @@ def _measure_default_cli(
             elapsed = time.perf_counter() - t0
             return total_time / elapsed
 
-        one_run()  # warm (compile is shared with the big-chunk programs)
+        # Warm twice: measured on-chip, the first run through a fresh
+        # detector instance pays residual backend warm-up well beyond the
+        # shared compile cache (29.7 -> 12.3 -> 4.9 s across runs in one
+        # process; scripts/dev/default_cli_probe.py), so a single warm run
+        # still leaves ~2-3x on the first measured run.
+        one_run()
+        one_run()
         return max(one_run(), one_run())
 
 

@@ -37,6 +37,16 @@ sys.path.insert(
 )
 
 import jax
+
+_cache = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "bench_results",
+    ".jax_cache",
+)
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -186,17 +196,84 @@ def main() -> None:
         ("mask", p_mask),
         ("full_lean_step", p_full),
     ]
+
+    # Pallas A/B rungs: same ladder positions with the single-pass Mosaic
+    # candidate scan in place of the multi-pass mask stage. TPU-only (the
+    # Mosaic kernel does not lower on the CPU backend); APD_PROBE_PALLAS=0
+    # skips them in a hurry.
+    if (
+        jax.devices()[0].platform == "tpu"
+        and os.environ.get("APD_PROBE_PALLAS") != "0"
+    ):
+        from audio_pattern_detector_tpu.ops.correlate import (
+            bank_correlate_abs,
+        )
+        from audio_pattern_detector_tpu.ops.pallas_peaks import candidate_scan
+
+        @jax.jit
+        def p_mask_pallas(token):
+            sec = tok_mix(token)
+            lufs = integrated_loudness_device(sec, jnp.int32(S), loud)
+            norm = loudness_normalize_device(sec, lufs)
+            spec = section_segment_spectra(norm, first) if shared else None
+            acc = jnp.float32(0.0)
+            for (kind, m, k_detect, k_verify), (cc, _vc) in zip(metas, gcs):
+                corr, valid_len = bank_correlate_abs(
+                    norm, jnp.int32(S), cc, spec
+                )
+                thr_min = height_min * cc.self_corr_max
+                bmax, count_min, plateau_min, omax = candidate_scan(
+                    corr, thr_min, valid_len
+                )
+                acc += out_tok(bmax) + out_tok(omax)
+                acc += out_tok(count_min.astype(jnp.float32))
+                acc += out_tok(plateau_min.astype(jnp.float32))
+            return acc
+
+        @jax.jit
+        def p_full_pallas(token):
+            sec = tok_mix(token)
+            outs = _class_step_jit(
+                sec,
+                jnp.float32(S),
+                loud,
+                gcs,
+                metas=metas,
+                height_min=height_min,
+                lean=True,
+                pallas=True,
+            )
+            return sum(out_tok(o["packed"]) for o in outs)
+
+        ladder += [
+            ("mask_pallas", p_mask_pallas),
+            ("full_pallas", p_full_pallas),
+        ]
+    # The base ladder is cumulative; the pallas rungs are A/B counterparts
+    # of `mask`/`full_lean_step`, not further rungs, so marginals are only
+    # meaningful within the base ladder.
+    base_names = [
+        "launch", "loudness", "secfft", "corr", "mask", "full_lean_step",
+    ]
     results: dict[str, float] = {}
     prev = 0.0
     for name, fn in ladder:
         t = time_chained(fn)
         results[name] = t
-        print(
-            f"{name:16s} cumulative {t * 1e3:8.2f} ms   "
-            f"marginal {(t - prev) * 1e3:8.2f} ms",
-            flush=True,
-        )
-        prev = t
+        if name in base_names:
+            print(
+                f"{name:16s} cumulative {t * 1e3:8.2f} ms   "
+                f"marginal {(t - prev) * 1e3:8.2f} ms",
+                flush=True,
+            )
+            prev = t
+        else:
+            ref = results["mask" if name == "mask_pallas" else "full_lean_step"]
+            print(
+                f"{name:16s} cumulative {t * 1e3:8.2f} ms   "
+                f"vs counterpart {(t - ref) * 1e3:+8.2f} ms",
+                flush=True,
+            )
 
     out = {
         "platform": jax.devices()[0].platform,
@@ -204,8 +281,12 @@ def main() -> None:
         "repeats": REPEATS,
         "cumulative_s": results,
         "marginal_ms": {
-            name: round((results[name] - (results[ladder[i - 1][0]] if i else 0.0)) * 1e3, 3)
-            for i, (name, _) in enumerate(ladder)
+            name: round(
+                (results[name] - (results[base_names[i - 1]] if i else 0.0))
+                * 1e3,
+                3,
+            )
+            for i, name in enumerate(base_names)
         },
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }

@@ -97,6 +97,30 @@ class TestNumpyEncoder:
             json.dumps({"x": object()}, cls=NumpyEncoder)
 
 
+class TestAutoPerfChunkSizing:
+    def test_falls_back_to_60_when_probe_raises(self, monkeypatch, tmp_path):
+        """Auto-perf sizing is an optimisation: a failing/missing ffprobe
+        must not break `match`, just keep the 60 s default."""
+        from audio_pattern_detector_tpu import match as m
+        from audio_pattern_detector_tpu.utils import audio_io
+
+        def boom(path):
+            raise ValueError("ffprobe failed: no such demuxer")
+
+        monkeypatch.setattr(audio_io, "get_audio_duration", boom)
+        assert m._auto_perf_chunk_seconds(str(tmp_path / "x.mp3"), [], 8000) == 60
+
+    def test_falls_back_to_60_when_ffprobe_missing(self, monkeypatch, tmp_path):
+        from audio_pattern_detector_tpu import match as m
+        from audio_pattern_detector_tpu.utils import audio_io
+
+        def missing(path):
+            raise FileNotFoundError("ffprobe")
+
+        monkeypatch.setattr(audio_io, "get_audio_duration", missing)
+        assert m._auto_perf_chunk_seconds(str(tmp_path / "x.opus"), [], 8000) == 60
+
+
 class TestGetAudioDuration:
     def test_duration_of_sample(self):
         from audio_pattern_detector_tpu.utils.audio_io import (
