@@ -52,6 +52,7 @@ from audio_pattern_detector_tpu.ops.peaks import (
     PeakCandidates,
     find_peaks_device_fast,
     greedy_distance_filter,
+    greedy_survivors_blockwise,
     long_plateau_present,
     short_run_local_maxima_mask,
     topk_sparse,
@@ -695,14 +696,29 @@ def _lean_group_packed(
     denom: "jnp.ndarray | None" = None,
     wide: bool = False,
 ) -> jnp.ndarray:
-    """Production (lean) per-group tail: 16-lane small-tier detection.
+    """Production (lean) per-group tail: exact greedy survivors in-program.
 
-    ``wide=True`` is the flag-2 RERUN variant: identical structure at the
-    full k_detect lane width (exact for every row with count ≤ k_detect),
-    normalised correlation (divide-form threshold — no near-ulp or
-    raw-tail guards needed), and two-tier verification so the rerun's
-    cost stays near the lean program's instead of the rich tier's
-    k_verify-lane-wide verify. Callers pass ``denom=None`` with it.
+    The candidate mask costs one fused pass over (G, L); the greedy
+    distance filter's survivor set is then computed DIRECTLY — for any raw
+    candidate count — by blockwise iterated argmax-suppress
+    (ops/peaks.py::greedy_survivors_blockwise), so a real hit's dense
+    candidate comb (hundreds of raw candidates, 1-3 survivors) resolves in
+    the same single launch as a zero-hit chunk. Everything after — bounds,
+    position compaction, verification — runs at the fixed _SMALL_TIER lane
+    width. Rows with more than _SMALL_TIER survivors are flagged for the
+    host, which REruns the chunk through the full-width wide-lean program
+    (`_class_step_jit(lean=True, wide=True)`) — one extra round trip on
+    the pathological chunk, zero data-dependent control flow in the hot
+    program (``lax.cond``-like constructs carry heavy per-launch costs on
+    the target runtime).
+
+    ``wide=True`` is that RERUN variant: capture-based (top_k over the
+    full k_detect lane width + lane-greedy, exact for every row with raw
+    count ≤ k_detect; count overflow → exact host fallback), normalised
+    correlation (divide-form threshold — no near-ulp or raw-tail guards
+    needed), and two-tier verification so the rerun's cost stays near one
+    lean launch instead of the rich tier's k_verify-lane-wide verify.
+    Callers pass ``denom=None`` with it.
 
     With ``denom`` (the per-row correlation normaliser), ``corr`` arrives
     UNNORMALISED and the height threshold scales per row instead —
@@ -711,31 +727,19 @@ def _lean_group_packed(
     all invariant to the per-row scale (ops/correlate.py,
     bank_correlate_unnormalised).
 
-    The candidate mask and per-row counts cost one fused pass over (G, L);
-    everything after — top_k extraction, greedy distance filter, bounds,
-    position compaction, verification — runs at a fixed _SMALL_TIER lane
-    width, which is exact for every row whose raw above-height candidate
-    count fits the tier (virtually every real chunk: the 0.25 height
-    threshold admits few or no local maxima). Rows that don't fit are
-    flagged for the host, which REruns the chunk through the full-width
-    wide-lean program (`_class_step_jit(lean=True, wide=True)`, exact for
-    counts ≤ k_detect) — one extra round trip on the rare chunk near a
-    pattern hit, zero data-dependent control flow in the hot program
-    (``lax.cond``-like constructs carry heavy per-launch costs on the
-    target runtime).
-
     Flag column semantics (index 2·k_verify): 0 = row exact as returned;
-    1 = exact HOST fallback required (count > k_detect, or a ≥4-long
-    plateau at/above the height threshold where the fused mask could
-    differ from scipy semantics); 2 = full-tier device rerun required
-    (count fits k_detect but not the small tier).
+    1 = exact HOST fallback required (a ≥4-long plateau at/above the
+    height threshold where the fused mask could differ from scipy
+    semantics; on the wide variant also raw count > k_detect); 2 =
+    full-tier device rerun required (> _SMALL_TIER survivors, a
+    threshold-boundary ulp ambiguity, or a tail-reading candidate — see
+    below and _lean_tail).
 
-    Exactness of the small tier: when a row's count ≤ lanes, top_k(lanes)
-    captures its complete candidate set in the same priority order as
-    top_k(k_detect) (descending height, ties to lower index), the greedy
-    filter sees the same alive set, and survivors ≤ count ≤ lanes ≤
-    k_verify — so the padded payload is bitwise what the full tier would
-    produce.
+    Exactness: greedy_survivors_blockwise IS the sequential tallest-first
+    filter (ties to lower index), so the survivor set matches the
+    capture-based full tier bitwise whenever neither flags; survivors ≤
+    _SMALL_TIER ≤ the k_verify bound, so the padded payload is bitwise
+    what the full tier would produce.
     """
     L = corr.shape[1]
     idx = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -743,12 +747,26 @@ def _lean_group_packed(
     thr = height_min if denom is None else height_min * denom[:, None]
     mask = short_run_local_maxima_mask(x) & (x >= thr)
     plateau = long_plateau_present(x, thr)
-    counts = jnp.sum(mask, axis=1)  # (G,)
     scored = jnp.where(mask, x, -jnp.inf)
 
-    host_fallback = (counts > k_detect) | plateau
-    k_lanes = k_detect if wide else min(_SMALL_TIER, k_detect)
-    needs_full = ~host_fallback & (counts > k_lanes)
+    if wide:
+        counts = jnp.sum(mask, axis=1)  # (G,)
+        host_fallback = (counts > k_detect) | plateau
+        k_lanes = k_detect
+        needs_full = ~host_fallback & (counts > k_lanes)
+        flag = jnp.where(host_fallback, 1.0, jnp.where(needs_full, 2.0, 0.0))
+        height, pos = topk_sparse(scored, k_lanes)
+        return _lean_tail(
+            norm, corr, valid_len, kind, m, k_verify, verify_consts,
+            pos, height, host_fallback, flag, k_lanes,
+            raw_corr=denom is not None,
+            wide=True,
+        )
+
+    k_lanes = min(_SMALL_TIER, k_detect)
+    pos, height, overflow = greedy_survivors_blockwise(scored, m, k_lanes)
+    host_fallback = plateau
+    needs_full = ~host_fallback & overflow
     if denom is not None:
         # The multiply-form threshold (corr >= height_min·denom) is not
         # bit-equivalent to the full tier's divide-form
@@ -766,12 +784,11 @@ def _lean_group_packed(
         needs_full = needs_full | (~host_fallback & near)
     flag = jnp.where(host_fallback, 1.0, jnp.where(needs_full, 2.0, 0.0))
 
-    height, pos = topk_sparse(scored, k_lanes)
     return _lean_tail(
         norm, corr, valid_len, kind, m, k_verify, verify_consts,
         pos, height, host_fallback, flag, k_lanes,
         raw_corr=denom is not None,
-        wide=wide,
+        pre_filtered=True,
     )
 
 
@@ -780,20 +797,26 @@ def _lean_tail(
     pos, height, host_fallback, flag, k_lanes,
     raw_corr=False,
     wide=False,
+    pre_filtered=False,
 ):
-    """Shared lean-tier tail: greedy filter → bounds → compact → verify →
-    packed payload. ``corr`` may be normalised or raw (the verifier is
+    """Shared lean-tier tail: [greedy filter →] bounds → compact → verify
+    → packed payload. ``corr`` may be normalised or raw (the verifier is
     per-row scale-invariant); ``raw_corr`` says which, so candidates whose
     verify slice would read the raw tail noise past ``valid_len`` can be
-    routed to the exact rerun. ``wide`` (the rerun variant) compacts to the
-    full k_verify lanes and verifies two-tier (small lane width unless a
-    row's survivors overflow it — rare enough that the lax.cond's
-    both-branch cost in batch contexts never applies: the rerun is only
-    launched on single sections)."""
+    routed to the exact rerun. With ``pre_filtered`` the lanes already ARE
+    the greedy survivors (greedy_survivors_blockwise, production lean
+    path) and the lane-greedy is skipped. ``wide`` (the rerun variant)
+    compacts to the full k_verify lanes and verifies two-tier (small lane
+    width unless a row's survivors overflow it — rare enough that the
+    lax.cond's both-branch cost in batch contexts never applies: the
+    rerun is only launched on single sections)."""
     alive = jnp.isfinite(height)
-    keep = greedy_distance_filter(
-        PeakCandidates(pos, height, alive, host_fallback), m
-    )
+    if pre_filtered:
+        keep = alive
+    else:
+        keep = greedy_distance_filter(
+            PeakCandidates(pos, height, alive, host_fallback), m
+        )
     # Candidate bound checks (reference: audio_pattern_detector.py:531-546).
     half = (2 * m - 1) // 2
     keep = keep & ~(pos + half > valid_len + 5) & ~(pos - half < -5)
@@ -812,22 +835,16 @@ def _lean_tail(
     sv, _ = jax.lax.top_k(score, kv)
     vpos = -sv
     valive = sv > -_BIG
-    # No verify-tier overflow possible on the SMALL tier: the greedy
-    # distance filter leaves at most full_len//m + 1 survivors per row
-    # (minimum spacing m over a full_len row), and k_verify =
-    # min(1024, full_len//m + 4) exceeds that bound; the lane width
-    # kv = min(k_verify, k_lanes) also caps what the compaction can emit.
-    # (k_lanes <= k_verify is NOT guaranteed — k_verify can be <
-    # _SMALL_TIER for long clips — which is why kv takes the min.)
-    # Flagged rows are re-derived anyway. On the WIDE tier k_verify can
-    # cap at 1024 below the survivor bound for very short clips; such
-    # rows carry the verify-overflow column (exact host fallback), the
-    # same escape the rich tier uses.
-    verify_overflow = (
-        jnp.sum(keep, axis=1) > kv
-        if wide
-        else jnp.zeros(flag.shape[0], dtype=bool)
-    )
+    # Verify-tier overflow → exact host fallback (the same escape the
+    # rich tier uses). With production k_verify sizing this never fires
+    # on the small tier: the greedy distance filter leaves at most
+    # full_len//m + 1 survivors per row (minimum spacing m over a
+    # full_len row) and k_verify = min(1024, full_len//m + 4) exceeds
+    # that bound — but the guard is computed unconditionally (one (G, K)
+    # reduce) so shrunken/custom metas stay exact too. On the WIDE tier
+    # k_verify can genuinely cap at 1024 below the survivor bound for
+    # very short clips.
+    verify_overflow = jnp.sum(keep, axis=1) > kv
 
     if kind == "marker":
         verify_accept = lambda p, a: verify_marker(norm, p, a, verify_consts)  # noqa: E731

@@ -148,9 +148,12 @@ class TestShardedStreaming:
 
 class TestShardedOverflowFallback:
     def test_sharded_overflow_reroutes_to_host(self, monkeypatch):
-        """Candidate overflow on a (stream, device, clip) cell must re-run
-        that cell's exact section on the host path, keeping the sharded
-        scan serial-engine-identical (not silently dropping peaks)."""
+        """Verify-tier overflow on a (stream, device, clip) cell must
+        re-run that cell's exact section on the host path, keeping the
+        sharded scan serial-engine-identical (not silently dropping
+        peaks). The in-program greedy survivors resolve dense candidate
+        combs directly, so forcing overflow needs k_verify below the
+        per-cell survivor count (~5 here), not merely a dense comb."""
         from audio_pattern_detector_tpu.models import hostpath
 
         rng = np.random.default_rng(0)
@@ -158,11 +161,11 @@ class TestShardedOverflowFallback:
         sd = ShardedDetector([clip], make_mesh({"time": 4}), chunk_seconds=5)
         bank = sd.bank
 
-        # Shrink the candidate tier so dense repetitions overflow it.
+        # Shrink the verify tier below the survivor count so it overflows.
         g = bank.classes[1]["groups"][0]
         g.k_detect = 8
-        g.k_verify = 4
-        bank._metas[1] = (("normal", g.clip_len, 8, 4),)
+        g.k_verify = 2
+        bank._metas[1] = (("normal", g.clip_len, 8, 2),)
 
         audio = (0.01 * rng.standard_normal(20 * SR)).astype(np.float32)
         for k in range(24):

@@ -276,7 +276,11 @@ class TestRowGranularRerun:
         assert cls_calls == [1]
         assert not row_calls
 
-    def test_marker_row_rerun_matches_host(self, monkeypatch):
+    def test_marker_comb_hit_clears_in_program(self, monkeypatch):
+        """A real marker-tone hit floods the row with hundreds of raw
+        candidates but has only 1-3 greedy survivors — the lean tier
+        resolves it exactly in-program (greedy_survivors_blockwise) and
+        NO rerun launch happens."""
         t = np.arange(int(0.25 * SR)) / SR
         tone = (0.8 * np.sin(2 * np.pi * 1040.0 * t)).astype(np.float32)
         clip = AudioClip(
@@ -289,15 +293,21 @@ class TestRowGranularRerun:
         audio = (0.002 * rng.standard_normal(20 * SR)).astype(np.float32)
         o = int(7.25 * SR)
         audio[o : o + len(tone)] += tone
+        assert _count_candidates(bank, g, audio) > 16
 
-        row_calls = []
+        calls = []
         orig_row = bank._full_tier_row
+        orig_cls = bank._full_tier_packed
         monkeypatch.setattr(
             bank, "_full_tier_row",
-            lambda *a, **k: row_calls.append(1) or orig_row(*a, **k),
+            lambda *a, **k: calls.append("row") or orig_row(*a, **k),
+        )
+        monkeypatch.setattr(
+            bank, "_full_tier_packed",
+            lambda *a, **k: calls.append("class") or orig_cls(*a, **k),
         )
         assert bank.process_chunk(audio, None)["m"] == _host_expected(bank, g, audio)
-        assert row_calls  # marker comb floods the small tier -> row rerun
+        assert not calls  # coverage proof cleared the flag in-program
 
 
 def _host_expected_row(bank, g, ci, section):
@@ -312,3 +322,130 @@ def _host_expected_row(bank, g, ci, section):
         tone_frequency=g.tone_freqs[ci],
         verification_params=g.verification_params[ci],
     )
+
+
+class TestBlockGreedySurvivors:
+    """The lean tier computes the exact greedy survivor set in-program for
+    ANY raw candidate count (ops/peaks.py::greedy_survivors_blockwise):
+    dense hit combs resolve without a rerun launch, and the 16-lane
+    payload must be bitwise the wide tier's. Only rows with more than 16
+    SURVIVORS flag for the rerun."""
+
+    M = 257
+    K_DETECT = 64
+    K_VERIFY = 16
+
+    @pytest.fixture(scope="class")
+    def runner(self):
+        import jax.numpy as jnp
+        from audio_pattern_detector_tpu.models.bank import _lean_group_packed
+        from audio_pattern_detector_tpu.ops.verify import (
+            build_normal_verify_consts,
+        )
+
+        m = self.M
+        rng = np.random.default_rng(17)
+        cc = np.abs(rng.standard_normal((1, 2 * m - 1))).astype(np.float32)
+        cc /= cc.max()
+        consts = build_normal_verify_consts(cc, m, SR)
+
+        def run(corr_row, valid_len, wide=False):
+            corr = jnp.asarray(corr_row[None, :].astype(np.float32))
+            kw = {}
+            if wide:
+                kw["wide"] = True
+            else:
+                # denom=1: multiply- and divide-form thresholds coincide,
+                # so lean vs wide payloads are comparable bitwise.
+                kw["denom"] = jnp.asarray(np.ones(1, dtype=np.float32))
+            return np.asarray(
+                _lean_group_packed(
+                    jnp.zeros(8, dtype=np.float32),
+                    corr,
+                    jnp.int32(valid_len),
+                    "normal",
+                    m,
+                    self.K_DETECT,
+                    self.K_VERIFY,
+                    0.25,
+                    consts,
+                    **kw,
+                )
+            )[0]
+
+        return run
+
+    @staticmethod
+    def _row(L, peaks):
+        x = np.full(L, 1e-4, dtype=np.float32)
+        for pos, h in peaks:
+            x[pos - 1], x[pos], x[pos + 1] = h * 0.6, h, h * 0.6
+        return x
+
+    def _comb(self, L, center, n_teeth, top=0.9, step=0.02, spacing=12):
+        """Comb of n_teeth candidates, tallest at center, every tooth
+        within M-1 of it — the shape of a real marker/clip hit."""
+        peaks = [(center, top)]
+        for k in range(1, n_teeth):
+            side = 1 if k % 2 else -1
+            peaks.append((center + side * spacing * ((k + 1) // 2), top - step * k))
+        return self._row(L, peaks)
+
+    def test_comb_overflow_unflagged(self, runner):
+        x = self._comb(6000, 1500, n_teeth=25)
+        packed = runner(x, valid_len=5900)
+        assert packed[2 * self.K_VERIFY] == 0.0  # dense comb, 1 survivor
+
+    def test_comb_payload_is_bitwise_wide(self, runner):
+        x = self._comb(6000, 1500, n_teeth=25)
+        lean, wide = runner(x, 5900), runner(x, 5900, wide=True)
+        assert wide[2 * self.K_VERIFY] == 0.0
+        np.testing.assert_array_equal(lean, wide)
+
+    def test_survivor_overflow_keeps_flag(self, runner):
+        """20 candidates spaced beyond M all survive the greedy filter —
+        more than the 16 payload lanes, so the rerun flag must fire."""
+        peaks = [(300 + 600 * k, 0.9 - 0.01 * k) for k in range(20)]
+        packed = runner(self._row(20000, peaks), valid_len=19900)
+        assert packed[2 * self.K_VERIFY] == 2.0
+
+    def test_boundary_tie_handled_exactly(self, runner):
+        """Value ties that would straddle a top-16 capture boundary are a
+        non-event for the survivor-based tier: the greedy resolves them by
+        the priority rule in-program, no flag, payload bitwise the
+        wide tier's."""
+        center = 1500
+        peaks = [(center, 0.9)]
+        for k in range(1, 16):
+            side = 1 if k % 2 else -1
+            peaks.append((center + side * 12 * ((k + 1) // 2), 0.9 - 0.02 * k))
+        # 17th candidate ties the 16th-tallest exactly, within M of centre.
+        peaks.append((center + 100, np.float32(0.9 - 0.02 * 15)))
+        x = self._row(6000, peaks)
+        lean, wide = runner(x, 5900), runner(x, 5900, wide=True)
+        assert lean[2 * self.K_VERIFY] == 0.0
+        np.testing.assert_array_equal(lean, wide)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_random_combs_lean_equals_wide(self, runner, seed):
+        """Randomised hit-shaped rows: whenever the lean program leaves a
+        row unflagged, its payload must equal the wide tier's bitwise."""
+        rng = np.random.default_rng(100 + seed)
+        L = 24000
+        x = np.full(L, 1e-4, dtype=np.float32)
+        for c in rng.integers(400, L - 400, size=rng.integers(1, 4)):
+            n = int(rng.integers(18, 30))
+            top = float(rng.uniform(0.5, 1.0))
+            sp = int(rng.integers(6, 18))
+            for k in range(n):
+                side = 1 if k % 2 else -1
+                p = int(c) + side * sp * ((k + 1) // 2)
+                h = top * float(rng.uniform(0.35, 0.99)) if k else top
+                x[p - 1], x[p], x[p + 1] = h * 0.6, h, h * 0.6
+        lean, wide = runner(x, L - 100), runner(x, L - 100, wide=True)
+        if lean[2 * self.K_VERIFY] == 0.0:
+            np.testing.assert_array_equal(lean, wide)
+        else:
+            # Not cleared: the rerun path re-derives it — just sanity-check
+            # the wide tier agrees on flag semantics.
+            assert wide[2 * self.K_VERIFY] in (0.0, 1.0)
