@@ -163,6 +163,120 @@ class TestTopkSparse:
         np.testing.assert_array_equal(p[:10], np.arange(1033, 1023, -1))
 
 
+def _seq_greedy_survivors(scored_row, min_distance, r_max):
+    """Reference model: sequential tallest-first greedy (ties to lower
+    index), the exact semantics greedy_survivors_blockwise must compute
+    (reference: lib.rs:437-485 processes candidates in descending height
+    and keeps those not suppressed by an earlier kept peak — identical to
+    iterated argmax-suppress)."""
+    work = scored_row.copy()
+    pos, height = [], []
+    while True:
+        p = int(np.argmax(work))  # numpy argmax ties -> lowest index
+        if not np.isfinite(work[p]):
+            break
+        pos.append(p)
+        height.append(scored_row[p])
+        work[max(0, p - (min_distance - 1)) : p + min_distance] = -np.inf
+    overflow = len(pos) > r_max
+    return pos[:r_max], height[:r_max], overflow
+
+
+class TestGreedySurvivorsBlockwise:
+    """greedy_survivors_blockwise (the lean tier's in-program distance
+    filter) vs the sequential reference greedy, for candidate counts far
+    past what any capture-based tier holds."""
+
+    def _check(self, scored, m, r_max, block=512):
+        from audio_pattern_detector_tpu.ops.peaks import (
+            SURVIVOR_POS_SENTINEL,
+            greedy_survivors_blockwise,
+        )
+
+        pos, height, overflow = greedy_survivors_blockwise(
+            jnp.asarray(scored), m, r_max, block=block
+        )
+        pos, height = np.asarray(pos), np.asarray(height)
+        overflow = np.asarray(overflow)
+        for g in range(scored.shape[0]):
+            epos, eh, eover = _seq_greedy_survivors(scored[g], m, r_max)
+            n = len(epos)
+            np.testing.assert_array_equal(pos[g, :n], epos, err_msg=f"row {g}")
+            np.testing.assert_array_equal(height[g, :n], eh, err_msg=f"row {g}")
+            assert (pos[g, n:] == SURVIVOR_POS_SENTINEL).all(), f"row {g}"
+            assert np.all(np.isneginf(height[g, n:])), f"row {g}"
+            assert bool(overflow[g]) == eover, f"row {g}"
+
+    @pytest.mark.parametrize("seed,n_cand", [(0, 0), (1, 3), (2, 40), (3, 300)])
+    def test_random_sparse_rows(self, seed, n_cand):
+        rng = np.random.default_rng(seed)
+        G, L = 3, 50021
+        scored = np.full((G, L), -np.inf, np.float32)
+        for g in range(G):
+            p = rng.choice(L, size=n_cand, replace=False)
+            scored[g, p] = rng.uniform(0.25, 1.0, size=n_cand).astype(np.float32)
+        self._check(scored, m=rng.integers(5, 4000), r_max=16)
+
+    def test_dense_hit_comb(self):
+        """A hit-shaped comb: hundreds of candidates inside one clip-length
+        span, 1 survivor — the case the capture-based tier had to flag."""
+        L, m = 40000, 8000
+        scored = np.full((1, L), -np.inf, np.float32)
+        rng = np.random.default_rng(9)
+        center = 17000
+        offs = np.unique(rng.integers(-m + 1, m, size=400))
+        scored[0, center + offs] = rng.uniform(0.25, 0.89, size=len(offs)).astype(
+            np.float32
+        )
+        scored[0, center] = np.float32(0.9)
+        self._check(scored, m=m, r_max=16)
+
+    def test_survivor_overflow_flags(self):
+        """More distance-spaced survivors than r_max: exactly the first
+        r_max in greedy order are returned and overflow fires."""
+        L, m, r_max = 60000, 1000, 8
+        scored = np.full((1, L), -np.inf, np.float32)
+        p = np.arange(500, L - 500, 1500)
+        scored[0, p] = np.linspace(0.9, 0.3, len(p)).astype(np.float32)
+        self._check(scored, m=m, r_max=r_max)
+
+    def test_cross_block_ties(self):
+        """Bitwise-equal heights in different blocks must resolve to the
+        lower index, matching the sequential priority rule."""
+        L = 10000
+        scored = np.full((1, L), -np.inf, np.float32)
+        scored[0, [100, 2100, 4100, 6100]] = np.float32(0.5)
+        scored[0, [1100, 3100]] = np.float32(0.75)
+        self._check(scored, m=300, r_max=16, block=64)
+
+    def test_suppression_spans_block_boundaries(self):
+        """Suppression radius crossing block edges: partially-suppressed
+        boundary blocks must recompute their masked max correctly."""
+        L, block, m = 4096, 64, 100
+        scored = np.full((1, L), -np.inf, np.float32)
+        # Survivor near a block edge; victims straddle the next edges.
+        scored[0, 127] = np.float32(0.9)
+        scored[0, 128] = np.float32(0.8)   # suppressed, next block
+        scored[0, 64] = np.float32(0.7)    # suppressed, same block
+        scored[0, 226] = np.float32(0.6)   # just inside radius
+        scored[0, 227] = np.float32(0.55)  # just outside -> survives
+        scored[0, 3000] = np.float32(0.5)
+        self._check(scored, m=m, r_max=16, block=block)
+
+    def test_rows_exhaust_at_different_rounds(self):
+        """Mixed-density rows in one batch: empty, 1-survivor, and
+        many-survivor rows resolve correctly despite the shared loop."""
+        L, m = 30000, 2000
+        scored = np.full((4, L), -np.inf, np.float32)
+        scored[1, 15000] = np.float32(0.9)
+        p = np.arange(1000, 29000, 2500)
+        scored[2, p] = np.linspace(0.8, 0.4, len(p)).astype(np.float32)
+        rng = np.random.default_rng(21)
+        q = rng.choice(L, size=200, replace=False)
+        scored[3, q] = rng.uniform(0.25, 1.0, size=200).astype(np.float32)
+        self._check(scored, m=m, r_max=16)
+
+
 class TestDevicePeaks:
     @pytest.mark.parametrize("seed", range(4))
     def test_matches_host_find_peaks(self, seed):
