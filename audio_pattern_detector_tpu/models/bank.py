@@ -902,79 +902,101 @@ def _lean_group_packed_pallas(
     verify_consts,
     self_corr_max: jnp.ndarray,  # (G,) f32
 ) -> jnp.ndarray:
-    """Lean tier with the single-pass Pallas candidate scan.
+    """Lean tier: single-pass Pallas candidate scan + in-program greedy.
 
-    ops/pallas_peaks.py::candidate_scan replaces the mask / count /
-    plateau / observed-max / block-max passes with ONE HBM read and no
-    (G, L) writes. Candidate extraction then expands the top-k_lanes
-    blocks (gathered with a ±2 halo straight from ``corr``) and
-    re-derives the exact true-threshold mask on the tiny expansion.
-    Flags use the conservative thr_min counts (see that module's
-    docstring) — never unsound, occasionally an unnecessary exact rerun.
+    ops/pallas_peaks.py::candidate_scan replaces the mask / plateau /
+    observed-max / block-max passes with ONE HBM read and no (G, L)
+    writes; its unthresholded local-maxima block maxima then seed the
+    exact blockwise greedy (ops/peaks.py::greedy_survivors_from_blocks),
+    whose per-round gathers re-derive the candidate mask on a ±2-halo
+    window straight from ``corr`` — the (G, L) scored array is never
+    materialised at all.
+
+    Everything runs in the full tier's NORMALISED space: block seeding,
+    the re-derived mask, and greedy ordering all use the divide-form
+    quotient x/denom (denom = max(self_corr_max, observed_max) from the
+    scan, bitwise `bank_correlate`'s normaliser) — so no multiply-form
+    near-ulp guard is needed and unflagged rows are bitwise the wide
+    tier's. Block seeding is exact despite the scan's unthresholded
+    maxima: division by a positive per-row denom is monotone, so a
+    block's tallest local max has its tallest quotient, and the block
+    holds a candidate iff that quotient clears height_min. Flags: 1 =
+    host (≥4-plateau at the conservative thr_min — may fire when the
+    true-threshold plateau test would not, never the reverse); 2 = wide
+    rerun (> _SMALL_TIER greedy survivors, or a survivor whose verify
+    slice would read the raw tail past valid_len — _lean_tail's
+    raw_corr guard).
     """
     from audio_pattern_detector_tpu.ops.pallas_peaks import (
         BLOCK as PBLOCK,
         candidate_scan,
     )
+    from audio_pattern_detector_tpu.ops.peaks import (
+        greedy_survivors_from_blocks,
+    )
     from audio_pattern_detector_tpu.ops.slicing import slice_rows_windows
 
     g, L = corr.shape
     thr_min = height_min * self_corr_max
-    bmax, count_min, plateau_min, omax = candidate_scan(
+    bmax, _count_min, plateau_min, omax = candidate_scan(
         corr, thr_min, valid_len
     )
     denom = jnp.maximum(jnp.maximum(self_corr_max, omax), 1e-38)
-    thr = (height_min * denom)[:, None, None]  # (G, 1, 1)
+    qb = bmax / denom[:, None]
+    bwork0 = jnp.where(qb >= height_min, qb, -jnp.inf)
 
-    host_fallback = (count_min > k_detect) | plateau_min
     k_lanes = min(_SMALL_TIER, k_detect)
-    needs_full = ~host_fallback & (count_min > k_lanes)
-    flag = jnp.where(host_fallback, 1.0, jnp.where(needs_full, 2.0, 0.0))
-
-    # Stage 2: rank blocks; ascending order keeps global tie semantics.
-    _, bidx = jax.lax.top_k(bmax, k_lanes)
-    border = jnp.sort(bidx, axis=1).astype(jnp.int32)  # (G, k_lanes)
-
-    # Stage 3: gather block windows with a ±2 halo and re-derive the
-    # exact candidate mask at the true threshold. Overlapping halos and
-    # clamped starts are neutralised by the block-range selection mask.
     W = PBLOCK + 4
-    start = jnp.clip(border * PBLOCK - 2, 0, L - W)
-    xw = slice_rows_windows(corr, start, W)  # (G, k_lanes, W)
-    c = start[:, :, None] + jnp.arange(W, dtype=jnp.int32)[None, None, :]
-    xw = jnp.where(c < valid_len, xw, -jnp.inf)
+    corr_w = (
+        jnp.pad(corr, ((0, 0), (0, W - L))) if L < W else corr
+    )  # tiny-section guard: gather windows must fit the row
+    woffs = jnp.arange(W, dtype=jnp.int32)[None, :]
 
-    neg = jnp.full(xw.shape[:-1] + (1,), -jnp.inf, xw.dtype)
-    neg2 = jnp.full(xw.shape[:-1] + (2,), -jnp.inf, xw.dtype)
-    xm1 = jnp.concatenate([neg, xw[..., :-1]], axis=-1)
-    xm2 = jnp.concatenate([neg2, xw[..., :-2]], axis=-1)
-    xp1 = jnp.concatenate([xw[..., 1:], neg], axis=-1)
-    xp2 = jnp.concatenate([xw[..., 2:], neg2], axis=-1)
-    fin_p1 = jnp.isfinite(xp1)
-    fin_p2 = jnp.isfinite(xp2)
-    len1 = (xm1 < xw) & (xp1 < xw) & fin_p1
-    len2 = (xm1 < xw) & (xp1 == xw) & (xp2 < xw) & fin_p2
-    len3 = (
-        (xm2 < xw) & (xm1 == xw) & (xp1 == xw) & (xp2 < xw)
-        & fin_p2 & (c > 1)
+    def gather_scored(b_idx):  # (G,) -> ((G, W) quotients, (G, W) pos)
+        start = jnp.clip(b_idx * PBLOCK - 2, 0, max(L - W, 0))
+        xw = slice_rows_windows(corr_w, start[:, None], W)[:, 0, :]
+        c = start[:, None] + woffs  # global positions, ascending
+        xq = jnp.where(c < valid_len, xw / denom[:, None], -jnp.inf)
+        # Exact short_run_local_maxima_mask on the window: in-block lanes
+        # always see their true ±2 neighbourhood (inside the window, or
+        # past the array edge where -inf is the correct fill).
+        neg1 = jnp.full((xq.shape[0], 1), -jnp.inf, xq.dtype)
+        neg2 = jnp.full((xq.shape[0], 2), -jnp.inf, xq.dtype)
+        xm1 = jnp.concatenate([neg1, xq[:, :-1]], axis=1)
+        xm2 = jnp.concatenate([neg2, xq[:, :-2]], axis=1)
+        xp1 = jnp.concatenate([xq[:, 1:], neg1], axis=1)
+        xp2 = jnp.concatenate([xq[:, 2:], neg2], axis=1)
+        len1 = (xm1 < xq) & (xp1 < xq) & jnp.isfinite(xp1)
+        len2 = (xm1 < xq) & (xp1 == xq) & (xp2 < xq) & jnp.isfinite(xp2)
+        len3 = (
+            (xm2 < xq) & (xm1 == xq) & (xp1 == xq) & (xp2 < xq)
+            & jnp.isfinite(xp2) & (c > 1)
+        )
+        in_block = (c >= b_idx[:, None] * PBLOCK) & (
+            c < (b_idx[:, None] + 1) * PBLOCK
+        )
+        mask = (
+            (len1 | len2 | len3)
+            & in_block
+            & (c > 0)
+            & jnp.isfinite(xq)
+            & (xq >= height_min)
+        )
+        return jnp.where(mask, xq, -jnp.inf), c
+
+    pos, height, overflow = greedy_survivors_from_blocks(
+        bwork0, gather_scored, m, k_lanes, PBLOCK
     )
-    in_block = (c >= border[:, :, None] * PBLOCK) & (
-        c < (border[:, :, None] + 1) * PBLOCK
-    )
-    mask = (
-        (len1 | len2 | len3)
-        & in_block
-        & (c > 0)
-        & jnp.isfinite(xw)
-        & (xw >= thr)
-    )
-    scored = jnp.where(mask, xw, -jnp.inf).reshape(g, k_lanes * W)
-    height, li = jax.lax.top_k(scored, k_lanes)
-    pos = jnp.take_along_axis(c.reshape(g, k_lanes * W), li, axis=1)
+
+    host_fallback = plateau_min
+    needs_full = ~host_fallback & overflow
+    flag = jnp.where(host_fallback, 1.0, jnp.where(needs_full, 2.0, 0.0))
 
     return _lean_tail(
         norm, corr, valid_len, kind, m, k_verify, verify_consts,
         pos, height, host_fallback, flag, k_lanes,
+        raw_corr=True,
+        pre_filtered=True,
     )
 
 

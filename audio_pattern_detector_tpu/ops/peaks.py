@@ -419,22 +419,51 @@ def greedy_survivors_blockwise(
     )
     bmax0 = jnp.max(padded.reshape(G, nb, block), axis=2)  # (G, nb)
     off_in_block = jnp.arange(block, dtype=jnp.int32)[None, :]
+
+    def gather_block(b_idx):  # (G,) -> ((G, block) vals, (G, block) offs)
+        vals = jax.vmap(
+            lambda s, b: jax.lax.dynamic_slice(s, (b * block,), (block,))
+        )(padded, b_idx)
+        return vals, b_idx[:, None] * block + off_in_block
+
+    return greedy_survivors_from_blocks(
+        bmax0, gather_block, min_distance, r_max, block
+    )
+
+
+def greedy_survivors_from_blocks(
+    bwork0: jnp.ndarray,  # (G, nb) per-block max of the scored rows
+    gather_scored,  # (G,) int32 block ids -> ((G, Wg) vals, (G, Wg) offs)
+    min_distance: int,
+    r_max: int,
+    block: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Core of greedy_survivors_blockwise over an ABSTRACT block summary.
+
+    ``bwork0[g, b]`` must be the max scored (candidate) value in block
+    ``b`` — flat positions [b·block, (b+1)·block) — or -inf when the
+    block holds no candidate. ``gather_scored(b_idx)`` must return, for
+    each row's block ``b_idx[g]``, the scored values and their global
+    positions, with positions ascending and every non-(-inf) lane's
+    position inside the block's range (halo/padding lanes must come back
+    -inf). This lets callers that never materialise the (G, L) scored
+    array — the single-pass Pallas candidate scan keeps only block
+    maxima — run the exact greedy by re-deriving candidates on gathered
+    windows per round (models/bank.py::_lean_group_packed_pallas).
+
+    Same returns and exactness contract as greedy_survivors_blockwise.
+    """
+    G, nb = bwork0.shape
     barange = jnp.arange(nb, dtype=jnp.int32)[None, :]
     sentinel = jnp.int32(SURVIVOR_POS_SENTINEL)
     m = min_distance
 
-    def gather_block(b_idx):  # (G,) -> (G, block)
-        return jax.vmap(
-            lambda s, b: jax.lax.dynamic_slice(s, (b * block,), (block,))
-        )(padded, b_idx)
-
-    def masked_block_max(b_idx, kept_pos):
-        blk = gather_block(b_idx)
-        offs = b_idx[:, None] * block + off_in_block  # (G, block)
+    def masked_vals(b_idx, kept_pos):
+        vals, offs = gather_scored(b_idx)
         supp = jnp.any(
             jnp.abs(offs[:, None, :] - kept_pos[:, :, None]) < m, axis=1
         )  # sentinel kept slots never suppress
-        return jnp.max(jnp.where(supp, -jnp.inf, blk), axis=1)
+        return jnp.where(supp, -jnp.inf, vals), offs
 
     def body(state):
         bwork, kept_pos, kept_h, r = state
@@ -442,14 +471,9 @@ def greedy_survivors_blockwise(
         bh = jnp.take_along_axis(bwork, bi[:, None], axis=1)[:, 0]
         alive = bh > -jnp.inf
 
-        blk = gather_block(bi)
-        offs = bi[:, None] * block + off_in_block
-        supp = jnp.any(
-            jnp.abs(offs[:, None, :] - kept_pos[:, :, None]) < m, axis=1
-        )
-        blkm = jnp.where(supp, -jnp.inf, blk)
+        blkm, offs = masked_vals(bi, kept_pos)
         j = jnp.argmax(blkm, axis=1).astype(jnp.int32)  # ties: lower offset
-        p = bi * block + j
+        p = jnp.take_along_axis(offs, j[:, None], axis=1)[:, 0]
         h = jnp.max(blkm, axis=1)
 
         kept_pos = kept_pos.at[:, r].set(jnp.where(alive, p, sentinel))
@@ -465,7 +489,8 @@ def greedy_survivors_blockwise(
             jnp.clip(lo // block, 0, nb - 1).astype(jnp.int32),
             jnp.clip(hi // block, 0, nb - 1).astype(jnp.int32),
         ):
-            new_max = masked_block_max(b_edge, kept_pos)
+            mv, _ = masked_vals(b_edge, kept_pos)
+            new_max = jnp.max(mv, axis=1)
             cur = jnp.take_along_axis(bwork, b_edge[:, None], axis=1)[:, 0]
             upd = jnp.where(alive, jnp.minimum(cur, new_max), cur)
             bwork = jnp.where(barange == b_edge[:, None], upd[:, None], bwork)
@@ -476,9 +501,9 @@ def greedy_survivors_blockwise(
         return (r < r_max) & jnp.any(bwork > -jnp.inf)
 
     kept_pos0 = jnp.full((G, r_max), sentinel, dtype=jnp.int32)
-    kept_h0 = jnp.full((G, r_max), -jnp.inf, dtype=scored.dtype)
+    kept_h0 = jnp.full((G, r_max), -jnp.inf, dtype=bwork0.dtype)
     bwork, kept_pos, kept_h, _ = jax.lax.while_loop(
-        cond, body, (bmax0, kept_pos0, kept_h0, jnp.int32(0))
+        cond, body, (bwork0, kept_pos0, kept_h0, jnp.int32(0))
     )
     overflow = jnp.any(bwork > -jnp.inf, axis=1)
     return kept_pos, kept_h, overflow

@@ -83,9 +83,9 @@ def main() -> None:
         loudness_normalize_device,
     )
     from audio_pattern_detector_tpu.ops.peaks import (
+        greedy_survivors_blockwise,
         long_plateau_present,
         short_run_local_maxima_mask,
-        topk_sparse,
     )
 
     sr = 8000
@@ -167,10 +167,11 @@ def main() -> None:
             thr = height_min * denom
             mask = short_run_local_maxima_mask(x) & (x >= thr)
             plateau = long_plateau_present(x, thr)
-            counts = jnp.sum(mask, axis=1)
             scored = jnp.where(mask, x, -jnp.inf)
-            h, p = topk_sparse(scored, 16)
-            acc += out_tok(h) + out_tok(counts.astype(jnp.float32))
+            # Production lean path: in-program greedy survivors
+            # (blockwise argmax-suppress; replaced topk_sparse round 2).
+            p, h, overflow = greedy_survivors_blockwise(scored, m, 16)
+            acc += out_tok(h) + out_tok(overflow.astype(jnp.float32))
             acc += out_tok(plateau.astype(jnp.float32))
         return acc
 

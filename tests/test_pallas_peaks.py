@@ -133,3 +133,120 @@ class TestPallasEngineEquivalence:
         assert t_pallas == t_plain
         assert r_pallas == r_plain
         assert r_pallas is not None and len(r_pallas["c"]) >= 2
+
+
+class TestPallasGreedyHitPath:
+    """The Pallas lean path shares the in-program greedy survivors: a
+    real hit's dense candidate comb must resolve in the single launch
+    (no rerun), matching the exact host model — same contract the XLA
+    lean path is pinned to in tests/test_two_tier_detect.py."""
+
+    def _host_expected(self, bank, g, section):
+        from audio_pattern_detector_tpu.models import hostpath
+
+        return hostpath.process_section_host(
+            audio_section=section,
+            clip=g.clips_np[0],
+            correlation_clip=g.corr_clips_np[0],
+            correlation_clip_absolute_max=float(g.self_max_np[0]),
+            sr=SR,
+            height_min=bank.height_min,
+            is_short_clip=g.clip_len / SR < 0.5,
+            tone_frequency=g.tone_freqs[0],
+            verification_params=g.verification_params[0],
+        )
+
+    def _run_no_rerun(self, monkeypatch, clip_audio, audio, **clip_kw):
+        from audio_pattern_detector_tpu.models.detector import (
+            AudioPatternDetector,
+        )
+        from audio_pattern_detector_tpu.utils.clip import AudioClip
+
+        monkeypatch.setenv("APD_PALLAS", "1")
+        det = AudioPatternDetector(
+            [AudioClip(name="c", audio=clip_audio, sample_rate=SR, **clip_kw)],
+            seconds_per_chunk=20,
+        )
+        bank = det._ensure_bank()
+        assert bank._pallas
+        g = bank.classes[1]["groups"][0]
+
+        calls = []
+        orig_row = bank._full_tier_row
+        orig_cls = bank._full_tier_packed
+        monkeypatch.setattr(
+            bank, "_full_tier_row",
+            lambda *a, **k: calls.append("row") or orig_row(*a, **k),
+        )
+        monkeypatch.setattr(
+            bank, "_full_tier_packed",
+            lambda *a, **k: calls.append("class") or orig_cls(*a, **k),
+        )
+        got = bank.process_chunk(audio, None)["c"]
+        assert got == self._host_expected(bank, g, audio)
+        assert not calls, f"pallas lean path launched a rerun: {calls}"
+
+    def test_marker_comb_hit_clears_in_program(self, monkeypatch):
+        t = np.arange(int(0.25 * SR)) / SR
+        tone = (0.8 * np.sin(2 * np.pi * 1040.0 * t)).astype(np.float32)
+        rng = np.random.default_rng(5)
+        audio = (0.002 * rng.standard_normal(20 * SR)).astype(np.float32)
+        o = int(7.25 * SR)
+        audio[o : o + len(tone)] += tone
+        self._run_no_rerun(
+            monkeypatch, tone, audio,
+            strategy="marker_tone",
+            strategy_params={"dominant_frequency_hz": 1040.0},
+        )
+
+    def test_normal_hit_clears_in_program(self, monkeypatch):
+        rng = np.random.default_rng(42)
+        clip = (0.4 * rng.standard_normal(SR)).astype(np.float32)
+        audio = (0.004 * rng.standard_normal(20 * SR)).astype(np.float32)
+        o = int(6.4 * SR)
+        audio[o : o + SR] += clip
+        self._run_no_rerun(monkeypatch, clip, audio)
+
+    def test_survivor_overflow_reroutes(self, monkeypatch):
+        """> _SMALL_TIER distance-spaced survivors must still flag for
+        the exact rerun under the Pallas path (overflow semantics)."""
+        from audio_pattern_detector_tpu.models.detector import (
+            AudioPatternDetector,
+        )
+        from audio_pattern_detector_tpu.utils.clip import AudioClip
+
+        rng = np.random.default_rng(3)
+        clip = (0.4 * rng.standard_normal(SR)).astype(np.float32)
+        monkeypatch.setenv("APD_PALLAS", "1")
+        det = AudioPatternDetector(
+            [AudioClip(name="c", audio=clip, sample_rate=SR)],
+            seconds_per_chunk=24,
+        )
+        bank = det._ensure_bank()
+        g = bank.classes[1]["groups"][0]
+        audio = (0.004 * rng.standard_normal(24 * SR)).astype(np.float32)
+        for k in range(20):
+            o = int((0.3 + 1.05 * k) * SR)
+            audio[o : o + SR] += clip[: min(SR, len(audio) - o)]
+
+        reruns = []
+        orig_row = bank._full_tier_row
+        monkeypatch.setattr(
+            bank, "_full_tier_row",
+            lambda *a, **k: reruns.append(1) or orig_row(*a, **k),
+        )
+        from audio_pattern_detector_tpu.models import hostpath
+
+        expected = hostpath.process_section_host(
+            audio_section=audio,
+            clip=g.clips_np[0],
+            correlation_clip=g.corr_clips_np[0],
+            correlation_clip_absolute_max=float(g.self_max_np[0]),
+            sr=SR,
+            height_min=bank.height_min,
+            is_short_clip=False,
+            tone_frequency=g.tone_freqs[0],
+            verification_params=g.verification_params[0],
+        )
+        assert bank.process_chunk(audio, None)["c"] == expected
+        assert reruns  # 20 spaced survivors > 16 lanes
