@@ -1051,6 +1051,15 @@ def _class_step(
     # (bank_correlate_unnormalised). Other paths take the normalised form
     # (the wide rerun included: divide-form thresholds need no ulp guard).
     lean_raw = lean and height_min > 0 and not wide
+    if pallas:
+        # The Mosaic candidate scan covers full_len <= LPAD (~65 s
+        # sections at 8 kHz); big-chunk configs (--chunk-seconds 120+,
+        # file-mode auto-perf sizing) exceed it — fall back to the XLA
+        # formulation for those classes instead of failing the launch.
+        # Static per compiled program: full_len is a build-time shape.
+        from audio_pattern_detector_tpu.ops.pallas_peaks import LPAD
+
+        pallas = all(c.full_len <= LPAD for c, _ in group_consts)
     if lean_raw and pallas:
         # Pallas lean path: raw |corr| only; the single-pass candidate
         # scan derives the observed max itself (ops/pallas_peaks.py).

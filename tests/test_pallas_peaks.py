@@ -250,3 +250,37 @@ class TestPallasGreedyHitPath:
         )
         assert bank.process_chunk(audio, None)["c"] == expected
         assert reruns  # 20 spaced survivors > 16 lanes
+
+    def test_big_chunk_falls_back_to_xla(self, monkeypatch):
+        """full_len > LPAD (chunk-seconds 120+ / auto-perf sizing) exceeds
+        the Mosaic scan's coverage: the class program must silently use
+        the XLA formulation, not fail the launch."""
+        from audio_pattern_detector_tpu.models.detector import (
+            AudioPatternDetector,
+        )
+        from audio_pattern_detector_tpu.utils.clip import AudioClip, AudioStream
+
+        rng = np.random.default_rng(11)
+        clip = (0.4 * rng.standard_normal(SR)).astype(np.float32)
+        audio = (0.01 * rng.standard_normal(130 * SR)).astype(np.float32)
+        audio[40 * SR : 41 * SR] += clip
+        audio[100 * SR : 101 * SR] += clip
+
+        def run():
+            det = AudioPatternDetector(
+                [AudioClip(name="c", audio=clip, sample_rate=SR)],
+                seconds_per_chunk=120,
+            )
+            stream = AudioStream(
+                name="s",
+                audio_stream=io.BytesIO(audio.tobytes()),
+                sample_rate=SR,
+            )
+            return det.find_clip_in_audio(stream)
+
+        monkeypatch.setenv("APD_PALLAS", "1")
+        r_pallas, _ = run()
+        monkeypatch.delenv("APD_PALLAS")
+        r_plain, _ = run()
+        assert r_pallas == r_plain
+        assert r_pallas is not None and len(r_pallas["c"]) == 2
