@@ -181,6 +181,31 @@ def main() -> None:
         ),
     )
     match_parser.add_argument(
+        "--mesh-time",
+        metavar="devices",
+        type=int,
+        default=None,
+        help=(
+            "shard the scan across N devices along time: N consecutive "
+            "chunks process concurrently with halo-exchanged lookback "
+            "(identical detections). Events are emitted once per N-chunk "
+            "slab — up to N x chunk-seconds of added latency. Requires N "
+            "(x --mesh-bank) available devices; incompatible with "
+            "--debug/--offline-batch/--stream-batch/--pipeline-depth"
+        ),
+    )
+    match_parser.add_argument(
+        "--mesh-bank",
+        metavar="devices",
+        type=int,
+        default=1,
+        help=(
+            "with --mesh-time: additionally shard the pattern bank across "
+            "N devices (mesh uses N x mesh-time devices; identical "
+            "detections)"
+        ),
+    )
+    match_parser.add_argument(
         "--profile",
         action="store_true",
         default=False,

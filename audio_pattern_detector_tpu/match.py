@@ -61,6 +61,12 @@ class EngineOptions:
     pipeline_depth: int | None = None
     stream_batch: int = 1
     stream_batch_mode: str = "scan"
+    # Device-mesh sharding (parallel/sequence.py): split the scan across
+    # mesh_time devices along time (halo-exchange sequence parallelism)
+    # and optionally mesh_bank devices across the pattern bank. Identical
+    # detections; events emitted per mesh_time-chunk slab.
+    mesh_time: int | None = None
+    mesh_bank: int = 1
 
     def build_detector(self, clips: list[AudioClip]) -> AudioPatternDetector:
         return AudioPatternDetector(
@@ -327,6 +333,11 @@ def _scan(
     device launch, events fired post-scan in timestamp order)."""
     from audio_pattern_detector_tpu.utils.profiling import device_trace
 
+    if opts.mesh_time:
+        with device_trace(opts.trace_dir):
+            return _scan_sharded(
+                detector, stream, opts, on_pattern_detected, accumulate_results
+            )
     with device_trace(opts.trace_dir):
         if opts.offline_batch is None:
             result = detector.find_clip_in_audio(
@@ -367,6 +378,81 @@ def _drain_stream(stream: AudioStream) -> NDArray[np.float32]:
             break
         bufs.append(b)
     return np.frombuffer(b"".join(bufs), dtype=np.float32)
+
+
+def _read_full(raw_stream: Any, n_bytes: int) -> bytes:
+    """Read exactly ``n_bytes`` unless the stream ends first (pipes may
+    return short reads mid-stream; the sharded session needs full slabs
+    except the final one)."""
+    bufs: list[bytes] = []
+    got = 0
+    while got < n_bytes:
+        b = raw_stream.read(n_bytes - got)
+        if not b:
+            break
+        bufs.append(b)
+        got += len(b)
+    return b"".join(bufs)
+
+
+def _scan_sharded(
+    detector: AudioPatternDetector,
+    stream: AudioStream,
+    opts: EngineOptions,
+    on_pattern_detected: PatternDetectedCallback | None,
+    accumulate_results: bool,
+) -> tuple[dict[str, list[float]] | None, float]:
+    """Run one stream through a device-mesh ShardedDetector.
+
+    The mesh is (bank?, time): ``opts.mesh_time`` chunks process
+    concurrently on that many devices with halo-exchanged lookback
+    (parallel/sequence.py), and ``opts.mesh_bank`` > 1 additionally
+    shards the pattern bank. Detections are serial-engine-identical
+    (pinned by tests/test_parallel_corpus.py); events are emitted per
+    slab — up to mesh_time × chunk_seconds of added latency versus the
+    serial per-chunk loop."""
+    from audio_pattern_detector_tpu.parallel.mesh import make_mesh
+    from audio_pattern_detector_tpu.parallel.sequence import ShardedDetector
+
+    axes: dict[str, int] = {}
+    if opts.mesh_bank > 1:
+        axes["bank"] = opts.mesh_bank
+    axes["time"] = int(opts.mesh_time or 1)
+    mesh = make_mesh(axes)
+
+    sd = ShardedDetector(
+        detector.audio_clips,
+        mesh,
+        chunk_seconds=detector.seconds_per_chunk,
+        target_sample_rate=opts.target_sample_rate,
+        height_min=opts.height_min,
+    )
+    sess = sd.session()
+    slab_bytes = sd.slab_samples * 4
+    accumulated: dict[str, list[float]] | None = (
+        {name: [] for cls in sd.bank.classes.values() for g in cls["groups"] for name in g.names}
+        if accumulate_results
+        else None
+    )
+    total_samples = 0
+    while True:
+        buf = _read_full(stream.audio_stream, slab_bytes)
+        if not buf:
+            break
+        slab = np.frombuffer(buf, dtype=np.float32)
+        part = sess.feed(slab)
+        total_samples += len(slab)
+        events = sorted(
+            (t, name) for name, per_stream in part.items() for t in per_stream[0]
+        )
+        for t, name in events:
+            if accumulated is not None:
+                accumulated[name].append(t)
+            if on_pattern_detected is not None:
+                on_pattern_detected(name, t)
+        if len(buf) < slab_bytes:
+            break
+    return accumulated, total_samples / sd.sample_rate
 
 
 AUTO_PERF_MAX_CHUNK_SECONDS = 240
@@ -436,6 +522,8 @@ def match_pattern(
     pipeline_depth: int | None = None,
     stream_batch: int = 1,
     stream_batch_mode: str = "scan",
+    mesh_time: int | None = None,
+    mesh_bank: int = 1,
 ) -> tuple[dict[str, list[float]] | None, float]:
     """Find pattern matches in an audio file or stdin stream.
 
@@ -458,6 +546,25 @@ def match_pattern(
         raise ValueError(
             f"offline_batch_mode must be 'vmap' or 'scan', got {offline_batch_mode!r}"
         )
+    if mesh_time is not None:
+        if mesh_time < 1 or mesh_bank < 1:
+            raise ValueError("mesh axis sizes must be positive")
+        incompatible = [
+            name
+            for name, active in (
+                ("debug", debug_mode),
+                ("offline_batch", offline_batch is not None),
+                ("stream_batch", stream_batch > 1),
+                ("pipeline_depth", pipeline_depth is not None),
+            )
+            if active
+        ]
+        if incompatible:
+            raise ValueError(
+                "mesh sharding is incompatible with: " + ", ".join(incompatible)
+            )
+    elif mesh_bank > 1:
+        raise ValueError("mesh_bank requires mesh_time")
     if not from_stdin:
         if audio_source is None or not os.path.exists(audio_source):
             raise ValueError(f"Audio {audio_source} does not exist")
@@ -477,6 +584,8 @@ def match_pattern(
         pipeline_depth=pipeline_depth,
         stream_batch=stream_batch,
         stream_batch_mode=stream_batch_mode,
+        mesh_time=mesh_time,
+        mesh_bank=mesh_bank,
     )
     pattern_clips = _load_pattern_clips(pattern_files, sr)
 
@@ -522,7 +631,12 @@ def _match_pattern_file(
 ) -> tuple[dict[str, list[float]] | None, float]:
     """File mode: stream a WAV directly, anything else through ffmpeg."""
     sr = opts.target_sample_rate
-    if opts.chunk_auto_perf and not opts.debug_mode and opts.offline_batch is None:
+    if (
+        opts.chunk_auto_perf
+        and not opts.debug_mode
+        and opts.offline_batch is None
+        and opts.mesh_time is None  # sharded scans size by the mesh instead
+    ):
         opts.seconds_per_chunk = _auto_perf_chunk_seconds(
             audio_source, pattern_clips, sr
         )
@@ -673,6 +787,8 @@ def _run_match_with_output(
         pipeline_depth=opts.pipeline_depth,
         stream_batch=opts.stream_batch,
         stream_batch_mode=opts.stream_batch_mode,
+        mesh_time=opts.mesh_time,
+        mesh_bank=opts.mesh_bank,
     )
     print(f"Total time processed: {seconds_to_time(seconds=total_time)}", file=sys.stderr)
     _emit_jsonl_end(total_time, timestamp_format)
@@ -727,6 +843,8 @@ def cmd_match(args: argparse.Namespace) -> None:
         pipeline_depth=getattr(args, "pipeline_depth", None),
         stream_batch=getattr(args, "stream_batch", 1) or 1,
         stream_batch_mode=getattr(args, "stream_batch_mode", "scan") or "scan",
+        mesh_time=getattr(args, "mesh_time", None),
+        mesh_bank=getattr(args, "mesh_bank", 1) or 1,
     )
     timestamp_format: str = getattr(args, "timestamp_format", "both")
 
