@@ -68,6 +68,42 @@ class EngineOptions:
     mesh_time: int | None = None
     mesh_bank: int = 1
 
+    def validate(self, from_stdin: bool) -> None:
+        """Reject option combinations the engine cannot honour.
+
+        Shared by every entry surface (file, --stdin, --multiplexed-stdin)
+        so the same flags fail the same way everywhere. ``from_stdin``
+        covers both plain and multiplexed stdin: live streams have no
+        whole-file batch path."""
+        if self.offline_batch is not None and (from_stdin or self.offline_batch < 1):
+            raise ValueError(
+                "offline_batch requires file mode and a positive batch size"
+            )
+        if self.offline_batch_mode not in ("vmap", "scan"):
+            raise ValueError(
+                "offline_batch_mode must be 'vmap' or 'scan', "
+                f"got {self.offline_batch_mode!r}"
+            )
+        if self.mesh_time is not None:
+            if self.mesh_time < 1 or self.mesh_bank < 1:
+                raise ValueError("mesh axis sizes must be positive")
+            incompatible = [
+                name
+                for name, active in (
+                    ("debug", self.debug_mode),
+                    ("offline_batch", self.offline_batch is not None),
+                    ("stream_batch", self.stream_batch > 1),
+                    ("pipeline_depth", self.pipeline_depth is not None),
+                )
+                if active
+            ]
+            if incompatible:
+                raise ValueError(
+                    "mesh sharding is incompatible with: " + ", ".join(incompatible)
+                )
+        elif self.mesh_bank > 1:
+            raise ValueError("mesh_bank requires mesh_time")
+
     def build_detector(self, clips: list[AudioClip]) -> AudioPatternDetector:
         return AudioPatternDetector(
             audio_clips=clips,
@@ -426,6 +462,7 @@ def _scan_sharded(
         chunk_seconds=detector.seconds_per_chunk,
         target_sample_rate=opts.target_sample_rate,
         height_min=opts.height_min,
+        detector=detector,
     )
     sess = sd.session()
     slab_bytes = sd.slab_samples * 4
@@ -540,31 +577,6 @@ def match_pattern(
     in the streaming loop (identical results; emission deferred to batch
     boundaries) — the live-stream launch amortiser.
     """
-    if offline_batch is not None and (from_stdin or offline_batch < 1):
-        raise ValueError("offline_batch requires file mode and a positive batch size")
-    if offline_batch_mode not in ("vmap", "scan"):
-        raise ValueError(
-            f"offline_batch_mode must be 'vmap' or 'scan', got {offline_batch_mode!r}"
-        )
-    if mesh_time is not None:
-        if mesh_time < 1 or mesh_bank < 1:
-            raise ValueError("mesh axis sizes must be positive")
-        incompatible = [
-            name
-            for name, active in (
-                ("debug", debug_mode),
-                ("offline_batch", offline_batch is not None),
-                ("stream_batch", stream_batch > 1),
-                ("pipeline_depth", pipeline_depth is not None),
-            )
-            if active
-        ]
-        if incompatible:
-            raise ValueError(
-                "mesh sharding is incompatible with: " + ", ".join(incompatible)
-            )
-    elif mesh_bank > 1:
-        raise ValueError("mesh_bank requires mesh_time")
     if not from_stdin:
         if audio_source is None or not os.path.exists(audio_source):
             raise ValueError(f"Audio {audio_source} does not exist")
@@ -587,6 +599,7 @@ def match_pattern(
         mesh_time=mesh_time,
         mesh_bank=mesh_bank,
     )
+    opts.validate(from_stdin)
     pattern_clips = _load_pattern_clips(pattern_files, sr)
 
     if from_stdin:
@@ -702,6 +715,7 @@ def _match_pattern_multiplexed_stdin(
     accumulate_results: bool,
 ) -> tuple[dict[str, list[float]] | None, float]:
     """Multiplexed stdin: patterns via the binary protocol, then WAV audio."""
+    opts.validate(from_stdin=True)
     sr = opts.target_sample_rate
     pattern_clips = _read_patterns_from_multiplexed_stdin(sr)
     print("Reading WAV audio from stdin...", file=sys.stderr)

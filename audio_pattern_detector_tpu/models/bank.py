@@ -912,20 +912,26 @@ def _lean_group_packed_pallas(
     window straight from ``corr`` — the (G, L) scored array is never
     materialised at all.
 
-    Everything runs in the full tier's NORMALISED space: block seeding,
-    the re-derived mask, and greedy ordering all use the divide-form
-    quotient x/denom (denom = max(self_corr_max, observed_max) from the
-    scan, bitwise `bank_correlate`'s normaliser) — so no multiply-form
-    near-ulp guard is needed and unflagged rows are bitwise the wide
-    tier's. Block seeding is exact despite the scan's unthresholded
-    maxima: division by a positive per-row denom is monotone, so a
-    block's tallest local max has its tallest quotient, and the block
-    holds a candidate iff that quotient clears height_min. Flags: 1 =
-    host (≥4-plateau at the conservative thr_min — may fire when the
+    Everything downstream runs in the full tier's NORMALISED space: the
+    re-derived mask and greedy ordering use the divide-form quotient
+    x/denom (denom = max(self_corr_max, observed_max) from the scan,
+    bitwise `bank_correlate`'s normaliser), so unflagged rows are bitwise
+    the wide tier's. Block seeding is exact up to f32 division rounding:
+    division by a positive per-row denom is monotone (a block's tallest
+    raw local max has its tallest quotient, attained exactly), but NOT
+    strictly monotone — a strict raw inequality between mask-comparison
+    partners can collapse to quotient equality, shifting plateau
+    midpoints / breaking the seed invariant. The scan therefore flags any
+    row holding a candidate-height sample with a strictly-unequal
+    comparison partner within 8 ulp relative (``near_collapse``), and
+    those rows take the exact wide rerun; greedy_survivors_from_blocks
+    additionally degrades any residual seed/gather mismatch to an
+    overflow flag rather than a silent wrong survivor. Flags: 1 = host
+    (≥4-plateau at the conservative thr_min — may fire when the
     true-threshold plateau test would not, never the reverse); 2 = wide
-    rerun (> _SMALL_TIER greedy survivors, or a survivor whose verify
-    slice would read the raw tail past valid_len — _lean_tail's
-    raw_corr guard).
+    rerun (> _SMALL_TIER greedy survivors, a near-collapse row, or a
+    survivor whose verify slice would read the raw tail past valid_len —
+    _lean_tail's raw_corr guard).
     """
     from audio_pattern_detector_tpu.ops.pallas_peaks import (
         BLOCK as PBLOCK,
@@ -933,12 +939,13 @@ def _lean_group_packed_pallas(
     )
     from audio_pattern_detector_tpu.ops.peaks import (
         greedy_survivors_from_blocks,
+        plateau_run_mask,
     )
     from audio_pattern_detector_tpu.ops.slicing import slice_rows_windows
 
     g, L = corr.shape
     thr_min = height_min * self_corr_max
-    bmax, _count_min, plateau_min, omax = candidate_scan(
+    bmax, _count_min, plateau_min, omax, near_collapse = candidate_scan(
         corr, thr_min, valid_len
     )
     denom = jnp.maximum(jnp.maximum(self_corr_max, omax), 1e-38)
@@ -957,26 +964,28 @@ def _lean_group_packed_pallas(
         xw = slice_rows_windows(corr_w, start[:, None], W)[:, 0, :]
         c = start[:, None] + woffs  # global positions, ascending
         xq = jnp.where(c < valid_len, xw / denom[:, None], -jnp.inf)
-        # Exact short_run_local_maxima_mask on the window: in-block lanes
-        # always see their true ±2 neighbourhood (inside the window, or
-        # past the array edge where -inf is the correct fill).
+        # Exact short_run_local_maxima_mask on the window (the shared
+        # plateau_run_mask comparison chain with window-local shifts):
+        # in-block lanes always see their true ±2 neighbourhood (inside
+        # the window, or past the array edge where -inf is the correct
+        # fill).
         neg1 = jnp.full((xq.shape[0], 1), -jnp.inf, xq.dtype)
         neg2 = jnp.full((xq.shape[0], 2), -jnp.inf, xq.dtype)
         xm1 = jnp.concatenate([neg1, xq[:, :-1]], axis=1)
         xm2 = jnp.concatenate([neg2, xq[:, :-2]], axis=1)
         xp1 = jnp.concatenate([xq[:, 1:], neg1], axis=1)
         xp2 = jnp.concatenate([xq[:, 2:], neg2], axis=1)
-        len1 = (xm1 < xq) & (xp1 < xq) & jnp.isfinite(xp1)
-        len2 = (xm1 < xq) & (xp1 == xq) & (xp2 < xq) & jnp.isfinite(xp2)
-        len3 = (
-            (xm2 < xq) & (xm1 == xq) & (xp1 == xq) & (xp2 < xq)
-            & jnp.isfinite(xp2) & (c > 1)
+        runs = plateau_run_mask(
+            xq, xm2, xm1, xp1, xp2,
+            fin_p1=jnp.isfinite(xp1),
+            fin_p2=jnp.isfinite(xp2),
+            left_ok=c > 1,
         )
         in_block = (c >= b_idx[:, None] * PBLOCK) & (
             c < (b_idx[:, None] + 1) * PBLOCK
         )
         mask = (
-            (len1 | len2 | len3)
+            runs
             & in_block
             & (c > 0)
             & jnp.isfinite(xq)
@@ -988,8 +997,12 @@ def _lean_group_packed_pallas(
         bwork0, gather_scored, m, k_lanes, PBLOCK
     )
 
+    # near_collapse: rows where f32 division could make the quotient-space
+    # mask disagree with the raw-space block seeds (a strictly-unequal
+    # comparison pair within 8 ulp at candidate height — see candidate_scan).
+    # Routed to the exact wide rerun; fires ~never on real material.
     host_fallback = plateau_min
-    needs_full = ~host_fallback & overflow
+    needs_full = ~host_fallback & (overflow | near_collapse)
     flag = jnp.where(host_fallback, 1.0, jnp.where(needs_full, 2.0, 0.0))
 
     return _lean_tail(

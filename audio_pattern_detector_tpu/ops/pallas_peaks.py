@@ -46,6 +46,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from audio_pattern_detector_tpu.ops.peaks import plateau_run_mask
+
 BLOCK = 512
 SUB = 8
 W = 65536  # columns per sub-row; W % BLOCK == 0
@@ -90,14 +92,30 @@ def _scan_kernel(thr_ref, vl_ref, x_ref, bmax_ref, stats_ref):
 
     fin_p1 = xp1 != -jnp.inf
     fin_p2 = xp2 != -jnp.inf
-    len1 = (xm1 < x) & (xp1 < x) & fin_p1
-    len2 = (xm1 < x) & (xp1 == x) & (xp2 < x) & fin_p2
-    len3 = (
-        (xm2 < x) & (xm1 == x) & (xp1 == x) & (xp2 < x) & fin_p2 & (flat > 1)
+    runs = plateau_run_mask(
+        x, xm2, xm1, xp1, xp2, fin_p1, fin_p2, left_ok=flat > 1
     )
     interior = (flat > 0) & (flat < LPAD - 1)
     finite = x != -jnp.inf
-    cand = (len1 | len2 | len3) & interior & finite
+    cand = runs & interior & finite
+
+    # Near-collapse guard: the consumer re-derives this mask in QUOTIENT
+    # space (x / denom, models/bank.py::_lean_group_packed_pallas) while
+    # the block seeds below are raw-space. f32 division can collapse a
+    # strict raw inequality between mask-comparison partners (distance
+    # ≤ 2) into quotient equality, which shifts plateau midpoints, grows
+    # plateaus past the len-3 handling, and breaks the block-seed
+    # invariant the greedy relies on. Collapse needs the pair within
+    # ~2 ulp relative; flag the row whenever any candidate-height sample
+    # has a strictly-unequal comparison partner inside a conservative
+    # 8-ulp band so the consumer can route it to the exact rerun. Exact
+    # raw equality is preserved by division and stays unflagged.
+    tol = jnp.float32(8.0 * 1.1920928955078125e-07) * x  # x ≥ thr > 0 below
+    near = (x >= thr) & finite
+    pair_near = jnp.zeros_like(near)
+    for n in (xm2, xm1, xp1, xp2):
+        pair_near |= (n != x) & (n != -jnp.inf) & (jnp.abs(x - n) <= tol)
+    near &= pair_near
 
     scored = jnp.where(cand, x, -jnp.inf)  # in-register only
     bmax_ref[0] = jnp.max(scored.reshape(SUB, W // BLOCK, BLOCK), axis=2)
@@ -106,6 +124,7 @@ def _scan_kernel(thr_ref, vl_ref, x_ref, bmax_ref, stats_ref):
     count = jnp.sum((cand & (x >= thr)).astype(jnp.float32))
     plateau = jnp.max(quad.astype(jnp.float32))
     omax = jnp.max(jnp.where(finite, x, 0.0))
+    near_any = jnp.max(near.astype(jnp.float32))
     sub8 = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0)
     col8 = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
     first = (sub8 == 0).astype(jnp.float32)
@@ -113,6 +132,7 @@ def _scan_kernel(thr_ref, vl_ref, x_ref, bmax_ref, stats_ref):
         jnp.where(col8 == 0, count, 0.0)
         + jnp.where(col8 == 1, plateau, 0.0)
         + jnp.where(col8 == 2, omax, 0.0)
+        + jnp.where(col8 == 3, near_any, 0.0)
     )
 
 
@@ -121,12 +141,18 @@ def candidate_scan(
     thr_min: jnp.ndarray,  # (G,) f32 — height_min * self_corr_max
     valid_len: jnp.ndarray,  # scalar int32
     interpret: bool | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One fused pass: (block_max (G, NB), count, plateau, observed_max).
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One fused pass: (block_max (G, NB), count, plateau, observed_max,
+    near_collapse).
 
     count/plateau are against the conservative ``thr_min`` lower bound
     (see module docstring); block_max is of unthresholded local-maxima
-    values with -inf for empty blocks.
+    values with -inf for empty blocks. ``near_collapse`` (G,) bool flags
+    rows holding a candidate-height sample with a strictly-unequal mask
+    comparison partner within 8 ulp relative — the only rows where f32
+    division can make the quotient-space mask the consumer re-derives
+    disagree with these raw-space block seeds (see _scan_kernel comment);
+    consumers must route flagged rows to an exact path.
     """
     g, l = corr.shape
     assert l <= LPAD, (l, LPAD)
@@ -169,4 +195,5 @@ def candidate_scan(
     count = stats[:, 0, 0]
     plateau = stats[:, 0, 1] > 0.0
     omax = stats[:, 0, 2]
-    return bmax, count, plateau, omax
+    near = stats[:, 0, 3] > 0.0
+    return bmax, count, plateau, omax, near

@@ -88,6 +88,37 @@ def _shift(x: jnp.ndarray, offset: int) -> jnp.ndarray:
     return jnp.concatenate([pad, x[:, :offset]], axis=1)
 
 
+def plateau_run_mask(
+    x: jnp.ndarray,
+    xm2: jnp.ndarray,
+    xm1: jnp.ndarray,
+    xp1: jnp.ndarray,
+    xp2: jnp.ndarray,
+    fin_p1: jnp.ndarray,
+    fin_p2: jnp.ndarray,
+    left_ok: jnp.ndarray,
+) -> jnp.ndarray:
+    """Plateau-midpoint comparisons for runs of length 1–3, given shifted
+    neighbours.
+
+    The single source of truth for the exactness-critical comparison
+    chain: :func:`short_run_local_maxima_mask` (full rows), the Pallas
+    candidate scan (ops/pallas_peaks.py), and the Pallas greedy's gathered
+    windows (models/bank.py) all call this with their own shift/edge
+    plumbing. ``fin_p1``/``fin_p2`` assert the right-side comparison
+    partners are real samples (not edge fill); ``left_ok`` excludes
+    length-3 runs touching the left array edge.
+    """
+    # Run of length 1 at i: x[i-1] < x[i] > x[i+1].
+    len1 = (xm1 < x) & (xp1 < x) & fin_p1
+    # Run of length 2 starting at i (midpoint floor((i+i+1)/2) = i):
+    # x[i-1] < x[i] == x[i+1] > x[i+2].
+    len2 = (xm1 < x) & (xp1 == x) & (xp2 < x) & fin_p2
+    # Run of length 3 centred at i: x[i-2] < x[i-1] == x[i] == x[i+1] > x[i+2].
+    len3 = (xm2 < x) & (xm1 == x) & (xp1 == x) & (xp2 < x) & fin_p2 & left_ok
+    return len1 | len2 | len3
+
+
 def short_run_local_maxima_mask(x: jnp.ndarray) -> jnp.ndarray:
     """Local-maxima mask handling plateau runs of length 1–3 exactly.
 
@@ -102,24 +133,14 @@ def short_run_local_maxima_mask(x: jnp.ndarray) -> jnp.ndarray:
     idx = jnp.arange(x.shape[1], dtype=jnp.int32)[None, :]
     xm2, xm1 = _shift(x, -2), _shift(x, -1)
     xp1, xp2 = _shift(x, 1), _shift(x, 2)
-    finite = jnp.isfinite(x)
-
-    # Run of length 1 at i: x[i-1] < x[i] > x[i+1].
-    len1 = (xm1 < x) & (xp1 < x) & jnp.isfinite(xp1)
-    # Run of length 2 starting at i (midpoint floor((i+i+1)/2) = i):
-    # x[i-1] < x[i] == x[i+1] > x[i+2].
-    len2 = (xm1 < x) & (xp1 == x) & (xp2 < x) & jnp.isfinite(xp2)
-    # Run of length 3 centred at i: x[i-2] < x[i-1] == x[i] == x[i+1] > x[i+2].
-    len3 = (
-        (xm2 < x)
-        & (xm1 == x)
-        & (xp1 == x)
-        & (xp2 < x)
-        & jnp.isfinite(xp2)
-        & (idx > 1)  # run must not touch the left array edge
+    runs = plateau_run_mask(
+        x, xm2, xm1, xp1, xp2,
+        fin_p1=jnp.isfinite(xp1),
+        fin_p2=jnp.isfinite(xp2),
+        left_ok=idx > 1,
     )
     interior = (idx > 0) & (idx < x.shape[1] - 1)
-    return (len1 | len2 | len3) & interior & finite
+    return runs & interior & jnp.isfinite(x)
 
 
 def long_plateau_present(
@@ -469,12 +490,20 @@ def greedy_survivors_from_blocks(
         bwork, kept_pos, kept_h, r = state
         bi = jnp.argmax(bwork, axis=1).astype(jnp.int32)  # ties: lower block
         bh = jnp.take_along_axis(bwork, bi[:, None], axis=1)[:, 0]
-        alive = bh > -jnp.inf
 
         blkm, offs = masked_vals(bi, kept_pos)
         j = jnp.argmax(blkm, axis=1).astype(jnp.int32)  # ties: lower offset
         p = jnp.take_along_axis(offs, j[:, None], axis=1)[:, 0]
         h = jnp.max(blkm, axis=1)
+        # Invariant check: bwork is maintained as exactly the suppressed
+        # candidate max per block, so the gathered max must equal the seed
+        # bitwise. A mismatch means the caller's block summary disagrees
+        # with its gather (e.g. the Pallas raw-vs-quotient rounding edge,
+        # guarded upstream but belt-and-braces here): refuse the round for
+        # that row — it keeps nothing, suppresses nothing, its bwork stays
+        # finite, and the loop exits at r_max with overflow=True, routing
+        # the row to the exact rerun instead of keeping a wrong survivor.
+        alive = (bh > -jnp.inf) & (h == bh)
 
         kept_pos = kept_pos.at[:, r].set(jnp.where(alive, p, sentinel))
         kept_h = kept_h.at[:, r].set(jnp.where(alive, h, -jnp.inf))

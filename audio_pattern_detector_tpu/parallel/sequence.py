@@ -68,6 +68,7 @@ class ShardedDetector:
         chunk_seconds: int,
         target_sample_rate: "int | None" = None,
         height_min: "float | None" = None,
+        detector: "AudioPatternDetector | None" = None,
     ) -> None:
         if "time" not in mesh.axis_names:
             raise ValueError("mesh must have a 'time' axis")
@@ -77,12 +78,22 @@ class ShardedDetector:
         self.bank_size = mesh.shape.get("bank", 1)
         self.chunk_seconds = chunk_seconds
 
-        self._detector = AudioPatternDetector(
-            audio_clips=audio_clips,
-            seconds_per_chunk=chunk_seconds,
-            target_sample_rate=target_sample_rate,
-            height_min=height_min,
-        )
+        if detector is not None:
+            # Reuse a caller-built serial detector (the CLI mesh path) so
+            # clip validation / chunk resolution run once, not twice.
+            if detector.seconds_per_chunk != chunk_seconds:
+                raise ValueError(
+                    "detector.seconds_per_chunk "
+                    f"{detector.seconds_per_chunk} != chunk_seconds {chunk_seconds}"
+                )
+            self._detector = detector
+        else:
+            self._detector = AudioPatternDetector(
+                audio_clips=audio_clips,
+                seconds_per_chunk=chunk_seconds,
+                target_sample_rate=target_sample_rate,
+                height_min=height_min,
+            )
         self.sample_rate = self._detector.target_sample_rate
         self.chunk_samples = chunk_seconds * self.sample_rate
         self.slab_samples = self.time_size * self.chunk_samples

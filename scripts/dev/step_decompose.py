@@ -223,7 +223,7 @@ def main() -> None:
                     norm, jnp.int32(S), cc, spec
                 )
                 thr_min = height_min * cc.self_corr_max
-                bmax, count_min, plateau_min, omax = candidate_scan(
+                bmax, count_min, plateau_min, omax, _near = candidate_scan(
                     corr, thr_min, valid_len
                 )
                 acc += out_tok(bmax) + out_tok(omax)

@@ -175,6 +175,26 @@ class TestMultiplexedStdin:
         assert r.returncode != 0
         assert b"No patterns" in r.stderr
 
+    def test_flag_validation_matches_other_surfaces(self):
+        """The multiplexed surface must reject bad flag combinations the
+        same way file/stdin mode does (EngineOptions.validate is shared),
+        and must fail before consuming any of the pattern payload."""
+        r = run_cli(
+            ["match", "--multiplexed-stdin", "--mesh-bank", "2"],
+            stdin_bytes=struct.pack("<I", 1),
+        )
+        assert r.returncode != 0
+        assert b"mesh_bank requires mesh_time" in r.stderr
+        r = run_cli(
+            [
+                "match", "--multiplexed-stdin", "--mesh-time", "2",
+                "--stream-batch", "4",
+            ],
+            stdin_bytes=struct.pack("<I", 1),
+        )
+        assert r.returncode != 0
+        assert b"mesh sharding is incompatible with: stream_batch" in r.stderr
+
     def test_multiple_patterns(self):
         sr = 8000
         rng = np.random.default_rng(6)

@@ -240,6 +240,48 @@ class TestGreedySurvivorsBlockwise:
         scored[0, p] = np.linspace(0.9, 0.3, len(p)).astype(np.float32)
         self._check(scored, m=m, r_max=r_max)
 
+    def test_seed_gather_mismatch_degrades_to_overflow(self):
+        """A block summary that disagrees with its gather (possible only
+        through caller bugs or the Pallas raw-vs-quotient rounding edge)
+        must surface as overflow=True — routing the row to the exact
+        rerun — never as a silently wrong survivor, while healthy rows in
+        the same batch are unaffected."""
+        from audio_pattern_detector_tpu.ops.peaks import (
+            SURVIVOR_POS_SENTINEL,
+            greedy_survivors_from_blocks,
+        )
+
+        block, L, m, r_max = 512, 8192, 600, 8
+        nb = L // block
+        scored = np.full((2, L), -np.inf, np.float32)
+        scored[0, [1000, 2000, 7000]] = [0.5, 0.9, 0.7]  # healthy row
+        scored[1, [1500, 5000]] = [0.6, 0.8]
+        padded = jnp.asarray(scored)
+        bmax0 = np.max(scored.reshape(2, nb, block), axis=2)
+        # Corrupt row 1: inflate an empty block's seed above every real
+        # candidate (the stale-seed shape of the hazard).
+        bmax0[1, 0] = 0.95
+        off = jnp.arange(block, dtype=jnp.int32)[None, :]
+
+        def gather(b_idx):
+            vals = jax.vmap(
+                lambda s, b: jax.lax.dynamic_slice(s, (b * block,), (block,))
+            )(padded, b_idx)
+            return vals, b_idx[:, None] * block + off
+
+        pos, height, overflow = greedy_survivors_from_blocks(
+            jnp.asarray(bmax0), gather, m, r_max, block
+        )
+        pos, height, overflow = map(np.asarray, (pos, height, overflow))
+        # Healthy row: exact survivors, no overflow.
+        np.testing.assert_array_equal(pos[0, :3], [2000, 7000, 1000])
+        assert not overflow[0]
+        # Corrupted row: flagged for rerun; every returned lane is dead
+        # (no fabricated survivor position escaped).
+        assert overflow[1]
+        assert np.all(np.isneginf(height[1]))
+        assert np.all(pos[1] == SURVIVOR_POS_SENTINEL)
+
     def test_cross_block_ties(self):
         """Bitwise-equal heights in different blocks must resolve to the
         lower index, matching the sequential priority rule."""

@@ -14,6 +14,7 @@ from audio_pattern_detector_tpu.ops.pallas_peaks import (
     candidate_scan,
 )
 from audio_pattern_detector_tpu.ops.peaks import (
+    _shift,
     long_plateau_present,
     short_run_local_maxima_mask,
 )
@@ -35,11 +36,18 @@ def _xla_reference(corr, thr_min, valid_len):
     pad = NB * BLOCK - l
     scored = jnp.pad(scored, ((0, 0), (0, pad)), constant_values=-jnp.inf)
     bmax = jnp.max(scored.reshape(g, NB, BLOCK), axis=2)
+    tol = jnp.float32(8.0 * np.finfo(np.float32).eps) * x
+    pair_near = jnp.zeros_like(x, dtype=bool)
+    for d in (-2, -1, 1, 2):
+        n = _shift(x, d)
+        pair_near |= (n != x) & (n != -jnp.inf) & (jnp.abs(x - n) <= tol)
+    near = jnp.any((x >= thr) & jnp.isfinite(x) & pair_near, axis=1)
     return (
         np.asarray(bmax),
         np.asarray(count),
         np.asarray(plateau),
         np.asarray(omax),
+        np.asarray(near),
     )
 
 
@@ -56,14 +64,15 @@ class TestCandidateScan:
         vl = l - n_valid_off
         thr_min = np.full(g, 0.25, np.float32)
 
-        bmax, count, plateau, omax = candidate_scan(
+        bmax, count, plateau, omax, near = candidate_scan(
             jnp.asarray(corr), jnp.asarray(thr_min), jnp.int32(vl)
         )
-        rb, rc, rp, ro = _xla_reference(corr, thr_min, vl)
+        rb, rc, rp, ro, rn = _xla_reference(corr, thr_min, vl)
         np.testing.assert_array_equal(np.asarray(bmax), rb)
         np.testing.assert_array_equal(np.asarray(count), rc)
         np.testing.assert_array_equal(np.asarray(plateau), rp)
         np.testing.assert_array_equal(np.asarray(omax), ro)
+        np.testing.assert_array_equal(np.asarray(near), rn)
 
     def test_plateaus(self):
         g, l = 1, 4096
@@ -75,14 +84,45 @@ class TestCandidateScan:
         corr[0, 99] = 0.1
         corr[0, 101] = 0.1  # make 100 a strict peak
         thr_min = np.array([0.25], np.float32)
-        bmax, count, plateau, omax = candidate_scan(
+        bmax, count, plateau, omax, near = candidate_scan(
             jnp.asarray(corr), jnp.asarray(thr_min), jnp.int32(l)
         )
-        rb, rc, rp, ro = _xla_reference(corr, thr_min, l)
+        rb, rc, rp, ro, rn = _xla_reference(corr, thr_min, l)
         np.testing.assert_array_equal(np.asarray(bmax), rb)
         np.testing.assert_array_equal(np.asarray(count), rc)
         assert bool(np.asarray(plateau)[0]) and bool(rp[0])
         assert float(omax[0]) == float(np.float32(0.9))
+
+    def test_near_collapse_flag(self):
+        """Rows where a candidate-height sample has a strictly-unequal
+        mask-comparison partner within 8 ulp must flag (f32 division can
+        collapse the pair to quotient equality, invalidating the raw-space
+        block seeds); exact plateaus and comfortable margins must not."""
+        g, l = 3, 2048
+        corr = np.zeros((g, l), np.float32)
+        v = np.float32(0.5)
+        # Row 0: strict peak whose left partner sits 1 ulp below.
+        corr[0, 500] = v
+        corr[0, 499] = np.nextafter(v, np.float32(0.0))
+        # Row 1: clean strict peak + an exact len-2 plateau (equality is
+        # preserved by division — no hazard).
+        corr[1, 300] = 0.6
+        corr[1, 299] = 0.3
+        corr[1, 301] = 0.3
+        corr[1, 800:802] = 0.7
+        # Row 2: the 1-ulp pair exists but BELOW candidate height.
+        corr[2, 700] = np.float32(0.1)
+        corr[2, 699] = np.nextafter(np.float32(0.1), np.float32(0.0))
+        thr_min = np.full(g, 0.25, np.float32)
+        *rest, near = candidate_scan(
+            jnp.asarray(corr), jnp.asarray(thr_min), jnp.int32(l)
+        )
+        near = np.asarray(near)
+        assert bool(near[0])
+        assert not bool(near[1])
+        assert not bool(near[2])
+        _, _, _, _, rn = _xla_reference(corr, thr_min, l)
+        np.testing.assert_array_equal(near, rn)
 
     def test_edges_excluded(self):
         g, l = 1, 2048
@@ -90,7 +130,7 @@ class TestCandidateScan:
         corr[0, 0] = 1.0  # array edge — never a peak
         corr[0, l - 1] = 1.0
         thr_min = np.array([0.25], np.float32)
-        bmax, count, plateau, _ = candidate_scan(
+        bmax, count, plateau, _, _ = candidate_scan(
             jnp.asarray(corr), jnp.asarray(thr_min), jnp.int32(l)
         )
         assert float(count[0]) == 0.0
