@@ -399,6 +399,7 @@ def greedy_survivors_blockwise(
     min_distance: int,
     r_max: int,
     block: int = _TOPK_BLOCK,
+    unroll: "bool | None" = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Exact greedy-distance survivors for ANY raw candidate count.
 
@@ -448,7 +449,7 @@ def greedy_survivors_blockwise(
         return vals, b_idx[:, None] * block + off_in_block
 
     return greedy_survivors_from_blocks(
-        bmax0, gather_block, min_distance, r_max, block
+        bmax0, gather_block, min_distance, r_max, block, unroll=unroll
     )
 
 
@@ -458,6 +459,7 @@ def greedy_survivors_from_blocks(
     min_distance: int,
     r_max: int,
     block: int,
+    unroll: "bool | None" = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Core of greedy_survivors_blockwise over an ABSTRACT block summary.
 
@@ -473,7 +475,14 @@ def greedy_survivors_from_blocks(
     windows per round (models/bank.py::_lean_group_packed_pallas).
 
     Same returns and exactness contract as greedy_survivors_blockwise.
+    ``unroll`` selects statically-unrolled rounds over the
+    ``lax.while_loop`` (identical results; None = the APD_GREEDY_UNROLL
+    env knob).
     """
+    if unroll is None:
+        import os
+
+        unroll = os.environ.get("APD_GREEDY_UNROLL", "0") == "1"
     G, nb = bwork0.shape
     barange = jnp.arange(nb, dtype=jnp.int32)[None, :]
     sentinel = jnp.int32(SURVIVOR_POS_SENTINEL)
@@ -486,8 +495,7 @@ def greedy_survivors_from_blocks(
         )  # sentinel kept slots never suppress
         return jnp.where(supp, -jnp.inf, vals), offs
 
-    def body(state):
-        bwork, kept_pos, kept_h, r = state
+    def round_step(bwork, kept_pos, kept_h, r):
         bi = jnp.argmax(bwork, axis=1).astype(jnp.int32)  # ties: lower block
         bh = jnp.take_along_axis(bwork, bi[:, None], axis=1)[:, 0]
 
@@ -523,16 +531,34 @@ def greedy_survivors_from_blocks(
             cur = jnp.take_along_axis(bwork, b_edge[:, None], axis=1)[:, 0]
             upd = jnp.where(alive, jnp.minimum(cur, new_max), cur)
             bwork = jnp.where(barange == b_edge[:, None], upd[:, None], bwork)
-        return bwork, kept_pos, kept_h, r + 1
-
-    def cond(state):
-        bwork, _, _, r = state
-        return (r < r_max) & jnp.any(bwork > -jnp.inf)
+        return bwork, kept_pos, kept_h
 
     kept_pos0 = jnp.full((G, r_max), sentinel, dtype=jnp.int32)
     kept_h0 = jnp.full((G, r_max), -jnp.inf, dtype=bwork0.dtype)
-    bwork, kept_pos, kept_h, _ = jax.lax.while_loop(
-        cond, body, (bwork0, kept_pos0, kept_h0, jnp.int32(0))
-    )
+
+    if unroll:
+        # Statically-unrolled rounds: identical per-round semantics, no
+        # data-dependent loop construct (a lax.while_loop carries ~2-3 ms
+        # fixed cost per launch on the target runtime and blocks XLA's
+        # cross-chunk pipelining inside scan-batched programs). All r_max
+        # rounds always execute; exhausted rows pass through as no-ops
+        # (alive=False), identical to the while_loop's post-exit state.
+        bwork, kept_pos, kept_h = bwork0, kept_pos0, kept_h0
+        for r in range(r_max):
+            bwork, kept_pos, kept_h = round_step(bwork, kept_pos, kept_h, r)
+    else:
+
+        def body(state):
+            bwork, kept_pos, kept_h, r = state
+            bwork, kept_pos, kept_h = round_step(bwork, kept_pos, kept_h, r)
+            return bwork, kept_pos, kept_h, r + 1
+
+        def cond(state):
+            bwork, _, _, r = state
+            return (r < r_max) & jnp.any(bwork > -jnp.inf)
+
+        bwork, kept_pos, kept_h, _ = jax.lax.while_loop(
+            cond, body, (bwork0, kept_pos0, kept_h0, jnp.int32(0))
+        )
     overflow = jnp.any(bwork > -jnp.inf, axis=1)
     return kept_pos, kept_h, overflow

@@ -193,11 +193,22 @@ class TestGreedySurvivorsBlockwise:
             greedy_survivors_blockwise,
         )
 
-        pos, height, overflow = greedy_survivors_blockwise(
-            jnp.asarray(scored), m, r_max, block=block
-        )
-        pos, height = np.asarray(pos), np.asarray(height)
-        overflow = np.asarray(overflow)
+        results = {
+            unroll: tuple(
+                map(
+                    np.asarray,
+                    greedy_survivors_blockwise(
+                        jnp.asarray(scored), m, r_max, block=block,
+                        unroll=unroll,
+                    ),
+                )
+            )
+            for unroll in (False, True)
+        }
+        # The statically-unrolled rounds must be bitwise the while_loop's.
+        for a, b in zip(results[False], results[True]):
+            np.testing.assert_array_equal(a, b)
+        pos, height, overflow = results[False]
         for g in range(scored.shape[0]):
             epos, eh, eover = _seq_greedy_survivors(scored[g], m, r_max)
             n = len(epos)
