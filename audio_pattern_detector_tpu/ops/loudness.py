@@ -49,6 +49,14 @@ class LoudnessConsts:
     fir_rfft_ri: jnp.ndarray  # (2, fft_len//2 + 1) f32
     block_lo: jnp.ndarray  # (max_blocks,) int32 — static block starts
     block_end: jnp.ndarray  # (max_blocks,) int32 — static block ends (pre-clamp)
+    # (max_blocks,) int32 — block_thr[j] is the smallest n with
+    # hostref.num_gating_blocks(n) >= j+1, precomputed with the SAME f64
+    # expression the host/reference uses. The in-graph block count is
+    # sum(n_valid >= block_thr): bitwise the host's f64 rounding, which an
+    # integer-exact rational formula is NOT (the f64 value of
+    # (n/sr - 0.4)/0.1 rounds differently from the exact rational at every
+    # exact-half grid point, in a direction that varies with n).
+    block_thr: jnp.ndarray
     section_len: int = static_field()
     sample_rate: int = static_field()
     fft_len: int = static_field()
@@ -85,6 +93,18 @@ def build_loudness_consts(
     end = (j * hop_samples + window_samples).astype(np.int64)
     width = int((end - lo).max())
 
+    # Inverse of the host's f64 block count as a threshold table:
+    # block_thr[k] = smallest n with num_gating_blocks(n) >= k+1. The f64
+    # count is monotone in n, so each boundary is found by a short forward
+    # scan from its rational seed (the f64 rounding can shift it by a few
+    # samples either way).
+    block_thr = np.empty(max_blocks, dtype=np.int64)
+    for k in range(max_blocks):
+        n = max(int((0.1 * (k - 0.5) + t_g) * rate) - 8, 0)
+        while hostref.num_gating_blocks(n, rate, t_g) < k + 1:
+            n += 1
+        block_thr[k] = n
+
     return LoudnessConsts(
         section_len=section_len,
         sample_rate=sample_rate,
@@ -93,6 +113,7 @@ def build_loudness_consts(
         fir_rfft_ri=fir_rfft_ri,
         block_lo=int_const(lo),
         block_end=int_const(end),
+        block_thr=int_const(block_thr),
         window_width=width,
         short_threshold=int(math.ceil(0.5 * sample_rate)),
     )
@@ -123,18 +144,6 @@ def _k_weighted_conv(section: jnp.ndarray, consts: LoudnessConsts) -> jnp.ndarra
     return z[:, taps - 1 :].reshape(ns * step)[:S]
 
 
-def _num_blocks_dynamic(n: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
-    """Integer-exact block count: round((t - 0.4)/0.1) + 1 with t = n/sr.
-
-    Evaluates round_half_away((10n - 4·sr)/sr) + 1 in integer arithmetic
-    (valid for n >= 0.4·sr, which the caller's short-path select guarantees).
-    """
-    # int32 is safe: sections are bounded well below 2^31/20 samples.
-    p = 10 * n.astype(jnp.int32) - 4 * sample_rate
-    q = jnp.int32(sample_rate)
-    return (2 * p + q) // (2 * q) + 1
-
-
 def integrated_loudness_device(
     section: jnp.ndarray, n_valid: jnp.ndarray, consts: LoudnessConsts
 ) -> jnp.ndarray:
@@ -142,7 +151,6 @@ def integrated_loudness_device(
     ``section[:n_valid]``; samples at and beyond ``n_valid`` must be zero."""
     n_valid = jnp.asarray(n_valid).astype(jnp.int32)
     S = consts.section_len
-    sr = consts.sample_rate
     idx = jnp.arange(S, dtype=jnp.int32)
 
     # K-weighting as FFT convolution; mask the filter ringing that bleeds
@@ -165,7 +173,9 @@ def integrated_loudness_device(
     # Gated path: static block windows, masked to the dynamic signal length.
     B = consts.block_lo.shape[0]
     W = consts.window_width
-    num_blocks = _num_blocks_dynamic(jnp.maximum(n_valid, int(0.4 * sr) + 1), sr)
+    # Block count via the precomputed f64-exact threshold table: bitwise
+    # the host/reference rounding for every n (see LoudnessConsts.block_thr).
+    num_blocks = jnp.sum((n_valid >= as_i32(consts.block_thr)).astype(jnp.int32))
     block_lo = as_i32(consts.block_lo)
     block_end = as_i32(consts.block_end)
     hi = jnp.minimum(block_end, n_valid)  # (B,)

@@ -59,6 +59,27 @@ class TestDeviceLoudness:
         x = jnp.zeros(S)
         assert float(integrated_loudness_device(x, jnp.int32(S), consts)) == -np.inf
 
+    @pytest.mark.parametrize("n", [6000, 6800, 7600, 9200, 11600, 15600])
+    def test_half_grid_block_count_matches_host(self, n):
+        """Lengths where (n/sr - 0.4)/0.1 is an exact half-integer: the
+        host/reference f64 rounding differs from the exact rational there
+        (in a direction that varies with n), so a rational-exact device
+        formula mis-counts the gating blocks by one. The device count comes
+        from the f64-derived threshold table; a -6 dB tail block (inside
+        both gates, so its inclusion shifts the gated mean) makes a
+        one-block miscount diverge by ~0.2-0.9 LUFS, far past the FIR/f32
+        tolerance."""
+        S = 12 * SR
+        consts = build_loudness_consts(S, SR)
+        rng = np.random.default_rng(n)
+        sig = (0.25 * rng.standard_normal(n)).astype(np.float32)
+        sig[-2800:] *= 0.5
+        x = np.zeros(S, np.float32)
+        x[:n] = sig
+        dev = float(integrated_loudness_device(jnp.asarray(x), jnp.int32(n), consts))
+        host = hostref.integrated_loudness(sig, SR)
+        assert abs(dev - host) < 1e-4
+
     def test_normalize_matches_host(self):
         sig = (0.05 * np.random.default_rng(3).standard_normal(SR)).astype(np.float32)
         lufs = hostref.integrated_loudness(sig, SR)
