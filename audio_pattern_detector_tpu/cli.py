@@ -98,7 +98,8 @@ def main() -> None:
             "launches; since a file scan emits as it processes, the only "
             "latency cost is up to 240 s between event flushes). Pass an "
             'explicit value to override, or "auto" to use the minimum '
-            "chunk the patterns allow"
+            "chunk the patterns allow (integers < 1 also select that "
+            "minimum, matching the reference engine)"
         ),
     )
     match_parser.add_argument(

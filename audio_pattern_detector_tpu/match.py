@@ -811,7 +811,10 @@ def _run_match_with_output(
 
 def _parse_chunk_seconds(args: argparse.Namespace) -> tuple[int | None, bool]:
     """(seconds_per_chunk, auto_perf): None CLI value → 60 s with file-mode
-    auto-perf sizing; "auto" → engine-computed minimum; else the integer."""
+    auto-perf sizing; "auto" → engine-computed minimum; else the integer
+    (values < 1 also defer to the engine's auto-computed minimum — the
+    reference CLI passes any int through and its engine treats < 1 as
+    auto, reference audio_pattern_detector.py:117-120)."""
     raw = getattr(args, "chunk_seconds", None)
     if raw is None:
         return 60, True
@@ -821,7 +824,7 @@ def _parse_chunk_seconds(args: argparse.Namespace) -> tuple[int | None, bool]:
         return int(raw), False
     except ValueError:
         print(
-            f"Error: --chunk-seconds must be 'auto' or a positive integer, "
+            f"Error: --chunk-seconds must be 'auto' or an integer, "
             f"got '{raw}'",
             file=sys.stderr,
         )

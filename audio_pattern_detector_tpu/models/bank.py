@@ -33,7 +33,6 @@ from audio_pattern_detector_tpu.ops.correlate import (
     bank_correlate,
     bank_correlate_abs,
     bank_correlate_multi,
-    bank_correlate_unnormalised,
     build_correlation_bank,
     class_overlap_save_geometry,
     section_segment_spectra,
@@ -452,9 +451,6 @@ class PatternBank:
 
         # Capped-width rerun first (escalate below); the cap only matters
         # for groups whose k_detect exceeds it.
-        cap_is_real = any(
-            g.k_detect > self._WIDE_RERUN_CAP for g in cls["groups"]
-        )
         class_rerun: "list[NDArray[np.float32]] | None" = None
         if len(device_rows) > self._ROW_RERUN_MAX:
             class_rerun = self._full_tier_packed(sw, raw_section, capped=True)
@@ -477,7 +473,7 @@ class PatternBank:
                 # Host flag from the capped program: either count exceeded
                 # the cap (escalate to the true k_detect width) or a
                 # genuine host condition (resolved after escalation).
-                if cap_is_real and g.k_detect > self._WIDE_RERUN_CAP:
+                if g.k_detect > self._WIDE_RERUN_CAP:
                     escalate.append((gi, ci))
                 else:
                     host_rows.append((gi, ci))
@@ -693,10 +689,21 @@ def _lean_group_packed(
     k_verify: int,
     height_min: float,
     verify_consts,
-    denom: "jnp.ndarray | None" = None,
     wide: bool = False,
 ) -> jnp.ndarray:
     """Production (lean) per-group tail: exact greedy survivors in-program.
+
+    ``corr`` arrives NORMALISED (bank_correlate: divided by the per-row
+    max(self_corr_max, observed max), exact zeros past ``valid_len``) for
+    BOTH variants — every comparison below (threshold, plateau equality,
+    greedy priority) and every verifier slice therefore operates on the
+    exact f32 bits the full tier and the host reference operate on. Lean
+    results are bitwise full-tier BY CONSTRUCTION; no threshold-boundary
+    ulp guard, raw-tail guard, or quotient-collapse guard is needed (the
+    raw-space formulation those guarded against is retired — its history
+    and the measured costs live in docs/scaling.md; the opt-in Pallas
+    scan still seeds from raw block maxima and keeps its own
+    near-collapse guard, see _lean_group_packed_pallas).
 
     The candidate mask costs one fused pass over (G, L); the greedy
     distance filter's survivor set is then computed DIRECTLY — for any raw
@@ -714,26 +721,15 @@ def _lean_group_packed(
 
     ``wide=True`` is that RERUN variant: capture-based (top_k over the
     full k_detect lane width + lane-greedy, exact for every row with raw
-    count ≤ k_detect; count overflow → exact host fallback), normalised
-    correlation (divide-form threshold — no near-ulp or raw-tail guards
-    needed), and two-tier verification so the rerun's cost stays near one
-    lean launch instead of the rich tier's k_verify-lane-wide verify.
-    Callers pass ``denom=None`` with it.
-
-    With ``denom`` (the per-row correlation normaliser), ``corr`` arrives
-    UNNORMALISED and the height threshold scales per row instead —
-    skipping the normalising pass over (G, L). Candidate order, greedy
-    priority, and the verifier (slice-self-renormalising / Pearson) are
-    all invariant to the per-row scale (ops/correlate.py,
-    bank_correlate_unnormalised).
+    count ≤ k_detect; count overflow → exact host fallback) and two-tier
+    verification so the rerun's cost stays near one lean launch instead
+    of the rich tier's k_verify-lane-wide verify.
 
     Flag column semantics (index 2·k_verify): 0 = row exact as returned;
     1 = exact HOST fallback required (a ≥4-long plateau at/above the
     height threshold where the fused mask could differ from scipy
     semantics; on the wide variant also raw count > k_detect); 2 =
-    full-tier device rerun required (> _SMALL_TIER survivors, a
-    threshold-boundary ulp ambiguity, or a tail-reading candidate — see
-    below and _lean_tail).
+    full-tier device rerun required (> _SMALL_TIER greedy survivors).
 
     Exactness: greedy_survivors_blockwise IS the sequential tallest-first
     filter (ties to lower index), so the survivor set matches the
@@ -744,22 +740,22 @@ def _lean_group_packed(
     L = corr.shape[1]
     idx = jnp.arange(L, dtype=jnp.int32)[None, :]
     x = jnp.where(idx < valid_len, corr, -jnp.inf)
-    thr = height_min if denom is None else height_min * denom[:, None]
-    mask = short_run_local_maxima_mask(x) & (x >= thr)
-    plateau = long_plateau_present(x, thr)
+    mask = short_run_local_maxima_mask(x) & (x >= height_min)
+    plateau = long_plateau_present(x, height_min)
     scored = jnp.where(mask, x, -jnp.inf)
 
     if wide:
         counts = jnp.sum(mask, axis=1)  # (G,)
         host_fallback = (counts > k_detect) | plateau
         k_lanes = k_detect
-        needs_full = ~host_fallback & (counts > k_lanes)
-        flag = jnp.where(host_fallback, 1.0, jnp.where(needs_full, 2.0, 0.0))
+        # No in-program escalation remains at the full k_detect width:
+        # any row whose raw count exceeds the lanes is already
+        # host_fallback above, so the wide tier never emits flag 2.
+        flag = jnp.where(host_fallback, 1.0, 0.0)
         height, pos = topk_sparse(scored, k_lanes)
         return _lean_tail(
             norm, corr, valid_len, kind, m, k_verify, verify_consts,
             pos, height, host_fallback, flag, k_lanes,
-            raw_corr=denom is not None,
             wide=True,
         )
 
@@ -767,27 +763,11 @@ def _lean_group_packed(
     pos, height, overflow = greedy_survivors_blockwise(scored, m, k_lanes)
     host_fallback = plateau
     needs_full = ~host_fallback & overflow
-    if denom is not None:
-        # The multiply-form threshold (corr >= height_min·denom) is not
-        # bit-equivalent to the full tier's divide-form
-        # (corr/denom >= height_min) in f32: a sample within ~1 ulp of the
-        # boundary can land on different sides. Route any row holding a
-        # valid sample that close to its threshold through the exact
-        # full-tier rerun so the lean tier stays bitwise full-tier. The
-        # 8-ulp relative band fires ~never on real material (it needs a
-        # correlation value equal to the threshold to 1e-6 relative) and
-        # costs one extra launch when it does.
-        tol = 8.0 * jnp.float32(np.finfo(np.float32).eps) * jnp.abs(thr)
-        near = jnp.any(
-            jnp.isfinite(x) & (jnp.abs(x - thr) <= tol), axis=1
-        )
-        needs_full = needs_full | (~host_fallback & near)
     flag = jnp.where(host_fallback, 1.0, jnp.where(needs_full, 2.0, 0.0))
 
     return _lean_tail(
         norm, corr, valid_len, kind, m, k_verify, verify_consts,
         pos, height, host_fallback, flag, k_lanes,
-        raw_corr=denom is not None,
         pre_filtered=True,
     )
 
@@ -795,21 +775,19 @@ def _lean_group_packed(
 def _lean_tail(
     norm, corr, valid_len, kind, m, k_verify, verify_consts,
     pos, height, host_fallback, flag, k_lanes,
-    raw_corr=False,
     wide=False,
     pre_filtered=False,
 ):
     """Shared lean-tier tail: [greedy filter →] bounds → compact → verify
-    → packed payload. ``corr`` may be normalised or raw (the verifier is
-    per-row scale-invariant); ``raw_corr`` says which, so candidates whose
-    verify slice would read the raw tail noise past ``valid_len`` can be
-    routed to the exact rerun. With ``pre_filtered`` the lanes already ARE
-    the greedy survivors (greedy_survivors_blockwise, production lean
-    path) and the lane-greedy is skipped. ``wide`` (the rerun variant)
-    compacts to the full k_verify lanes and verifies two-tier (small lane
-    width unless a row's survivors overflow it — rare enough that the
-    lax.cond's both-branch cost in batch contexts never applies: the
-    rerun is only launched on single sections)."""
+    → packed payload. ``corr`` is the NORMALISED correlation (exact zeros
+    past ``valid_len``) — verifier slices read the same bits in every
+    tier. With ``pre_filtered`` the lanes already ARE the greedy
+    survivors (greedy_survivors_blockwise, production lean path) and the
+    lane-greedy is skipped. ``wide`` (the rerun variant) compacts to the
+    full k_verify lanes and verifies two-tier (small lane width unless a
+    row's survivors overflow it — rare enough that the lax.cond's
+    both-branch cost in batch contexts never applies: the rerun is only
+    launched on single sections)."""
     alive = jnp.isfinite(height)
     if pre_filtered:
         keep = alive
@@ -820,15 +798,6 @@ def _lean_tail(
     # Candidate bound checks (reference: audio_pattern_detector.py:531-546).
     half = (2 * m - 1) // 2
     keep = keep & ~(pos + half > valid_len + 5) & ~(pos - half < -5)
-    if raw_corr and kind != "marker":
-        # Raw corr carries ~1e-9 FFT noise past valid_len where the full
-        # tier reads exact zeros; verify_normal slices reach there only for
-        # candidates within a clip length of the section end (possible on
-        # the final short chunk of a stream). Flag those rows into the
-        # exact full-tier rerun so lean output stays bitwise full-tier.
-        reads_tail = keep & (pos + (m - 1) >= valid_len)
-        tail_rows = jnp.any(reads_tail, axis=1) & ~host_fallback
-        flag = jnp.where((flag == 0.0) & tail_rows, 2.0, flag)
     # Compact survivors, ascending by position.
     kv = min(k_verify, k_lanes)
     score = jnp.where(keep, -pos, -_BIG)
@@ -926,12 +895,13 @@ def _lean_group_packed_pallas(
     comparison partner within 8 ulp relative (``near_collapse``), and
     those rows take the exact wide rerun; greedy_survivors_from_blocks
     additionally degrades any residual seed/gather mismatch to an
-    overflow flag rather than a silent wrong survivor. Flags: 1 = host
-    (≥4-plateau at the conservative thr_min — may fire when the
-    true-threshold plateau test would not, never the reverse); 2 = wide
-    rerun (> _SMALL_TIER greedy survivors, a near-collapse row, or a
-    survivor whose verify slice would read the raw tail past valid_len —
-    _lean_tail's raw_corr guard).
+    overflow flag rather than a silent wrong survivor. The verifier tail
+    reads the bitwise-normalised correlation (where + divide fused into
+    _lean_tail's pad write), so unflagged accept bits are the full
+    tier's exact bits too. Flags: 1 = host (≥4-plateau at the
+    conservative thr_min — may fire when the true-threshold plateau test
+    would not, never the reverse); 2 = wide rerun (> _SMALL_TIER greedy
+    survivors or a near-collapse row).
     """
     from audio_pattern_detector_tpu.ops.pallas_peaks import (
         BLOCK as PBLOCK,
@@ -1005,10 +975,16 @@ def _lean_group_packed_pallas(
     needs_full = ~host_fallback & (overflow | near_collapse)
     flag = jnp.where(host_fallback, 1.0, jnp.where(needs_full, 2.0, 0.0))
 
+    # The verifier must read the full tier's exact bits: normalise for the
+    # tail only (the where + divide fuse into _lean_tail's pad write — the
+    # scan path still never materialises a second (G, L) tensor; raw corr
+    # past valid_len is FFT noise where bank_correlate holds exact zeros).
+    in_range = jnp.arange(L, dtype=jnp.int32)[None, :] < valid_len
+    corr_n = jnp.where(in_range, corr, 0.0) / denom[:, None]
+
     return _lean_tail(
-        norm, corr, valid_len, kind, m, k_verify, verify_consts,
+        norm, corr_n, valid_len, kind, m, k_verify, verify_consts,
         pos, height, host_fallback, flag, k_lanes,
-        raw_corr=True,
         pre_filtered=True,
     )
 
@@ -1059,11 +1035,14 @@ def _class_step(
         ):
             shared_spec = section_segment_spectra(norm, first)
 
-    # Production lean path: unnormalised correlation + per-row scaled
-    # threshold skips the normalising pass over every (G, L) tensor
-    # (bank_correlate_unnormalised). Other paths take the normalised form
-    # (the wide rerun included: divide-form thresholds need no ulp guard).
-    lean_raw = lean and height_min > 0 and not wide
+    # Production lean path: normalised correlation (bank_correlate), so
+    # every tier compares, orders, and verifies the SAME f32 bits — lean
+    # results are bitwise full-tier by construction (no threshold-ulp /
+    # raw-tail / quotient-collapse guards; the retired raw-space
+    # formulation and its measured costs are in docs/scaling.md). The
+    # normalising divide fuses into the irfft consumer chain: raw |corr|
+    # is never a second materialised (G, L) tensor on this path.
+    lean_packed = lean and height_min > 0 and not wide
     if pallas:
         # The Mosaic candidate scan covers full_len <= LPAD (~65 s
         # sections at 8 kHz); big-chunk configs (--chunk-seconds 120+,
@@ -1073,16 +1052,11 @@ def _class_step(
         from audio_pattern_detector_tpu.ops.pallas_peaks import LPAD
 
         pallas = all(c.full_len <= LPAD for c, _ in group_consts)
-    if lean_raw and pallas:
+    if lean_packed and pallas:
         # Pallas lean path: raw |corr| only; the single-pass candidate
         # scan derives the observed max itself (ops/pallas_peaks.py).
         correlations = [
             bank_correlate_abs(norm, n_valid, c, shared_spec)
-            for c, _ in group_consts
-        ]
-    elif lean_raw:
-        correlations = [
-            bank_correlate_unnormalised(norm, n_valid, c, shared_spec)
             for c, _ in group_consts
         ]
     # NOTE a single merged irfft for all groups (bank_correlate_multi) was
@@ -1121,13 +1095,12 @@ def _class_step(
                         k_verify,
                         height_min,
                         verify_consts,
-                        denom=None,
                         wide=True,
                     )
                 }
             )
             continue
-        if lean_raw and pallas:
+        if lean_packed and pallas:
             corr, valid_len = corr_out
             outs.append(
                 {
@@ -1146,11 +1119,11 @@ def _class_step(
                 }
             )
             continue
-        if lean_raw:
+        if lean_packed:
             # Two-tier detection + verification (see _lean_group_packed).
             # height_min <= 0 needs the general plateau mask, so it stays
             # on the single-tier path below.
-            corr, denom, valid_len = corr_out
+            corr, valid_len = corr_out
             outs.append(
                 {
                     "packed": _lean_group_packed(
@@ -1163,7 +1136,6 @@ def _class_step(
                         k_verify,
                         height_min,
                         verify_consts,
-                        denom,
                     )
                 }
             )

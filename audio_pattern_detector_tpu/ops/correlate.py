@@ -243,41 +243,6 @@ def bank_correlate_abs(
     return corr, valid_len
 
 
-def bank_correlate_unnormalised(
-    section: jnp.ndarray,
-    n_valid: jnp.ndarray,
-    consts: CorrelationBankConsts,
-    seg_spec: "jnp.ndarray | None" = None,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Lean-path variant: skip the normalising pass over (G, L).
-
-    The per-row divide (and in-range zeroing) materialises an extra
-    (G, L) tensor per group (~2 ms/group on-chip). Every lean consumer is
-    scale-invariant per row — peak ORDER, greedy priority, and the
-    verifier's slice self-renormalisation — so the division is pushed
-    into the height threshold instead: compare raw corr against
-    ``height_min * denom`` per row (see _lean_group_packed). Beyond
-    valid_len the raw values are FFT noise of exactly-zero padding
-    (~1e-9) rather than clamped zeros; candidates there are excluded by
-    the valid_len mask and bound checks as before.
-
-    Returns (corr_raw, denom, valid_len): |correlation| (G, L)
-    unnormalised, the per-row normaliser max(self_corr_max, observed
-    max over the valid region), and n_valid + m - 1.
-    """
-    m = consts.clip_len
-    L = consts.full_len
-    corr = _correlate_raw(section, consts, seg_spec)
-    valid_len = jnp.asarray(n_valid).astype(jnp.int32) + (m - 1)
-    in_range = jnp.arange(L, dtype=jnp.int32)[None, :] < valid_len
-    # The where fuses into the reduce — no (G, L) materialisation.
-    observed_max = jnp.max(jnp.where(in_range, corr, 0.0), axis=1)
-    denom = jnp.maximum(
-        jnp.maximum(consts.self_corr_max, observed_max), 1e-38
-    )
-    return corr, denom, valid_len
-
-
 def bank_correlate_multi(
     n_valid: jnp.ndarray,
     consts_list: "list[CorrelationBankConsts] | tuple",

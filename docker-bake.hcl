@@ -2,6 +2,9 @@
 variable "TAG" {
 }
 
+// No usable default exists until the repository has a public owner:
+// build.sh requires IMAGE_NAME (or derives it from GITHUB_REPOSITORY in
+// CI) and exports it over this placeholder.
 variable "IMAGE_NAME" {
     default = "ghcr.io/OWNER/audio_pattern_detector_tpu"
 }

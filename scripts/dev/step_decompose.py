@@ -10,7 +10,7 @@ backend — see docs/scaling.md):
   launch   — trivial token program: per-launch RPC floor
   loudness — + integrated loudness + normalize (rfft/irfft conv pair)
   secfft   — + class-shared section segment FFT
-  corr     — + both groups' correlation irffts (unnormalised lean form)
+  corr     — + both groups' correlation irffts (normalised lean form)
   mask     — + candidate mask/counts/plateau + hierarchical top-k
   tail     — + greedy filter, bounds, compaction, both verifiers =
               the full lean class step (cross-check vs _class_step_jit)
@@ -75,7 +75,7 @@ def main() -> None:
         _lean_group_packed,
     )
     from audio_pattern_detector_tpu.ops.correlate import (
-        bank_correlate_unnormalised,
+        bank_correlate,
         section_segment_spectra,
     )
     from audio_pattern_detector_tpu.ops.loudness import (
@@ -136,9 +136,10 @@ def main() -> None:
         return out_tok(jnp.abs(spec))
 
     def correlations(norm, spec):
+        # Production lean path: normalised correlation (the divide fuses
+        # into the irfft consumer chain — see _class_step).
         return [
-            bank_correlate_unnormalised(norm, jnp.int32(S), c, spec)
-            for c, _ in gcs
+            bank_correlate(norm, jnp.int32(S), c, spec) for c, _ in gcs
         ]
 
     @jax.jit
@@ -148,7 +149,7 @@ def main() -> None:
         norm = loudness_normalize_device(sec, lufs)
         spec = section_segment_spectra(norm, first) if shared else None
         outs = correlations(norm, spec)
-        return sum(out_tok(corr) for corr, _, _ in outs)
+        return sum(out_tok(corr) for corr, _ in outs)
 
     @jax.jit
     def p_mask(token):
@@ -157,16 +158,14 @@ def main() -> None:
         norm = loudness_normalize_device(sec, lufs)
         spec = section_segment_spectra(norm, first) if shared else None
         acc = jnp.float32(0.0)
-        for (kind, m, k_detect, k_verify), (corr, _, valid_len) in zip(
+        for (kind, m, k_detect, k_verify), (corr, valid_len) in zip(
             metas, correlations(norm, spec)
         ):
             L = corr.shape[1]
             idx = jnp.arange(L, dtype=jnp.int32)[None, :]
             x = jnp.where(idx < valid_len, corr, -jnp.inf)
-            denom = jnp.float32(1.0)
-            thr = height_min * denom
-            mask = short_run_local_maxima_mask(x) & (x >= thr)
-            plateau = long_plateau_present(x, thr)
+            mask = short_run_local_maxima_mask(x) & (x >= height_min)
+            plateau = long_plateau_present(x, height_min)
             scored = jnp.where(mask, x, -jnp.inf)
             # Production lean path: in-program greedy survivors
             # (blockwise argmax-suppress; replaced topk_sparse round 2).

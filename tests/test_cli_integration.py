@@ -264,7 +264,7 @@ class TestHelpAndUsage:
              "--chunk-seconds", "sixty"]
         )
         assert r.returncode == 1
-        assert b"'auto' or a positive integer" in r.stderr
+        assert b"'auto' or an integer" in r.stderr
 
 
 class TestChunkSecondsFlag:

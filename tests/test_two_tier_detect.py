@@ -127,10 +127,12 @@ def test_marker_hit_exercises_tiers_exactly():
     assert bank.process_chunk(audio, None)["m"] == _host_expected(bank, g, audio)
 
 
-class TestExactnessGuardFlags:
-    """The lean tier's multiply-form threshold and raw-tail-noise guards:
-    rows whose result could diverge from the full tier by ~1 ulp are
-    flagged into the exact full-tier rerun (flag 2)."""
+class TestExactnessByConstruction:
+    """Every tier consumes the SAME normalised correlation array
+    (bank_correlate's output: divide-form values, exact zeros past
+    valid_len), so rows the old raw-space lean tier had to ulp-guard —
+    threshold-boundary peaks, tail-adjacent candidates — now return
+    unflagged payloads that are bitwise the wide tier's by construction."""
 
     @pytest.fixture(scope="class")
     def lean_env(self):
@@ -146,9 +148,9 @@ class TestExactnessGuardFlags:
         cc /= cc.max()
         consts = build_normal_verify_consts(cc, m, SR)
 
-        def run(corr_row, valid_len, denom_val=2.0, height_min=0.25):
+        def run(corr_row, valid_len, height_min=0.25, wide=False):
             corr = jnp.asarray(corr_row[None, :].astype(np.float32))
-            packed = np.asarray(
+            return np.asarray(
                 _lean_group_packed(
                     jnp.zeros(8, dtype=np.float32),  # norm unused (normal)
                     corr,
@@ -159,61 +161,76 @@ class TestExactnessGuardFlags:
                     16,  # k_verify
                     height_min,
                     consts,
-                    denom=jnp.asarray(
-                        np.array([denom_val], dtype=np.float32)
-                    ),
+                    wide=wide,
                 )
-            )
-            return packed[0, 2 * 16]  # flag column
+            )[0]
 
         return run, m
 
     @staticmethod
-    def _row(L, peaks):
+    def _row(L, peaks, valid_len=None):
         x = np.full(L, 1e-4, dtype=np.float32)
         for pos, h in peaks:
             x[pos - 1], x[pos], x[pos + 1] = h * 0.6, h, h * 0.6
+        if valid_len is not None:
+            # Production contract: normalised corr is exactly zero past
+            # valid_len (bank_correlate zeroes before dividing).
+            x[valid_len:] = 0.0
         return x
 
-    def test_clear_margin_row_unflagged(self, lean_env):
+    def _assert_unflagged_bitwise_wide(self, run, x, vl):
+        lean, wide = run(x, vl), run(x, vl, wide=True)
+        assert lean[2 * 16] == 0.0, "lean row unexpectedly flagged"
+        assert wide[2 * 16] == 0.0, "wide row unexpectedly flagged"
+        np.testing.assert_array_equal(lean, wide)
+
+    def test_clear_margin_row(self, lean_env):
         run, m = lean_env
         L = 6000
-        x = self._row(L, [(1000, 0.9)])
-        assert run(x, valid_len=L - 100) == 0.0
+        vl = L - 100
+        self._assert_unflagged_bitwise_wide(
+            run, self._row(L, [(1000, 0.9)], vl), vl
+        )
 
-    def test_threshold_boundary_row_flags_full_rerun(self, lean_env):
+    def test_threshold_boundary_row(self, lean_env):
         run, m = lean_env
         L = 6000
-        # Peak exactly at height_min * denom = 0.5: multiply vs divide
-        # threshold forms can disagree by 1 ulp here.
-        x = self._row(L, [(1000, 0.5)])
-        assert run(x, valid_len=L - 100) == 2.0
+        vl = L - 100
+        # Peak exactly at height_min: under the old raw-space lean tier
+        # the multiply-form threshold could disagree with the wide tier's
+        # divide form by 1 ulp here (it was guard-flagged); both tiers now
+        # compare the identical f32 value against the identical scalar.
+        self._assert_unflagged_bitwise_wide(
+            run, self._row(L, [(1000, 0.25)], vl), vl
+        )
 
-    def test_near_ulp_boundary_flags_full_rerun(self, lean_env):
+    def test_near_ulp_boundary_row(self, lean_env):
         run, m = lean_env
         L = 6000
-        h = np.float32(0.5) + np.float32(0.5) * np.float32(1.19e-7)
-        x = self._row(L, [(1000, float(h))])
-        assert run(x, valid_len=L - 100) == 2.0
+        vl = L - 100
+        h = float(np.float32(0.25) + np.float32(0.25) * np.float32(1.19e-7))
+        self._assert_unflagged_bitwise_wide(
+            run, self._row(L, [(1000, h)], vl), vl
+        )
 
-    def test_tail_reading_candidate_flags_full_rerun(self, lean_env):
+    def test_tail_reading_candidate(self, lean_env):
         run, m = lean_env
         L = 6000
         vl = L - 100
         # Surviving candidate whose verify slice [pos-(m-1), pos+m-1]
-        # crosses valid_len: raw corr holds FFT noise there, full tier
-        # holds exact zeros. Candidates further out are dropped by the
-        # ±5 bound check, so the kept-and-tail-reading window is
-        # pos ∈ [vl-m+1, vl-m+6].
-        x = self._row(L, [(vl - m + 3, 0.9)])
-        assert run(x, vl) == 2.0
+        # crosses valid_len: the old raw-space lean tier read FFT noise
+        # there (guard-flagged); both tiers now read the same exact zeros.
+        self._assert_unflagged_bitwise_wide(
+            run, self._row(L, [(vl - m + 3, 0.9)], vl), vl
+        )
 
-    def test_interior_candidate_near_tail_unflagged(self, lean_env):
+    def test_interior_candidate_near_tail(self, lean_env):
         run, m = lean_env
         L = 6000
         vl = L - 100
-        x = self._row(L, [(vl - m, 0.9)])
-        assert run(x, vl) == 0.0
+        self._assert_unflagged_bitwise_wide(
+            run, self._row(L, [(vl - m, 0.9)], vl), vl
+        )
 
 
 class TestRowGranularRerun:
@@ -350,14 +367,9 @@ class TestBlockGreedySurvivors:
         consts = build_normal_verify_consts(cc, m, SR)
 
         def run(corr_row, valid_len, wide=False):
+            # Both tiers consume the same normalised correlation array, so
+            # lean vs wide payloads are comparable bitwise by construction.
             corr = jnp.asarray(corr_row[None, :].astype(np.float32))
-            kw = {}
-            if wide:
-                kw["wide"] = True
-            else:
-                # denom=1: multiply- and divide-form thresholds coincide,
-                # so lean vs wide payloads are comparable bitwise.
-                kw["denom"] = jnp.asarray(np.ones(1, dtype=np.float32))
             return np.asarray(
                 _lean_group_packed(
                     jnp.zeros(8, dtype=np.float32),
@@ -369,7 +381,7 @@ class TestBlockGreedySurvivors:
                     self.K_VERIFY,
                     0.25,
                     consts,
-                    **kw,
+                    wide=wide,
                 )
             )[0]
 
