@@ -38,6 +38,7 @@ from numpy.typing import NDArray
 from audio_pattern_detector_tpu.models.bank import (
     PatternBank,
     _class_step,
+    _host_prefetch,
     unpack_group,
 )
 from audio_pattern_detector_tpu.models.detector import AudioPatternDetector
@@ -333,6 +334,11 @@ class ShardedStreamSession:
             prev_tail_dev = jax.device_put(prev_tail, tail_sharding)
 
             outs = sd._jitted[key](blocks_dev, prev_tail_dev, jnp.float32(t_actual))
+            for out in outs:
+                # Enqueue each payload's d2h at dispatch time (see
+                # models/bank.py::_host_prefetch) so later groups'
+                # transfers overlap earlier groups' host unpack.
+                _host_prefetch(out["packed"])
             subtract_d = np.where((d_idx > 0) | has_prev, sw, 0.0)  # (Dt,)
 
             # Pass 1 (vectorised): clean timestamps per group + flagged
