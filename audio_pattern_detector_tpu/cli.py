@@ -128,11 +128,11 @@ def main() -> None:
         type=int,
         default=None,
         help=(
-            "number of chunks kept in flight on the device (default: 1 for "
-            "streams; 2 for whole-file runs with default chunking, where "
-            "live latency doesn't apply). Deeper pipelines raise streaming "
-            "throughput on remote runtimes; each chunk's events are "
-            "deferred by that many chunks"
+            "maximum chunks kept in flight on the device (default: 3). "
+            "Deeper pipelines raise streaming throughput on remote "
+            "runtimes without deferring emission: completed results are "
+            "collected eagerly in order, so each chunk's events fire as "
+            "soon as its device program finishes"
         ),
     )
     match_parser.add_argument(

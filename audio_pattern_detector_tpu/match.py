@@ -380,7 +380,11 @@ def _scan(
                 stream,
                 on_pattern_detected=on_pattern_detected,
                 accumulate_results=accumulate_results,
-                pipeline_depth=opts.pipeline_depth or 1,
+                # Default in-flight cap 3: results are collected eagerly
+                # (emission is not deferred by depth — see
+                # find_clip_in_audio), so the deeper default is
+                # latency-free and hides the per-launch round trip.
+                pipeline_depth=opts.pipeline_depth or 3,
                 stream_batch=opts.stream_batch,
                 stream_batch_mode=opts.stream_batch_mode,
             )
@@ -654,7 +658,7 @@ def _match_pattern_file(
             audio_source, pattern_clips, sr
         )
         if opts.pipeline_depth is None:
-            opts.pipeline_depth = 2
+            opts.pipeline_depth = 3
     audio_name = Path(audio_source).stem
     print(f"Finding pattern in audio file {audio_name}...", file=sys.stderr)
 

@@ -299,10 +299,14 @@ class AudioPatternDetector:
         so I/O, compute, and output overlap (the TPU analogue of the
         reference pipelining only ffmpeg's decode against Python).
 
-        ``pipeline_depth`` is the number of chunks kept in flight on the
-        device (default 1). Deeper pipelines hide per-launch round-trip
-        latency on remote runtimes at the cost of deferring each chunk's
-        emission by ``pipeline_depth`` chunks; results are identical.
+        ``pipeline_depth`` is the maximum number of chunks kept in flight
+        on the device (default 1). Deeper pipelines hide per-launch
+        round-trip latency on remote runtimes; results are identical.
+        Completed results are collected EAGERLY in order (a non-blocking
+        readiness check each iteration), so a deeper pipeline does not
+        defer emission — each chunk's events fire within one loop
+        iteration of its device program finishing; the depth only bounds
+        in-flight memory and how far the host reads ahead of the stream.
 
         ``checkpoint``/``on_checkpoint`` give O(1) resume for unbounded
         streams: pass a previously observed StreamCheckpoint together with
@@ -425,6 +429,15 @@ class AudioPatternDetector:
             if on_checkpoint is not None:
                 on_checkpoint(StreamCheckpoint(p_i + 1, p_tail, p_time))
 
+        def oldest_ready() -> bool:
+            # Non-blocking: the oldest in-flight chunk's payloads have all
+            # completed, so draining it emits without stalling the loop.
+            for _sw, flat, _raw in pending[0][2]:
+                ready = getattr(flat, "is_ready", None)
+                if ready is None or not ready():
+                    return False
+            return True
+
         # stream_batch mode: (chunk, had_prev, cum_time) buffered per batch;
         # one dispatched batch kept in flight (dispatch batch j+1 while the
         # device runs batch j, collect j only then — hides the per-launch
@@ -505,6 +518,13 @@ class AudioPatternDetector:
                         total_time,
                     )
                 )
+                # Eager in-order drain: collect every chunk whose result is
+                # already on its way (non-blocking check), then enforce the
+                # in-flight cap with a blocking drain. Emission therefore
+                # happens within one loop iteration of a result being ready
+                # — deeper pipelines no longer defer it.
+                while len(pending) > 1 and oldest_ready():
+                    drain_one()
                 if len(pending) > pipeline_depth:
                     drain_one()
                 previous_chunk = chunk

@@ -203,18 +203,29 @@ def run_bench() -> dict:
         prev = chunks[i % n_distinct]
 
     def run_streaming(n_iters: int, depth: int = 1) -> tuple[float, int]:
-        """The production streaming pattern: keep ``depth`` chunks in
-        flight (models/detector.py's pipelined loop), so device compute and
-        the per-launch round trip overlap host work."""
+        """The production streaming pattern: up to ``depth`` chunks in
+        flight with eager in-order collection of ready results
+        (models/detector.py's pipelined loop), so device compute and the
+        per-launch round trip overlap host work without deferring
+        emission."""
         from collections import deque
 
         nonlocal prev
         detections = 0
         pending: deque = deque()
+
+        def ready(disp) -> bool:
+            return all(
+                getattr(f, "is_ready", lambda: False)() for _sw, f, _r in disp
+            )
+
         t0 = time.perf_counter()
         for i in range(n_iters):
             chunk = chunks[i % n_distinct]
             pending.append(bank.dispatch_chunk(chunk, prev))
+            while len(pending) > 1 and ready(pending[0]):
+                out = bank.collect_chunk(pending.popleft())
+                detections += sum(len(v) for v in out.values())
             if len(pending) > depth:
                 out = bank.collect_chunk(pending.popleft())
                 detections += sum(len(v) for v in out.values())
@@ -458,7 +469,14 @@ def run_bench() -> dict:
             prev_h = hit_chunks[i % n_distinct]
         from collections import deque as _deque
 
+        def ready_h(disp) -> bool:
+            return all(
+                getattr(f, "is_ready", lambda: False)() for _sw, f, _r in disp
+            )
+
         for _ in range(2):
+            # Production live-default shape: in-flight cap 3 with eager
+            # in-order collection (match.py / find_clip_in_audio).
             pend_h: "_deque" = _deque()
             dets = 0
             t0 = time.perf_counter()
@@ -466,7 +484,10 @@ def run_bench() -> dict:
                 pend_h.append(
                     bank.dispatch_chunk(hit_chunks[i % n_distinct], prev_h)
                 )
-                if len(pend_h) > 1:
+                while len(pend_h) > 1 and ready_h(pend_h[0]):
+                    out = bank.collect_chunk(pend_h.popleft())
+                    dets += sum(len(v) for v in out.values())
+                if len(pend_h) > 3:
                     out = bank.collect_chunk(pend_h.popleft())
                     dets += sum(len(v) for v in out.values())
                 prev_h = hit_chunks[i % n_distinct]
