@@ -95,6 +95,40 @@ def _persist_partial(streaming_x: float, detections: int) -> None:
         json.dump(result, f, indent=1)
 
 
+def _pipelined_loop(bank, get_chunk, n_iters, prev, cap: int):
+    """The production streaming shape (match.py / find_clip_in_audio):
+    up to ``cap`` chunks in flight, eager in-order collection of ready
+    results, blocking drain at the cap. Returns (elapsed_s, detections,
+    last_chunk)."""
+    from collections import deque
+
+    def ready(disp) -> bool:
+        return all(
+            getattr(f, "is_ready", lambda: False)() for _sw, f, _r in disp
+        )
+
+    dets = 0
+    pend: deque = deque()
+
+    def drain() -> None:
+        nonlocal dets
+        out = bank.collect_chunk(pend.popleft())
+        dets += sum(len(v) for v in out.values())
+
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        chunk = get_chunk(i)
+        pend.append(bank.dispatch_chunk(chunk, prev))
+        while len(pend) > 1 and ready(pend[0]):
+            drain()
+        if len(pend) > cap:
+            drain()
+        prev = chunk
+    while pend:
+        drain()
+    return time.perf_counter() - t0, dets, prev
+
+
 def _measure_default_cli(
     clips: list, chunks: list, sr: int, chunk_seconds: int
 ) -> float:
@@ -203,37 +237,12 @@ def run_bench() -> dict:
         prev = chunks[i % n_distinct]
 
     def run_streaming(n_iters: int, depth: int = 1) -> tuple[float, int]:
-        """The production streaming pattern: up to ``depth`` chunks in
-        flight with eager in-order collection of ready results
-        (models/detector.py's pipelined loop), so device compute and the
-        per-launch round trip overlap host work without deferring
-        emission."""
-        from collections import deque
-
+        """The production streaming pattern (_pipelined_loop): up to
+        ``depth`` chunks in flight with eager in-order collection."""
         nonlocal prev
-        detections = 0
-        pending: deque = deque()
-
-        def ready(disp) -> bool:
-            return all(
-                getattr(f, "is_ready", lambda: False)() for _sw, f, _r in disp
-            )
-
-        t0 = time.perf_counter()
-        for i in range(n_iters):
-            chunk = chunks[i % n_distinct]
-            pending.append(bank.dispatch_chunk(chunk, prev))
-            while len(pending) > 1 and ready(pending[0]):
-                out = bank.collect_chunk(pending.popleft())
-                detections += sum(len(v) for v in out.values())
-            if len(pending) > depth:
-                out = bank.collect_chunk(pending.popleft())
-                detections += sum(len(v) for v in out.values())
-            prev = chunk
-        while pending:
-            out = bank.collect_chunk(pending.popleft())
-            detections += sum(len(v) for v in out.values())
-        elapsed = time.perf_counter() - t0
+        elapsed, detections, prev = _pipelined_loop(
+            bank, lambda i: chunks[i % n_distinct], n_iters, prev, depth
+        )
         return n_iters * chunk_seconds / elapsed, detections
 
     # Quick 5-iter probe persisted immediately: if the tunnel degrades
@@ -329,19 +338,11 @@ def run_bench() -> dict:
                 prev_b = cbig[i % n_distinct]
             big_banks[big_s] = (bank_b, cbig, prev_b)
         bank_b, cbig, prev_b = big_banks[big_s]
-        from collections import deque
-
-        pend: deque = deque()
-        t0 = time.perf_counter()
-        for i in range(10):
-            pend.append(bank_b.dispatch_chunk(cbig[i % n_distinct], prev_b))
-            if len(pend) > 1:
-                bank_b.collect_chunk(pend.popleft())
-            prev_b = cbig[i % n_distinct]
-        while pend:
-            bank_b.collect_chunk(pend.popleft())
+        elapsed, _dets, prev_b = _pipelined_loop(
+            bank_b, lambda i: cbig[i % n_distinct], 10, prev_b, 3
+        )
         big_banks[big_s] = (bank_b, cbig, prev_b)
-        return 10 * big_s / (time.perf_counter() - t0)
+        return 10 * big_s / elapsed
 
     # The shared chip's throughput swings between (healthy) windows, so the
     # headline-eligible metrics are sampled in two passes spread across the
@@ -467,34 +468,12 @@ def run_bench() -> dict:
         for i in range(2):  # warm (incl. rerun/fallback programs)
             bank.process_chunk(hit_chunks[i % n_distinct], prev_h)
             prev_h = hit_chunks[i % n_distinct]
-        from collections import deque as _deque
-
-        def ready_h(disp) -> bool:
-            return all(
-                getattr(f, "is_ready", lambda: False)() for _sw, f, _r in disp
-            )
 
         for _ in range(2):
-            # Production live-default shape: in-flight cap 3 with eager
-            # in-order collection (match.py / find_clip_in_audio).
-            pend_h: "_deque" = _deque()
-            dets = 0
-            t0 = time.perf_counter()
-            for i in range(15):
-                pend_h.append(
-                    bank.dispatch_chunk(hit_chunks[i % n_distinct], prev_h)
-                )
-                while len(pend_h) > 1 and ready_h(pend_h[0]):
-                    out = bank.collect_chunk(pend_h.popleft())
-                    dets += sum(len(v) for v in out.values())
-                if len(pend_h) > 3:
-                    out = bank.collect_chunk(pend_h.popleft())
-                    dets += sum(len(v) for v in out.values())
-                prev_h = hit_chunks[i % n_distinct]
-            while pend_h:
-                out = bank.collect_chunk(pend_h.popleft())
-                dets += sum(len(v) for v in out.values())
-            hit_x = max(hit_x, 15 * chunk_seconds / (time.perf_counter() - t0))
+            elapsed, dets, prev_h = _pipelined_loop(
+                bank, lambda i: hit_chunks[i % n_distinct], 15, prev_h, 3
+            )
+            hit_x = max(hit_x, 15 * chunk_seconds / elapsed)
             hit_detections = dets
     except Exception as e:  # noqa: BLE001 — secondary metric only
         print(f"[bench] hit-bearing metric failed: {e}", file=sys.stderr)
