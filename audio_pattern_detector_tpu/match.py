@@ -55,9 +55,9 @@ class EngineOptions:
     trace_dir: str | None = None
     offline_batch: int | None = None
     offline_batch_mode: str = "vmap"
-    # None = auto: 1 (live emission) everywhere except file-mode auto-perf
-    # runs, which double-buffer (2) — whole-file scans have no live-latency
-    # budget, and the overlap hides the per-launch round trip + host decode.
+    # None = auto: 3 chunks in flight. Results are collected eagerly in
+    # order (emission is NOT deferred by depth), so the deep default is
+    # latency-free and hides the per-launch round trip + host decode.
     pipeline_depth: int | None = None
     stream_batch: int = 1
     stream_batch_mode: str = "scan"
@@ -83,6 +83,10 @@ class EngineOptions:
             raise ValueError(
                 "offline_batch_mode must be 'vmap' or 'scan', "
                 f"got {self.offline_batch_mode!r}"
+            )
+        if self.pipeline_depth is not None and self.pipeline_depth < 1:
+            raise ValueError(
+                f"pipeline_depth must be >= 1, got {self.pipeline_depth}"
             )
         if self.mesh_time is not None:
             if self.mesh_time < 1 or self.mesh_bank < 1:
@@ -384,7 +388,9 @@ def _scan(
                 # (emission is not deferred by depth — see
                 # find_clip_in_audio), so the deeper default is
                 # latency-free and hides the per-launch round trip.
-                pipeline_depth=opts.pipeline_depth or 3,
+                pipeline_depth=(
+                    3 if opts.pipeline_depth is None else opts.pipeline_depth
+                ),
                 stream_batch=opts.stream_batch,
                 stream_batch_mode=opts.stream_batch_mode,
             )
@@ -574,9 +580,9 @@ def match_pattern(
     jax.profiler device trace. ``offline_batch`` (file mode only) scans the
     whole file through the batched device path — N chunks per launch,
     streaming-identical results, events emitted post-scan.
-    ``pipeline_depth`` keeps that many chunks in flight on the device
-    (identical results; emission deferred by that many chunks); None =
-    auto — 1, except file-mode auto-perf runs which double-buffer (2).
+    ``pipeline_depth`` caps how many chunks are in flight on the device
+    (identical results; ready results are collected eagerly in order, so
+    emission is not deferred by depth); None = auto (3).
     ``stream_batch`` runs that many consecutive chunks per device launch
     in the streaming loop (identical results; emission deferred to batch
     boundaries) — the live-stream launch amortiser.
@@ -657,8 +663,6 @@ def _match_pattern_file(
         opts.seconds_per_chunk = _auto_perf_chunk_seconds(
             audio_source, pattern_clips, sr
         )
-        if opts.pipeline_depth is None:
-            opts.pipeline_depth = 3
     audio_name = Path(audio_source).stem
     print(f"Finding pattern in audio file {audio_name}...", file=sys.stderr)
 

@@ -162,8 +162,12 @@ def _measure_default_cli(
                 w.setnchannels(1)
                 w.setsampwidth(2)
                 w.setframerate(sr)
+                # Same x32768 quantisation as the stream WAV above (and the
+                # engine's own int16 convention, ops/packing.py PCM_SCALE),
+                # so the patterns loaded back are bit-identical to the hits
+                # summed into the stream.
                 w.writeframes(
-                    np.round(clip.audio * 32767)
+                    np.round(clip.audio * 32768)
                     .clip(-32768, 32767)
                     .astype("<i2")
                     .tobytes()

@@ -150,3 +150,17 @@ def test_offline_batch_rejects_stdin_mode():
 
     with pytest.raises(ValueError, match="offline_batch"):
         match_pattern(None, ["x.wav"], from_stdin=True, offline_batch=4)
+
+
+def test_match_pattern_rejects_non_positive_pipeline_depth():
+    """An explicit --pipeline-depth 0 must error at the options layer, not
+    be silently coerced to the default in-flight cap."""
+    import pytest
+
+    from audio_pattern_detector_tpu.match import match_pattern
+
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="pipeline_depth"):
+            match_pattern(
+                None, ["x.wav"], from_stdin=True, pipeline_depth=bad
+            )
