@@ -93,10 +93,10 @@ def main() -> None:
         help=(
             "seconds per chunk for sliding window. Default: 60 for stdin "
             "(live) streams; for whole files the engine auto-sizes chunks "
-            "up to 240 s from the file duration (identical detections — "
+            "up to 120 s from the file duration (identical detections — "
             "results are chunk-size-invariant — but fewer, larger device "
             "launches; since a file scan emits as it processes, the only "
-            "latency cost is up to 240 s between event flushes). Pass an "
+            "latency cost is up to 120 s between event flushes). Pass an "
             'explicit value to override, or "auto" to use the minimum '
             "chunk the patterns allow (integers < 1 also select that "
             "minimum, matching the reference engine)"

@@ -502,7 +502,13 @@ def _scan_sharded(
     return accumulated, total_samples / sd.sample_rate
 
 
-AUTO_PERF_MAX_CHUNK_SECONDS = 240
+# 120 s cap, measured: with the depth-3 pipeline hiding per-launch round
+# trips, 120 s chunks stream at ~2400x (same-window: 2404/2410) while
+# 240 s chunks drop to ~2085x (per-op FFT cost grows with section size
+# faster than the amortised fixed costs shrink, docs/scaling.md rule 5)
+# — so the smaller cap is both faster AND halves worst-case event-flush
+# latency.
+AUTO_PERF_MAX_CHUNK_SECONDS = 120
 
 
 def _auto_perf_chunk_seconds(

@@ -573,30 +573,46 @@ class AudioPatternDetector:
         all_peak_times: dict[str, list[float]] = {
             c.name: [] for c in self.audio_clips
         }
-        # Double-buffered: dispatch batch i+1 (async) before collecting
-        # batch i, hiding the per-launch round trip + h2d behind device
-        # compute. Lookback for batch i+1 comes from host-known chunks, so
+        # Pipelined like the streaming loop: up to 3 batches in flight,
+        # with eager in-order draining of ready batches (non-blocking
+        # ``is_ready``) so collects ride the gaps between device steps
+        # instead of serializing against them (docs/scaling.md rule 9).
+        # Lookback for batch i+1 comes from host-known chunks, so
         # dispatch never waits on results.
         prev_tail: NDArray[np.float32] | None = None
         pending: list[Any] = []
         base_index = 0
+
+        def batch_ready(dispatched: list) -> bool:
+            for _sw, flat, _raws, _b in dispatched:
+                ready = getattr(flat, "is_ready", None)
+                if ready is None or not ready():
+                    return False
+            return True
+
+        def drain_one() -> None:
+            nonlocal base_index
+            results = bank.collect_chunks_batch(pending.pop(0))
+            base_index = self._fold_batch_results(
+                results, base_index, all_peak_times, sr
+            )
+
         batches = [
             chunks[s : s + batch_size]
             for s in range(0, len(chunks), batch_size)
         ]
-        for bi, batch in enumerate(batches):
+        in_flight_cap = 3
+        for batch in batches:
             pending.append(
                 bank.dispatch_chunks_batch(batch, prev_tail, batch_mode)
             )
             prev_tail = batch[-1]
-            # Keep one batch in flight: collect batch i while batch i+1
-            # computes; the final iteration drains everything.
-            is_last = bi == len(batches) - 1
-            while len(pending) > (0 if is_last else 1):
-                results = bank.collect_chunks_batch(pending.pop(0))
-                base_index = self._fold_batch_results(
-                    results, base_index, all_peak_times, sr
-                )
+            while len(pending) > 1 and batch_ready(pending[0]):
+                drain_one()
+            if len(pending) > in_flight_cap:
+                drain_one()
+        while pending:
+            drain_one()
 
         total_time = len(audio) / sr
         return all_peak_times, total_time

@@ -301,7 +301,10 @@ def run_bench() -> dict:
     det = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=chunk_seconds)
     det._bank = bank
     batch = int(os.environ.get("APD_BENCH_BATCH", "4"))
-    long_audio = np.concatenate([chunks[i % n_distinct] for i in range(batch * 2)])
+    # 8 batches per run: the offline loop keeps up to 3 batches in flight
+    # with eager draining, so a longer run measures the pipelined steady
+    # state instead of the exposed head/tail of a 2-batch scan.
+    long_audio = np.concatenate([chunks[i % n_distinct] for i in range(batch * 8)])
     det.find_clip_in_array(long_audio, batch_size=batch)  # warm the batch program
     t0 = time.perf_counter()
     det.find_clip_in_array(long_audio, batch_size=batch)
@@ -312,7 +315,7 @@ def run_bench() -> dict:
     # per-launch overhead amortised — the remote-runtime offline mode) ──
     scan_batch = int(os.environ.get("APD_BENCH_SCAN_BATCH", "16"))
     scan_audio = np.concatenate(
-        [chunks[i % n_distinct] for i in range(scan_batch)]
+        [chunks[i % n_distinct] for i in range(scan_batch * 3)]
     )
     det.find_clip_in_array(scan_audio, batch_size=scan_batch, batch_mode="scan")
     t0 = time.perf_counter()
