@@ -48,6 +48,16 @@ MARKER_TONE_STRATEGY = "marker_tone"
 PatternDetectedCallback = Callable[[str, float], None]
 
 
+def _dispatched_ready(dispatched: list) -> bool:
+    """Non-blocking: every payload of a dispatched chunk batch completed,
+    so collecting it will not stall the pipeline loop."""
+    for _sw, flat, _raws, _b in dispatched:
+        ready = getattr(flat, "is_ready", None)
+        if ready is None or not ready():
+            return False
+    return True
+
+
 @dataclass
 class StreamCheckpoint:
     """Resume point for an interrupted stream: O(1) state.
@@ -439,9 +449,10 @@ class AudioPatternDetector:
             return True
 
         # stream_batch mode: (chunk, had_prev, cum_time) buffered per batch;
-        # one dispatched batch kept in flight (dispatch batch j+1 while the
-        # device runs batch j, collect j only then — hides the per-launch
-        # round trip behind device compute, like the offline scan path).
+        # up to 3 dispatched batches in flight with eager in-order draining
+        # (non-blocking is_ready), like the offline scan path — ready
+        # results emit as soon as the device finishes them, so the deeper
+        # cap never delays emission beyond the batching itself.
         batch_buf: "list[tuple[NDArray[np.float32], bool, float]]" = []
         in_flight: "list[tuple[Any, int, list]]" = []
         chunk_samples = self._chunk_size // 4
@@ -482,7 +493,9 @@ class AudioPatternDetector:
             in_flight.append((dispatched, i - n_real, list(batch_buf)))
             previous_chunk = batch_buf[-1][0]
             batch_buf.clear()
-            if len(in_flight) > 1:
+            while len(in_flight) > 1 and _dispatched_ready(in_flight[0][0]):
+                drain_batch()
+            if len(in_flight) > 2:
                 drain_batch()
 
         while True:
@@ -583,13 +596,6 @@ class AudioPatternDetector:
         pending: list[Any] = []
         base_index = 0
 
-        def batch_ready(dispatched: list) -> bool:
-            for _sw, flat, _raws, _b in dispatched:
-                ready = getattr(flat, "is_ready", None)
-                if ready is None or not ready():
-                    return False
-            return True
-
         def drain_one() -> None:
             nonlocal base_index
             results = bank.collect_chunks_batch(pending.pop(0))
@@ -607,7 +613,7 @@ class AudioPatternDetector:
                 bank.dispatch_chunks_batch(batch, prev_tail, batch_mode)
             )
             prev_tail = batch[-1]
-            while len(pending) > 1 and batch_ready(pending[0]):
+            while len(pending) > 1 and _dispatched_ready(pending[0]):
                 drain_one()
             if len(pending) > in_flight_cap:
                 drain_one()
