@@ -50,10 +50,15 @@ def main() -> None:
     )
     match_parser.add_argument(
         "audio_file",
-        nargs="?",
+        nargs="*",
         default=None,
         type=str,
-        help="single audio file to find pattern in (omit when using --stdin or --multiplexed-stdin)",
+        help=(
+            "audio file(s) to find pattern in (omit when using --stdin or "
+            "--multiplexed-stdin). With multiple files the pattern bank is "
+            "loaded and compiled once and the files scan sequentially, "
+            "emitting one start/end JSONL block per file"
+        ),
     )
     match_parser.add_argument(
         "--stdin", action="store_true", help="read audio from stdin in WAV format"

@@ -17,6 +17,7 @@ import json
 import os
 import sys
 import wave
+from collections.abc import Callable
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Any
@@ -629,6 +630,108 @@ def match_pattern(
     )
 
 
+def match_pattern_many(
+    audio_sources: list[str],
+    pattern_files: list[str],
+    on_pattern_detected: PatternDetectedCallback | None = None,
+    on_file_start: Callable[[str], None] | None = None,
+    on_file_end: Callable[[str, float], None] | None = None,
+    accumulate_results: bool = True,
+    seconds_per_chunk: int | None = 60,
+    chunk_seconds_auto_perf: bool = False,
+    target_sample_rate: int | None = None,
+    height_min: float | None = None,
+    profile: bool = False,
+    trace_dir: str | None = None,
+    offline_batch: int | None = None,
+    offline_batch_mode: str = "vmap",
+    pipeline_depth: int | None = None,
+    stream_batch: int = 1,
+    stream_batch_mode: str = "scan",
+    mesh_time: int | None = None,
+    mesh_bank: int = 1,
+) -> list[tuple[dict[str, list[float]] | None, float]]:
+    """Scan MANY audio files against one pattern bank in a single process.
+
+    Equivalent to calling :func:`match_pattern` once per file — identical
+    detections and per-file timestamps — but the pattern clips are loaded
+    and preprocessed once and the compiled device programs are shared
+    across files, so per-file cost is just the scan itself. This is the
+    batch-scanning surface the reference's one-process-per-file model
+    lacks (reference: match.py:98 handles a single source per run).
+
+    ``on_file_start(source)`` / ``on_file_end(source, total_time)`` fire
+    around each file, in order; ``on_pattern_detected`` is shared across
+    files (re-key any per-file state from ``on_file_start``). All sources
+    are validated up front, before any scan starts. With
+    ``chunk_seconds_auto_perf`` the chunk size is sized once from the
+    longest file so every file shares one compiled program set. Debug
+    mode is single-file only and not offered here.
+    """
+    if not audio_sources:
+        raise ValueError("No audio sources passed")
+    for src in audio_sources:
+        if src is None or not os.path.exists(src):
+            raise ValueError(f"Audio {src} does not exist")
+
+    sr = target_sample_rate if target_sample_rate is not None else DEFAULT_TARGET_SAMPLE_RATE
+    opts = EngineOptions(
+        seconds_per_chunk=seconds_per_chunk,
+        chunk_auto_perf=chunk_seconds_auto_perf,
+        target_sample_rate=sr,
+        height_min=height_min,
+        profile=profile,
+        trace_dir=trace_dir,
+        offline_batch=offline_batch,
+        offline_batch_mode=offline_batch_mode,
+        pipeline_depth=pipeline_depth,
+        stream_batch=stream_batch,
+        stream_batch_mode=stream_batch_mode,
+        mesh_time=mesh_time,
+        mesh_bank=mesh_bank,
+    )
+    opts.validate(from_stdin=False)
+    pattern_clips = _load_pattern_clips(pattern_files, sr)
+
+    if (
+        opts.chunk_auto_perf
+        and opts.offline_batch is None
+        and opts.mesh_time is None
+    ):
+        # One chunk size for the whole run, sized from the longest file:
+        # every file then shares one compiled program set (results are
+        # chunk-size-invariant, so this changes throughput, not output).
+        opts.seconds_per_chunk = max(
+            _auto_perf_chunk_seconds(src, pattern_clips, sr)
+            for src in audio_sources
+        )
+
+    # At most two detector variants: the reference contract drops
+    # --height-min for ffmpeg (non-WAV) sources (_opts_for_source). Both
+    # share process-wide compiled executables.
+    detectors: dict[float | None, Any] = {}
+    results: list[tuple[dict[str, list[float]] | None, float]] = []
+    for src in audio_sources:
+        src_opts = _opts_for_source(opts, src)
+        if src_opts.height_min not in detectors:
+            detectors[src_opts.height_min] = src_opts.build_detector(
+                pattern_clips
+            )
+        if on_file_start is not None:
+            on_file_start(src)
+        result = _scan_file_source(
+            src,
+            detectors[src_opts.height_min],
+            src_opts,
+            on_pattern_detected,
+            accumulate_results,
+        )
+        if on_file_end is not None:
+            on_file_end(src, result[1])
+        results.append(result)
+    return results
+
+
 def _load_pattern_clips(pattern_files: list[str], sr: int) -> list[AudioClip]:
     """Load pattern files into clips, rejecting duplicate clip names."""
     clips: list[AudioClip] = []
@@ -651,6 +754,55 @@ def _load_pattern_clips(pattern_files: list[str], sr: int) -> list[AudioClip]:
     return clips
 
 
+def _scan_file_source(
+    audio_source: str,
+    detector: "AudioPatternDetector",
+    opts: EngineOptions,
+    on_pattern_detected: PatternDetectedCallback | None,
+    accumulate_results: bool,
+) -> tuple[dict[str, list[float]] | None, float]:
+    """Scan one file through an already-built detector: WAV streams
+    directly, anything else decodes through an ffmpeg child process."""
+    sr = opts.target_sample_rate
+    audio_name = Path(audio_source).stem
+    print(f"Finding pattern in audio file {audio_name}...", file=sys.stderr)
+
+    if audio_source.lower().endswith(".wav"):
+        stream_wrapper = _WavFileStreamWrapper(audio_source, sr)
+        try:
+            return _scan(
+                detector,
+                AudioStream(
+                    name=audio_name, audio_stream=stream_wrapper, sample_rate=sr
+                ),
+                opts,
+                on_pattern_detected,
+                accumulate_results,
+            )
+        finally:
+            stream_wrapper.close()
+
+    with ffmpeg_get_float32_pcm(audio_source, target_sample_rate=sr, ac=1) as stdout:
+        return _scan(
+            detector,
+            AudioStream(name=audio_name, audio_stream=stdout, sample_rate=sr),
+            opts,
+            on_pattern_detected,
+            accumulate_results,
+        )
+
+
+def _opts_for_source(opts: EngineOptions, audio_source: str) -> EngineOptions:
+    """Per the reference contract the ffmpeg (non-WAV) path does not
+    honour --height-min (reference: match.py:191-212 constructs its
+    detector without it)."""
+    if audio_source.lower().endswith(".wav") or opts.height_min is None:
+        return opts
+    from dataclasses import replace as _dc_replace
+
+    return _dc_replace(opts, height_min=None)
+
+
 def _match_pattern_file(
     audio_source: str,
     pattern_clips: list[AudioClip],
@@ -669,40 +821,14 @@ def _match_pattern_file(
         opts.seconds_per_chunk = _auto_perf_chunk_seconds(
             audio_source, pattern_clips, sr
         )
-    audio_name = Path(audio_source).stem
-    print(f"Finding pattern in audio file {audio_name}...", file=sys.stderr)
-
-    if audio_source.lower().endswith(".wav"):
-        stream_wrapper = _WavFileStreamWrapper(audio_source, sr)
-        try:
-            return _scan(
-                opts.build_detector(pattern_clips),
-                AudioStream(
-                    name=audio_name, audio_stream=stream_wrapper, sample_rate=sr
-                ),
-                opts,
-                on_pattern_detected,
-                accumulate_results,
-            )
-        finally:
-            stream_wrapper.close()
-
-    # Non-WAV sources decode through an ffmpeg child process; per the
-    # reference contract the ffmpeg path does not honour --height-min
-    # (reference: match.py:191-212 constructs its detector without it).
-    opts_ffmpeg = opts
-    if opts.height_min is not None:
-        from dataclasses import replace as _dc_replace
-
-        opts_ffmpeg = _dc_replace(opts, height_min=None)
-    with ffmpeg_get_float32_pcm(audio_source, target_sample_rate=sr, ac=1) as stdout:
-        return _scan(
-            opts_ffmpeg.build_detector(pattern_clips),
-            AudioStream(name=audio_name, audio_stream=stdout, sample_rate=sr),
-            opts_ffmpeg,
-            on_pattern_detected,
-            accumulate_results,
-        )
+    opts = _opts_for_source(opts, audio_source)
+    return _scan_file_source(
+        audio_source,
+        opts.build_detector(pattern_clips),
+        opts,
+        on_pattern_detected,
+        accumulate_results,
+    )
 
 
 def _match_pattern_wav_stdin(
@@ -823,6 +949,64 @@ def _run_match_with_output(
     return None, total_time
 
 
+def _run_match_many(
+    args: argparse.Namespace,
+    pattern_files: list[str],
+    audio_sources: list[str],
+    opts: EngineOptions,
+) -> None:
+    """CLI runner for multiple audio files: one start/end JSONL block per
+    file, in argument order, with the pattern bank shared across files.
+    The per-clip equal-ms dedup resets per file (each block reads exactly
+    like a single-file run's output)."""
+    if opts.debug_mode:
+        print("Error: --debug supports a single audio file", file=sys.stderr)
+        sys.exit(1)
+    timestamp_format: str = getattr(args, "timestamp_format", "both")
+
+    # Rebound per file from on_file_start; the indirection keeps one
+    # shared detector callback across the whole run.
+    current_callback: list[PatternDetectedCallback] = [
+        _make_jsonl_callback(timestamp_format)
+    ]
+
+    def on_detect(clip_name: str, timestamp: float) -> None:
+        current_callback[0](clip_name, timestamp)
+
+    def on_file_start(source: str) -> None:
+        current_callback[0] = _make_jsonl_callback(timestamp_format)
+        _emit_jsonl("start", source=source)
+
+    def on_file_end(source: str, total_time: float) -> None:
+        print(
+            f"Total time processed: {seconds_to_time(seconds=total_time)}",
+            file=sys.stderr,
+        )
+        _emit_jsonl_end(total_time, timestamp_format)
+
+    match_pattern_many(
+        audio_sources,
+        pattern_files,
+        on_pattern_detected=on_detect,
+        on_file_start=on_file_start,
+        on_file_end=on_file_end,
+        accumulate_results=False,
+        seconds_per_chunk=opts.seconds_per_chunk,
+        chunk_seconds_auto_perf=opts.chunk_auto_perf,
+        target_sample_rate=getattr(args, "target_sample_rate", None),
+        height_min=opts.height_min,
+        profile=opts.profile,
+        trace_dir=opts.trace_dir,
+        offline_batch=opts.offline_batch,
+        offline_batch_mode=opts.offline_batch_mode,
+        pipeline_depth=opts.pipeline_depth,
+        stream_batch=opts.stream_batch,
+        stream_batch_mode=opts.stream_batch_mode,
+        mesh_time=opts.mesh_time,
+        mesh_bank=opts.mesh_bank,
+    )
+
+
 def _parse_chunk_seconds(args: argparse.Namespace) -> tuple[int | None, bool]:
     """(seconds_per_chunk, auto_perf): None CLI value → 60 s with file-mode
     auto-perf sizing; "auto" → engine-computed minimum; else the integer
@@ -905,12 +1089,18 @@ def cmd_match(args: argparse.Namespace) -> None:
         )
         sys.exit(1)
 
+    audio_files = args.audio_file
+    if isinstance(audio_files, str):  # library callers passing one path
+        audio_files = [audio_files]
     if args.stdin:
         _run_match_with_output(args, pattern_files, None, opts, from_stdin=True)
-    elif args.audio_file:
+    elif audio_files:
         opts.offline_batch = getattr(args, "offline_batch", None)
         opts.offline_batch_mode = getattr(args, "offline_batch_mode", "vmap")
-        _run_match_with_output(args, pattern_files, args.audio_file, opts)
+        if len(audio_files) == 1:
+            _run_match_with_output(args, pattern_files, audio_files[0], opts)
+        else:
+            _run_match_many(args, pattern_files, audio_files, opts)
     else:
         print("Please provide an audio file or --stdin or --multiplexed-stdin", file=sys.stderr)
         sys.exit(1)

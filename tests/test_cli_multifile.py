@@ -1,0 +1,178 @@
+"""Multi-file ``match``: many audio files scanned against one shared
+pattern bank in a single process (a batch-scanning surface the
+reference's one-process-per-file model lacks; single-file behaviour is
+byte-identical to the reference contract and pinned elsewhere).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+
+import numpy as np
+import pytest
+
+from audio_pattern_detector_tpu.match import (
+    cmd_match,
+    match_pattern,
+    match_pattern_many,
+)
+
+RTHK_AUDIO = "sample_audios/rthk_section_with_beep.wav"
+CBS_AUDIO = "sample_audios/cbs_news_audio_section.wav"
+RTHK_PATTERN = "sample_audios/clips/rthk_beep.apd.toml"
+CBS_PATTERN = "sample_audios/clips/cbs_news.wav"
+
+
+def _args(audio_files, pattern_files, **over):
+    ns = argparse.Namespace(
+        audio_file=audio_files,
+        pattern_file=pattern_files,
+        pattern_folder=None,
+        stdin=False,
+        multiplexed_stdin=False,
+        target_sample_rate=None,
+        timestamp_format="both",
+        chunk_seconds=None,
+        debug=False,
+        debug_dir="./tmp",
+        height_min=None,
+        profile=False,
+        trace_dir=None,
+        offline_batch=None,
+        offline_batch_mode="vmap",
+        pipeline_depth=None,
+        stream_batch=1,
+        stream_batch_mode="scan",
+        mesh_time=None,
+        mesh_bank=1,
+    )
+    for k, v in over.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def _run_cli(capsys, audio_files, pattern_files, **over):
+    cmd_match(_args(audio_files, pattern_files, **over))
+    return [
+        json.loads(line)
+        for line in capsys.readouterr().out.splitlines()
+        if line.strip()
+    ]
+
+
+def _blocks(events):
+    """Split a JSONL event stream into per-file [start..end] blocks."""
+    blocks = []
+    for ev in events:
+        if ev["type"] == "start":
+            blocks.append([ev])
+        else:
+            blocks[-1].append(ev)
+    return blocks
+
+
+class TestMultiFileCli:
+    def test_two_files_two_blocks_golden_timestamps(self, capsys):
+        events = _run_cli(
+            capsys, [RTHK_AUDIO, CBS_AUDIO], [RTHK_PATTERN, CBS_PATTERN]
+        )
+        blocks = _blocks(events)
+        assert len(blocks) == 2
+
+        rthk, cbs = blocks
+        assert rthk[0] == {"type": "start", "source": RTHK_AUDIO}
+        assert [e["timestamp_ms"] for e in rthk[1:-1]] == [1408, 2420]
+        assert all(e["clip_name"] == "rthk_beep" for e in rthk[1:-1])
+        assert rthk[-1]["type"] == "end"
+        assert rthk[-1]["total_time_ms"] == 4078
+
+        assert cbs[0] == {"type": "start", "source": CBS_AUDIO}
+        assert [(e["clip_name"], e["timestamp_ms"]) for e in cbs[1:-1]] == [
+            ("cbs_news", 25899)
+        ]
+        assert cbs[-1]["total_time_ms"] == 32122
+
+    def test_single_file_list_matches_scalar_path(self, capsys):
+        """One-element list takes the unchanged single-file path."""
+        events = _run_cli(capsys, [RTHK_AUDIO], [RTHK_PATTERN])
+        assert [e["type"] for e in events] == [
+            "start", "pattern_detected", "pattern_detected", "end",
+        ]
+
+    def test_dedup_state_resets_per_file(self, capsys):
+        """The same file twice emits its detections twice: equal-ms dedup
+        is per file, exactly as two single-file runs would emit."""
+        events = _run_cli(capsys, [RTHK_AUDIO, RTHK_AUDIO], [RTHK_PATTERN])
+        blocks = _blocks(events)
+        assert len(blocks) == 2
+        for blk in blocks:
+            assert [e["timestamp_ms"] for e in blk[1:-1]] == [1408, 2420]
+
+    def test_missing_file_fails_before_any_output(self, capsys):
+        with pytest.raises(ValueError, match="does not exist"):
+            cmd_match(
+                _args([RTHK_AUDIO, "/nonexistent/x.wav"], [RTHK_PATTERN])
+            )
+        assert capsys.readouterr().out == ""
+
+    def test_debug_rejected_for_multiple_files(self, capsys):
+        with pytest.raises(SystemExit):
+            cmd_match(
+                _args([RTHK_AUDIO, CBS_AUDIO], [RTHK_PATTERN], debug=True)
+            )
+
+
+class TestMatchPatternMany:
+    def test_results_equal_per_file_match_pattern(self):
+        many = match_pattern_many(
+            [RTHK_AUDIO, CBS_AUDIO],
+            [RTHK_PATTERN, CBS_PATTERN],
+            accumulate_results=True,
+        )
+        singles = [
+            match_pattern(
+                src, [RTHK_PATTERN, CBS_PATTERN], accumulate_results=True
+            )
+            for src in (RTHK_AUDIO, CBS_AUDIO)
+        ]
+        assert many == singles
+
+    def test_file_boundary_callbacks_in_order(self):
+        seen: list = []
+        match_pattern_many(
+            [RTHK_AUDIO, CBS_AUDIO],
+            [RTHK_PATTERN, CBS_PATTERN],
+            accumulate_results=False,
+            on_file_start=lambda s: seen.append(("start", s)),
+            on_file_end=lambda s, t: seen.append(("end", s, round(t, 3))),
+        )
+        assert seen == [
+            ("start", RTHK_AUDIO),
+            ("end", RTHK_AUDIO, 4.078),
+            ("start", CBS_AUDIO),
+            ("end", CBS_AUDIO, 32.122),
+        ]
+
+    def test_empty_sources_rejected(self):
+        with pytest.raises(ValueError, match="No audio sources"):
+            match_pattern_many([], [RTHK_PATTERN])
+
+    def test_auto_perf_shares_one_chunk_size(self):
+        """Auto-perf sizes once from the longest file; detections are
+        chunk-size-invariant so results still equal per-file runs."""
+        many = match_pattern_many(
+            [RTHK_AUDIO, CBS_AUDIO],
+            [RTHK_PATTERN, CBS_PATTERN],
+            accumulate_results=True,
+            chunk_seconds_auto_perf=True,
+        )
+        singles = [
+            match_pattern(
+                src, [RTHK_PATTERN, CBS_PATTERN], accumulate_results=True
+            )
+            for src in (RTHK_AUDIO, CBS_AUDIO)
+        ]
+        assert many == singles
