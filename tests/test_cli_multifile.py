@@ -160,6 +160,24 @@ class TestMatchPatternMany:
         with pytest.raises(ValueError, match="No audio sources"):
             match_pattern_many([], [RTHK_PATTERN])
 
+    def test_opts_for_source_ffmpeg_height_min_contract(self):
+        """The reference constructs its ffmpeg-path detector without
+        height_min (reference: match.py:191-212); WAV sources keep it."""
+        from audio_pattern_detector_tpu.match import (
+            EngineOptions,
+            _opts_for_source,
+        )
+
+        opts = EngineOptions(height_min=0.4)
+        assert _opts_for_source(opts, "a.wav") is opts
+        assert _opts_for_source(opts, "a.WAV") is opts
+        ff = _opts_for_source(opts, "a.mp3")
+        assert ff is not opts and ff.height_min is None
+        assert opts.height_min == 0.4  # original untouched
+
+        plain = EngineOptions()
+        assert _opts_for_source(plain, "a.mp3") is plain
+
     def test_auto_perf_shares_one_chunk_size(self):
         """Auto-perf sizes once from the longest file; detections are
         chunk-size-invariant so results still equal per-file runs."""
