@@ -10,6 +10,11 @@ import sys
 
 
 def _lazy_cmd_match(args: argparse.Namespace) -> None:
+    from audio_pattern_detector_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     from audio_pattern_detector_tpu.match import cmd_match
 
     return cmd_match(args)

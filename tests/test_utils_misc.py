@@ -135,3 +135,27 @@ class TestGetAudioDuration:
         )
         assert d is not None
         assert abs(d - 4.078) < 0.05
+
+
+class TestCompileCache:
+    def test_off_switch_disables(self, monkeypatch):
+        from audio_pattern_detector_tpu.utils.compile_cache import (
+            enable_persistent_cache,
+        )
+
+        for off in ("off", "0", "none", ""):
+            monkeypatch.setenv("APD_COMPILE_CACHE", off)
+            assert enable_persistent_cache() is None
+
+    def test_custom_dir_is_created_and_configured(self, monkeypatch, tmp_path):
+        import jax
+
+        from audio_pattern_detector_tpu.utils.compile_cache import (
+            enable_persistent_cache,
+        )
+
+        target = str(tmp_path / "xla_cache")
+        monkeypatch.setenv("APD_COMPILE_CACHE", target)
+        assert enable_persistent_cache() == target
+        assert os.path.isdir(target)
+        assert jax.config.jax_compilation_cache_dir == target
