@@ -160,6 +160,27 @@ class TestMatchPatternMany:
         with pytest.raises(ValueError, match="No audio sources"):
             match_pattern_many([], [RTHK_PATTERN])
 
+    def test_composes_with_mesh_sharding(self):
+        """Multi-file + --mesh-time: every file scans through the sharded
+        session with results identical to the serial engine."""
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device mesh")
+        many = match_pattern_many(
+            [RTHK_AUDIO, CBS_AUDIO],
+            [RTHK_PATTERN, CBS_PATTERN],
+            accumulate_results=True,
+            mesh_time=2,
+        )
+        serial = [
+            match_pattern(
+                src, [RTHK_PATTERN, CBS_PATTERN], accumulate_results=True
+            )
+            for src in (RTHK_AUDIO, CBS_AUDIO)
+        ]
+        assert many == serial
+
     def test_opts_for_source_ffmpeg_height_min_contract(self):
         """The reference constructs its ffmpeg-path detector without
         height_min (reference: match.py:191-212); WAV sources keep it."""
