@@ -29,6 +29,7 @@ from audio_pattern_detector_tpu.models.detector import (
     PatternDetectedCallback,
     StreamCheckpoint,
 )
+from audio_pattern_detector_tpu.models.multistream import MultiStreamSession
 
 __version__ = "0.1.0"
 
@@ -36,6 +37,7 @@ __all__ = [
     "AudioClip",
     "AudioStream",
     "AudioPatternDetector",
+    "MultiStreamSession",
     "PatternDetectedCallback",
     "StreamCheckpoint",
     "DEFAULT_SECONDS_PER_CHUNK",

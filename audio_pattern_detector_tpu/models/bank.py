@@ -555,14 +555,27 @@ class PatternBank:
         chunks: list[NDArray[np.float32]],
         previous_tail: NDArray[np.float32] | None,
         mode: str = "vmap",
+        prev_tails: "list[NDArray[np.float32] | None] | None" = None,
     ) -> list[tuple[int, Any, list[NDArray[np.float32]], int]]:
         """Enqueue a chunk batch (async); pair with collect_chunks_batch.
 
         The split lets offline scans double-buffer: dispatch batch i+1
         while batch i's results transfer and unpack, hiding the per-launch
-        round trip behind device compute (find_clip_in_array)."""
+        round trip behind device compute (find_clip_in_array).
+
+        By default the chunks are CONSECUTIVE (chunk i's lookback is
+        chunk i−1, with ``previous_tail`` seeding the first). Passing
+        ``prev_tails`` (one per chunk, None = no lookback) instead treats
+        the rows as INDEPENDENT streams — the multi-stream serving path
+        (models/multistream.py) batches one chunk from each of N live
+        streams into this one launch."""
         if mode not in ("vmap", "scan"):
             raise ValueError(f"mode must be 'vmap' or 'scan', got {mode!r}")
+        if prev_tails is not None and len(prev_tails) != len(chunks):
+            raise ValueError(
+                f"prev_tails has {len(prev_tails)} entries for "
+                f"{len(chunks)} chunks"
+            )
         sr = self.sample_rate
         b = len(chunks)
         dispatched = []
@@ -572,7 +585,10 @@ class PatternBank:
             n_valids = np.zeros(b, dtype=np.int32)
             raws = []
             for bi, chunk in enumerate(chunks):
-                prev = chunks[bi - 1] if bi > 0 else previous_tail
+                if prev_tails is not None:
+                    prev = prev_tails[bi]
+                else:
+                    prev = chunks[bi - 1] if bi > 0 else previous_tail
                 if prev is not None:
                     raw = np.concatenate((prev[int(-sw * sr):], chunk))
                 else:

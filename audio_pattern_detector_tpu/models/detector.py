@@ -623,6 +623,32 @@ class AudioPatternDetector:
         total_time = len(audio) / sr
         return all_peak_times, total_time
 
+    def peaks_to_times(
+        self,
+        clip_peaks: dict[str, list[int]],
+        index: int,
+        had_prev: bool,
+    ) -> dict[str, list[float]]:
+        """One chunk's device peak positions → stream timestamps.
+
+        The reference algebra: t = pos/sr − subtract + index·chunk_s −
+        clip_seconds, clamped ≥ 0, subtract = sliding_window for chunks
+        with lookback (reference: audio_pattern_detector.py:440-452)."""
+        sr = self.target_sample_rate
+        out: dict[str, list[float]] = {}
+        for audio_clip in self.audio_clips:
+            name = audio_clip.name
+            sliding_window = self._clip_datas[name]["sliding_window"]
+            clip_seconds = len(self._clip_datas[name]["clip"]) / sr
+            subtract = sliding_window if had_prev else 0
+            times = []
+            for pos in clip_peaks.get(name, []):
+                t = pos / sr - subtract + index * self.seconds_per_chunk
+                t -= clip_seconds
+                times.append(t if t >= 0 else 0)
+            out[name] = times
+        return out
+
     def _fold_batch_results(
         self,
         results: list[dict[str, list[int]]],
@@ -633,16 +659,9 @@ class AudioPatternDetector:
         """Convert one batch's device peak positions to stream timestamps."""
         for bi, clip_peaks in enumerate(results):
             index = base_index + bi
-            had_prev = index > 0
-            for audio_clip in self.audio_clips:
-                name = audio_clip.name
-                sliding_window = self._clip_datas[name]["sliding_window"]
-                clip_seconds = len(self._clip_datas[name]["clip"]) / sr
-                subtract = sliding_window if had_prev else 0
-                for pos in clip_peaks.get(name, []):
-                    t = pos / sr - subtract + index * self.seconds_per_chunk
-                    t -= clip_seconds
-                    all_peak_times[name].append(t if t >= 0 else 0)
+            converted = self.peaks_to_times(clip_peaks, index, index > 0)
+            for name, times in converted.items():
+                all_peak_times[name].extend(times)
         return base_index + len(results)
 
     def _process_chunk_debug(

@@ -494,6 +494,45 @@ def run_bench() -> dict:
     except Exception as e:  # noqa: BLE001 — secondary metric only
         print(f"[bench] default-CLI metric failed: {e}", file=sys.stderr)
 
+    # ── Multi-stream serving (MultiStreamSession): N independent live
+    # streams, one vmapped launch per feed round — a single chip serving
+    # N stations concurrently. Aggregate audio-seconds per wall-second
+    # (excluded from the single-stream headline max). ──
+    multi_stream_x = 0.0
+    n_ms = int(os.environ.get("APD_BENCH_MULTI_STREAMS", "8"))
+    try:
+        from audio_pattern_detector_tpu.models.multistream import (
+            MultiStreamSession,
+        )
+
+        sess = MultiStreamSession(det, n_streams=n_ms)
+        sess.feed([chunks[i % n_distinct] for i in range(n_ms)])  # warm B=n
+        ms_rounds = 8
+        for _ in range(2):
+            # 3 rounds in flight with eager draining, like every other
+            # pipelined loop here (synchronous feed serializes launch +
+            # d2h + unpack against device compute).
+            pend: list = []
+            t0 = time.perf_counter()
+            for r in range(ms_rounds):
+                pend.append(
+                    sess.dispatch(
+                        [chunks[(r + i) % n_distinct] for i in range(n_ms)]
+                    )
+                )
+                while len(pend) > 1 and sess.round_ready(pend[0]):
+                    sess.collect(pend.pop(0))
+                if len(pend) > 3:
+                    sess.collect(pend.pop(0))
+            while pend:
+                sess.collect(pend.pop(0))
+            multi_stream_x = max(
+                multi_stream_x,
+                n_ms * ms_rounds * chunk_seconds / (time.perf_counter() - t0),
+            )
+    except Exception as e:  # noqa: BLE001 — secondary metric only
+        print(f"[bench] multi-stream metric failed: {e}", file=sys.stderr)
+
     # Second streaming sample (the first ran before the big-chunk compiles).
     streaming2_x, _ = run_streaming(20)
     streaming_x = max(streaming_x, streaming2_x)
@@ -517,6 +556,7 @@ def run_bench() -> dict:
         "hit_bearing_x_realtime": round(hit_x, 1),
         "hit_bearing_detections": hit_detections,
         "default_cli_x_realtime": round(default_cli_x, 1),
+        f"multi_stream{n_ms}_x_realtime": round(multi_stream_x, 1),
         **{
             f"chunk{s}_x_realtime": round(x, 1)
             for s, x in sorted(big_chunk_x.items())
@@ -540,6 +580,7 @@ def run_bench() -> dict:
         f"{big_str}, "
         f"hit-bearing {hit_x:.0f}x ({hit_detections} detections), "
         f"default-CLI {default_cli_x:.0f}x, "
+        f"multi-stream{n_ms} {multi_stream_x:.0f}x aggregate, "
         f"device-only {device_x:.0f}x realtime on "
         f"{platform} ({detections} detections)",
         file=sys.stderr,
@@ -614,7 +655,10 @@ def _merge_best(result: dict) -> dict:
         (
             v
             for k, v in result.items()
-            if k.endswith("_x_realtime") and k != "device_only_x_realtime"
+            if k.endswith("_x_realtime")
+            and k != "device_only_x_realtime"
+            # aggregate-across-streams metric, not a single-stream number
+            and not k.startswith("multi_stream")
         ),
         default=result["value"],
     )

@@ -1,0 +1,195 @@
+"""Multi-stream serving session: N independent live streams per launch.
+
+Per-stream results must be identical to running each stream through the
+serial engine (same lookback, timestamp algebra, and flagged-row
+resolution — just batched into one device program per feed round).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import SAMPLE_AUDIOS
+from audio_pattern_detector_tpu import (
+    AudioClip,
+    AudioPatternDetector,
+    AudioStream,
+)
+from audio_pattern_detector_tpu.models.multistream import MultiStreamSession
+from audio_pattern_detector_tpu.utils.audio_io import load_wave_file
+
+SR = 8000
+CHUNK_S = 2
+
+
+def corpus(rel):
+    return os.path.join(SAMPLE_AUDIOS, rel)
+
+
+@pytest.fixture(scope="module")
+def clips():
+    return [
+        AudioClip.from_audio_file(
+            corpus("clips/rthk_beep.apd.toml"), sample_rate=SR
+        ),
+        AudioClip.from_audio_file(
+            corpus("clips/cbs_news.wav"), sample_rate=SR
+        ),
+    ]
+
+
+@pytest.fixture(scope="module")
+def stream_audios():
+    rng = np.random.default_rng(11)
+    return [
+        load_wave_file(corpus("rthk_section_with_beep.wav"), SR),
+        load_wave_file(corpus("cbs_news_audio_section.wav"), SR),
+        (0.05 * rng.standard_normal(9 * SR)).astype(np.float32),
+    ]
+
+
+def _serial_results(clips, audio):
+    det = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=CHUNK_S)
+    peaks, total = det.find_clip_in_audio(
+        AudioStream("s", io.BytesIO(audio.astype(np.float32).tobytes()), SR)
+    )
+    return peaks, total
+
+
+def _chunked(audio):
+    n = CHUNK_S * SR
+    return [audio[o : o + n] for o in range(0, len(audio), n)]
+
+
+class TestMultiStreamSession:
+    def test_streams_match_serial_engine(self, clips, stream_audios):
+        """Three concurrent streams of different lengths — each stream's
+        accumulated detections equal its serial single-stream run, and
+        shorter streams go quiet (None) while others continue."""
+        det = AudioPatternDetector(
+            audio_clips=clips, seconds_per_chunk=CHUNK_S
+        )
+        session = MultiStreamSession(det, n_streams=3)
+
+        per_stream_chunks = [_chunked(a) for a in stream_audios]
+        rounds = max(len(c) for c in per_stream_chunks)
+        accumulated: list[dict[str, list[float]]] = [
+            {c.name: [] for c in clips} for _ in range(3)
+        ]
+        for r in range(rounds):
+            feed = [
+                chunks[r] if r < len(chunks) else None
+                for chunks in per_stream_chunks
+            ]
+            results = session.feed(feed)
+            for i, res in enumerate(results):
+                for name, times in res.items():
+                    accumulated[i][name].extend(times)
+
+        for i, audio in enumerate(stream_audios):
+            serial_peaks, serial_total = _serial_results(clips, audio)
+            assert accumulated[i] == serial_peaks, f"stream {i}"
+            assert session.total_time(i) == pytest.approx(serial_total)
+
+    def test_pipelined_rounds_equal_synchronous(self, clips, stream_audios):
+        """dispatch/collect with 3 rounds in flight produces the same
+        per-stream results as synchronous feed (state advances at
+        dispatch time, so in-flight rounds never stall each other)."""
+        per_stream_chunks = [_chunked(a) for a in stream_audios]
+        rounds = max(len(c) for c in per_stream_chunks)
+
+        def run(pipelined: bool):
+            det = AudioPatternDetector(
+                audio_clips=clips, seconds_per_chunk=CHUNK_S
+            )
+            sess = MultiStreamSession(det, n_streams=3)
+            acc: list[list] = [[], [], []]
+
+            def take(results):
+                for i, res in enumerate(results):
+                    acc[i].extend(
+                        t for ts in sorted(res.items()) for t in ts[1]
+                    )
+
+            pend: list = []
+            for r in range(rounds):
+                feed = [
+                    c[r] if r < len(c) else None for c in per_stream_chunks
+                ]
+                if pipelined:
+                    pend.append(sess.dispatch(feed))
+                    if len(pend) > 3:
+                        take(sess.collect(pend.pop(0)))
+                else:
+                    take(sess.feed(feed))
+            while pend:
+                take(sess.collect(pend.pop(0)))
+            return acc
+
+        assert run(pipelined=True) == run(pipelined=False)
+
+    def test_ended_stream_returns_empty_and_keeps_state(self, clips):
+        det = AudioPatternDetector(
+            audio_clips=clips, seconds_per_chunk=CHUNK_S
+        )
+        session = MultiStreamSession(det, n_streams=2)
+        rng = np.random.default_rng(0)
+        chunk = (0.01 * rng.standard_normal(CHUNK_S * SR)).astype(np.float32)
+
+        session.feed([chunk, chunk])
+        before = session.checkpoint(1)
+        out = session.feed([chunk, None])
+        assert out[1] == {}
+        after = session.checkpoint(1)
+        assert after.chunk_index == before.chunk_index
+        assert session.total_time(1) == pytest.approx(CHUNK_S)
+
+    def test_validation(self, clips):
+        det = AudioPatternDetector(
+            audio_clips=clips, seconds_per_chunk=CHUNK_S
+        )
+        with pytest.raises(ValueError, match="n_streams"):
+            MultiStreamSession(det, 0)
+        session = MultiStreamSession(det, n_streams=2)
+        with pytest.raises(ValueError, match="expected 2 chunks"):
+            session.feed([None])
+        too_long = np.zeros(CHUNK_S * SR + 1, dtype=np.float32)
+        with pytest.raises(ValueError, match="at most"):
+            session.feed([too_long, None])
+
+    def test_checkpoint_resumes_serial_equivalent(self, clips, stream_audios):
+        """A stream's checkpoint mid-session resumes in a fresh serial
+        engine to the same remaining detections (StreamCheckpoint
+        contract)."""
+        audio = stream_audios[1]  # cbs: detection at 25.9 s, past round 2
+        det = AudioPatternDetector(
+            audio_clips=clips, seconds_per_chunk=CHUNK_S
+        )
+        session = MultiStreamSession(det, n_streams=1)
+        chunks = _chunked(audio)
+        cut = 4
+        head_times: list[float] = []
+        for r in range(cut):
+            res = session.feed([chunks[r]])[0]
+            head_times.extend(t for ts in res.values() for t in ts)
+        ck = session.checkpoint(0)
+
+        rest = np.concatenate(chunks[cut:])
+        det2 = AudioPatternDetector(
+            audio_clips=clips, seconds_per_chunk=CHUNK_S
+        )
+        peaks, _ = det2.find_clip_in_audio(
+            AudioStream("r", io.BytesIO(rest.tobytes()), SR),
+            checkpoint=ck,
+        )
+        resumed = sorted(
+            t for ts in peaks.values() for t in ts
+        ) + sorted(head_times)
+        serial_peaks, _ = _serial_results(clips, audio)
+        assert sorted(resumed) == sorted(
+            t for ts in serial_peaks.values() for t in ts
+        )
