@@ -685,6 +685,7 @@ def _report(result: dict) -> None:
         "hit_bearing_x_realtime",
         "hit_bearing_detections",
         "default_cli_x_realtime",
+        "multi_stream8_x_realtime",
         "chunk120_x_realtime",
         "chunk240_x_realtime",
         "chunk480_x_realtime",
