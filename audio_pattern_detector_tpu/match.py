@@ -461,20 +461,28 @@ def _scan_sharded(
     from audio_pattern_detector_tpu.parallel.mesh import make_mesh
     from audio_pattern_detector_tpu.parallel.sequence import ShardedDetector
 
-    axes: dict[str, int] = {}
-    if opts.mesh_bank > 1:
-        axes["bank"] = opts.mesh_bank
-    axes["time"] = int(opts.mesh_time or 1)
-    mesh = make_mesh(axes)
-
-    sd = ShardedDetector(
-        detector.audio_clips,
-        mesh,
-        chunk_seconds=detector.seconds_per_chunk,
-        target_sample_rate=opts.target_sample_rate,
-        height_min=opts.height_min,
-        detector=detector,
-    )
+    # The ShardedDetector (mesh layout + its compiled sharded programs) is
+    # memoized on the serial detector so multi-file runs pay the sharded
+    # trace/compile once; per-file stream state lives in the session.
+    key = (opts.mesh_bank, int(opts.mesh_time or 1))
+    cached = getattr(detector, "_sharded_scan_cache", None)
+    if cached is not None and cached[0] == key:
+        sd = cached[1]
+    else:
+        axes: dict[str, int] = {}
+        if opts.mesh_bank > 1:
+            axes["bank"] = opts.mesh_bank
+        axes["time"] = key[1]
+        mesh = make_mesh(axes)
+        sd = ShardedDetector(
+            detector.audio_clips,
+            mesh,
+            chunk_seconds=detector.seconds_per_chunk,
+            target_sample_rate=opts.target_sample_rate,
+            height_min=opts.height_min,
+            detector=detector,
+        )
+        detector._sharded_scan_cache = (key, sd)
     sess = sd.session()
     slab_bytes = sd.slab_samples * 4
     accumulated: dict[str, list[float]] | None = (

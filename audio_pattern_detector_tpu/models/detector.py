@@ -330,6 +330,8 @@ class AudioPatternDetector:
         its batch boundary (≤ stream_batch · seconds_per_chunk latency).
         A short final batch is zero-padded on device and the padding's
         results discarded, so no extra program is compiled at stream end.
+        ``pipeline_depth`` composes: it caps how many dispatched BATCHES
+        stay in flight (the CLI default is 3).
         ``stream_batch_mode`` picks the batched program: "scan" (default,
         sequential in-launch, one-chunk memory) or "vmap" (chunks in
         parallel, B× intermediate memory — higher throughput when the
@@ -399,21 +401,13 @@ class AudioPatternDetector:
         self.last_run_stats = stats
 
         def emit(index: int, had_prev: bool, clip_peaks: dict[str, list[int]]) -> None:
+            # Timestamp conversion lives in ONE place (peaks_to_times, the
+            # reference algebra); emit only adds callback ordering and
+            # accumulation on top.
             chunk_matches: list[tuple[float, str]] = []
-            for audio_clip in self.audio_clips:
-                name = audio_clip.name
-                sliding_window = self._clip_datas[name]["sliding_window"]
-                clip_seconds = len(self._clip_datas[name]["clip"]) / sr
-                subtract_seconds = sliding_window if had_prev else 0
-
-                peak_times = []
-                for pos in clip_peaks.get(name, []):
-                    # t = pos/sr - subtract + i*chunk - clip_seconds, clamped
-                    # (reference: audio_pattern_detector.py:440-452).
-                    t = pos / sr - subtract_seconds + index * self.seconds_per_chunk
-                    t -= clip_seconds
-                    peak_times.append(t if t >= 0 else 0)
-
+            for name, peak_times in self.peaks_to_times(
+                clip_peaks, index, had_prev
+            ).items():
                 if on_pattern_detected and peak_times:
                     for timestamp in peak_times:
                         chunk_matches.append((timestamp, name))
@@ -449,10 +443,10 @@ class AudioPatternDetector:
             return True
 
         # stream_batch mode: (chunk, had_prev, cum_time) buffered per batch;
-        # up to 3 dispatched batches in flight with eager in-order draining
-        # (non-blocking is_ready), like the offline scan path — ready
-        # results emit as soon as the device finishes them, so the deeper
-        # cap never delays emission beyond the batching itself.
+        # up to ``pipeline_depth`` dispatched batches in flight with eager
+        # in-order draining (non-blocking is_ready), like the offline scan
+        # path — ready results emit as soon as the device finishes them, so
+        # a deeper cap never delays emission beyond the batching itself.
         batch_buf: "list[tuple[NDArray[np.float32], bool, float]]" = []
         in_flight: "list[tuple[Any, int, list]]" = []
         chunk_samples = self._chunk_size // 4
@@ -495,7 +489,7 @@ class AudioPatternDetector:
             batch_buf.clear()
             while len(in_flight) > 1 and _dispatched_ready(in_flight[0][0]):
                 drain_batch()
-            if len(in_flight) > 2:
+            if len(in_flight) > pipeline_depth:
                 drain_batch()
 
         while True:

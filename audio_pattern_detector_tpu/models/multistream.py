@@ -92,19 +92,28 @@ class MultiStreamSession:
             )
         batch: list[NDArray[np.float32]] = []
         tails: list[NDArray[np.float32] | None] = []
+        rounds: list[NDArray[np.float32] | None] = []
         for i, chunk in enumerate(chunks):
+            if chunk is not None:
+                chunk = np.ascontiguousarray(chunk, dtype=np.float32)
+                if chunk.ndim != 1 or len(chunk) > self._chunk_samples:
+                    raise ValueError(
+                        f"stream {i}: chunk must be 1-D with at most "
+                        f"{self._chunk_samples} samples, got shape {chunk.shape}"
+                    )
+                # A zero-length chunk is an idle round, same as None — it
+                # must not advance the chunk index or replace the lookback
+                # tail with an empty array (that would shift every later
+                # timestamp for the stream).
+                if len(chunk) == 0:
+                    chunk = None
+            rounds.append(chunk)
             if chunk is None:
                 batch.append(self._empty)
                 tails.append(None)
-                continue
-            chunk = np.ascontiguousarray(chunk, dtype=np.float32)
-            if chunk.ndim != 1 or len(chunk) > self._chunk_samples:
-                raise ValueError(
-                    f"stream {i}: chunk must be 1-D with at most "
-                    f"{self._chunk_samples} samples, got shape {chunk.shape}"
-                )
-            batch.append(chunk)
-            tails.append(self._tails[i])
+            else:
+                batch.append(chunk)
+                tails.append(self._tails[i])
 
         dispatched = self._bank.dispatch_chunks_batch(
             batch, None, mode="vmap", prev_tails=tails
@@ -112,7 +121,7 @@ class MultiStreamSession:
         # (stream_active, index, had_prev) snapshot for collect-time
         # timestamp conversion; then advance state for the next round.
         meta = []
-        for i, chunk in enumerate(chunks):
+        for i, chunk in enumerate(rounds):
             if chunk is None:
                 meta.append(None)
                 continue

@@ -387,6 +387,7 @@ def run_bench() -> dict:
             accumulate_results=False,
             stream_batch=sb,
             stream_batch_mode=mode,
+            pipeline_depth=3,
         )
         return n_iters * chunk_seconds / (time.perf_counter() - t0)
 
@@ -430,6 +431,7 @@ def run_bench() -> dict:
                 accumulate_results=False,
                 stream_batch=sb,
                 stream_batch_mode=mode,
+                pipeline_depth=3,
             )  # warm
             best_c = 0.0
             for _ in range(2):
@@ -685,7 +687,12 @@ def _report(result: dict) -> None:
         "hit_bearing_x_realtime",
         "hit_bearing_detections",
         "default_cli_x_realtime",
-        "multi_stream8_x_realtime",
+        # any multi_stream<N> width the run was configured with
+        *sorted(
+            k
+            for k in result
+            if k.startswith("multi_stream") and k.endswith("_x_realtime")
+        ),
         "chunk120_x_realtime",
         "chunk240_x_realtime",
         "chunk480_x_realtime",

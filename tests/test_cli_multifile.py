@@ -181,6 +181,33 @@ class TestMatchPatternMany:
         ]
         assert many == serial
 
+    def test_mesh_sharded_detector_built_once_across_files(self, monkeypatch):
+        """Multi-file + mesh must share ONE ShardedDetector (and its
+        compiled sharded programs) across files — rebuilding per file
+        pays the full sharded trace+compile for every file, the exact
+        cold-start cost multi-file mode exists to amortise."""
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device mesh")
+        from audio_pattern_detector_tpu.parallel import sequence
+
+        builds = []
+        orig_init = sequence.ShardedDetector.__init__
+
+        def counting_init(self, *args, **kwargs):
+            builds.append(1)
+            orig_init(self, *args, **kwargs)
+
+        monkeypatch.setattr(sequence.ShardedDetector, "__init__", counting_init)
+        match_pattern_many(
+            [RTHK_AUDIO, RTHK_AUDIO, CBS_AUDIO],
+            [RTHK_PATTERN, CBS_PATTERN],
+            accumulate_results=True,
+            mesh_time=2,
+        )
+        assert len(builds) == 1
+
     def test_opts_for_source_ffmpeg_height_min_contract(self):
         """The reference constructs its ffmpeg-path detector without
         height_min (reference: match.py:191-212); WAV sources keep it."""

@@ -148,6 +148,28 @@ class TestMultiStreamSession:
         assert after.chunk_index == before.chunk_index
         assert session.total_time(1) == pytest.approx(CHUNK_S)
 
+    def test_zero_length_chunk_is_idle_round(self, clips, stream_audios):
+        """A zero-length chunk must behave exactly like None: no index
+        advance, no tail replacement — otherwise every later timestamp
+        for the stream shifts by a chunk minus the sliding window."""
+        audio = stream_audios[0]  # rthk: detections in rounds 0-1
+        det = AudioPatternDetector(
+            audio_clips=clips, seconds_per_chunk=CHUNK_S
+        )
+        session = MultiStreamSession(det, n_streams=1)
+        chunks = _chunked(audio)
+        accumulated = {c.name: [] for c in clips}
+        for r, chunk in enumerate(chunks):
+            res = session.feed([chunk])[0]
+            for name, times in res.items():
+                accumulated[name].extend(times)
+            if r == 0:  # idle round mid-stream: empty array, not None
+                idle = session.feed([np.zeros(0, dtype=np.float32)])[0]
+                assert idle == {}
+        serial_peaks, serial_total = _serial_results(clips, audio)
+        assert accumulated == serial_peaks
+        assert session.total_time(0) == pytest.approx(serial_total)
+
     def test_validation(self, clips):
         det = AudioPatternDetector(
             audio_clips=clips, seconds_per_chunk=CHUNK_S

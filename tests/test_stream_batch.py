@@ -79,6 +79,28 @@ def test_stream_batch_modes_serial_identical(clip, mode):
     assert t_batched == t_serial
 
 
+@pytest.mark.parametrize("depth", [1, 5])
+def test_stream_batch_honors_pipeline_depth(clip, depth):
+    """pipeline_depth composes with stream_batch (it caps in-flight
+    BATCHES); results and callback order are depth-invariant."""
+    chunk_s = 4
+    seconds = 8 * chunk_s - 1.5
+    audio = _audio_with_hits(clip, seconds, [1.0, 11.5, seconds - 2.0], seed=9)
+
+    def run(**kwargs):
+        events = []
+        det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=chunk_s)
+        peaks, total = det.find_clip_in_audio(
+            _stream(audio),
+            on_pattern_detected=lambda n, t: events.append((n, t)),
+            **kwargs,
+        )
+        return peaks, total, events
+
+    serial = run()
+    assert run(stream_batch=2, pipeline_depth=depth) == serial
+
+
 def test_stream_batch_mode_validation(clip):
     det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=4)
     with pytest.raises(ValueError, match="stream_batch_mode"):
