@@ -598,9 +598,30 @@ class PatternBank:
                 n_valids[bi] = len(raw)
 
             group_consts = tuple((g.corr, g.verify) for g in cls["groups"])
-            step_jit = _class_step_scan_jit if mode == "scan" else _class_step_batch_jit
+            # Packed upload (half the h2d bytes) when every row is 16-bit
+            # PCM-exact — zero padding packs, so only genuinely non-PCM
+            # audio (ffmpeg floats, resampled streams) falls back to f32.
+            packed_rows: NDArray[np.float32] | None = None
+            if self._packed_upload:
+                packs = [try_pack_pcm16(sections[bi]) for bi in range(b)]
+                if all(p is not None for p in packs):
+                    packed_rows = np.stack(packs)  # type: ignore[arg-type]
+            if packed_rows is not None:
+                step_jit = (
+                    _class_step_scan_packed_jit
+                    if mode == "scan"
+                    else _class_step_batch_packed_jit
+                )
+                payload = jnp.asarray(packed_rows)
+            else:
+                step_jit = (
+                    _class_step_scan_jit
+                    if mode == "scan"
+                    else _class_step_batch_jit
+                )
+                payload = jnp.asarray(sections)
             flat = step_jit(
-                jnp.asarray(sections),
+                payload,
                 jnp.asarray(n_valids.astype(np.float32)),
                 cls["loud"],
                 group_consts,
@@ -1332,6 +1353,55 @@ def _class_step_batch(
 
 _class_step_batch_jit = jax.jit(
     _class_step_batch, static_argnames=("metas", "height_min", "pallas")
+)
+
+
+# Packed-payload batched variants: every row crosses the boundary as
+# int16 pairs (half the h2d bytes — the batch-mode analogue of
+# _class_step_fused_packed, same bit-exactness contract).
+def _class_step_batch_packed(
+    packed_sections, n_valids, loud, group_consts, *, metas, height_min,
+    pallas=False,
+):
+    import functools
+
+    step = functools.partial(
+        _class_step_fused_packed,
+        metas=metas, height_min=height_min, pallas=pallas,
+    )
+    return jax.vmap(step, in_axes=(0, 0, None, None))(
+        packed_sections, n_valids, loud, group_consts
+    )
+
+
+_class_step_batch_packed_jit = jax.jit(
+    _class_step_batch_packed, static_argnames=("metas", "height_min", "pallas")
+)
+
+
+def _class_step_scan_packed(
+    packed_sections, n_valids, loud, group_consts, *, metas, height_min,
+    pallas=False,
+):
+    def body(carry, inp):
+        packed_section, n_valid = inp
+        flat = _class_step_fused_packed(
+            packed_section, n_valid, loud, group_consts,
+            metas=metas, height_min=height_min, pallas=pallas,
+        )
+        return carry, flat
+
+    # Unrolled for the same reason as _class_step_scan: each row unpacks
+    # in-graph right where it is consumed, keeping live memory at one
+    # chunk's footprint.
+    _, packs = jax.lax.scan(
+        body, 0, (packed_sections, n_valids), unroll=packed_sections.shape[0]
+    )
+    return packs
+
+
+_class_step_scan_packed_jit = jax.jit(
+    _class_step_scan_packed, static_argnames=("metas", "height_min", "pallas")
 )
 
 

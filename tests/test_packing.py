@@ -92,6 +92,42 @@ class TestEngineEquivalence:
         assert any(abs(x - 5.0) < 0.05 for x in r_packed["c"])
         assert any(abs(x - 18.0) < 0.05 for x in r_packed["c"])
 
+    @pytest.mark.parametrize("mode", ["vmap", "scan"])
+    def test_batched_packed_equals_unpacked(self, monkeypatch, mode):
+        """The batch programs (offline scan / stream-batch / multi-stream)
+        also take the packed upload; results must be identical to the f32
+        path for PCM-exact audio."""
+        from audio_pattern_detector_tpu.models.detector import (
+            AudioPatternDetector,
+        )
+        from audio_pattern_detector_tpu.utils.clip import AudioClip
+
+        rng = np.random.default_rng(5)
+        t = np.arange(int(0.6 * SR)) / SR
+        clip = (0.5 * np.sin(2 * np.pi * 650.0 * t)).astype(np.float32)
+        audio = 0.01 * rng.standard_normal(40 * SR)
+        audio[7 * SR : 7 * SR + len(clip)] += clip
+        audio[31 * SR : 31 * SR + len(clip)] += clip
+        audio = (
+            np.clip(np.round(audio * PCM_SCALE), -32768, 32767) / PCM_SCALE
+        ).astype(np.float32)
+
+        def run(packed: bool):
+            monkeypatch.setenv("APD_PACKED_UPLOAD", "1" if packed else "0")
+            det = AudioPatternDetector(
+                [AudioClip(name="c", audio=clip, sample_rate=SR)],
+                seconds_per_chunk=10,
+            )
+            return det.find_clip_in_array(
+                audio, batch_size=2, batch_mode=mode
+            )
+
+        r_packed = run(True)
+        r_plain = run(False)
+        assert r_packed == r_plain
+        assert any(abs(x - 7.0) < 0.05 for x in r_packed[0]["c"])
+        assert any(abs(x - 31.0) < 0.05 for x in r_packed[0]["c"])
+
     def test_float_source_falls_back_and_detects(self, monkeypatch):
         rng = np.random.default_rng(3)
         t = np.arange(int(0.6 * SR)) / SR
