@@ -247,67 +247,102 @@ class PatternBank:
     # streaming engine uses the pair to double-buffer host I/O against
     # device compute; process_chunk is the synchronous convenience wrapper.
 
+    def _assemble_section(
+        self,
+        sw: int,
+        chunk: NDArray[np.float32],
+        previous_chunk: NDArray[np.float32] | None,
+    ) -> tuple[NDArray[np.float32], int, NDArray[np.float32]]:
+        """Overlap-save section assembly + zero-pad to the class's static
+        section length (reference: audio_pattern_detector.py:400-412).
+        Returns (padded_section, n_valid, raw_section). Shared by the
+        serial and bank-sharded dispatch paths so upload optimisations
+        apply to both."""
+        sr = self.sample_rate
+        if previous_chunk is not None:
+            tail = previous_chunk[int(-sw * sr):]
+            raw_section = np.concatenate((tail, chunk))
+        else:
+            raw_section = chunk
+        n_valid = len(raw_section)
+        section = np.zeros(self.classes[sw]["section_len"], dtype=np.float32)
+        section[:n_valid] = raw_section
+        return section, n_valid, raw_section
+
+    def _dispatch_section(
+        self,
+        sw: int,
+        section: NDArray[np.float32],
+        n_valid: int,
+        group_consts: "tuple | None" = None,
+        pallas: "bool | None" = None,
+    ) -> Any:
+        """Enqueue the fused lean program for one assembled section and
+        prefetch its d2h; returns the flat payload handle. ``group_consts``
+        overrides the class's own constants (the bank-sharded path passes
+        its GSPMD-placed copies — same pytree structure, so the same
+        executable logic partitions itself)."""
+        cls = self.classes[sw]
+        if group_consts is None:
+            group_consts = tuple((g.corr, g.verify) for g in cls["groups"])
+        if pallas is None:
+            pallas = self._pallas
+        packed = try_pack_pcm16(section) if self._packed_upload else None
+        if packed is not None:
+            flat = _class_step_fused_packed_jit(
+                jnp.asarray(packed),
+                jnp.float32(n_valid),
+                cls["loud"],
+                group_consts,
+                metas=self._metas[sw],
+                height_min=self.height_min,
+                pallas=pallas,
+            )
+        else:
+            flat = _class_step_fused_jit(
+                jnp.asarray(section),
+                jnp.float32(n_valid),
+                cls["loud"],
+                group_consts,
+                metas=self._metas[sw],
+                height_min=self.height_min,
+                pallas=pallas,
+            )
+        _host_prefetch(flat)
+        return flat
+
     def dispatch_chunk(
         self,
         chunk: NDArray[np.float32],
         previous_chunk: NDArray[np.float32] | None,
     ) -> list[tuple[int, Any, NDArray[np.float32]]]:
         """Enqueue one stream chunk. Returns opaque per-class records."""
-        sr = self.sample_rate
         dispatched = []
-        for sw, cls in self.classes.items():
-            # Overlap-save section assembly
-            # (reference: audio_pattern_detector.py:400-412).
-            if previous_chunk is not None:
-                tail = previous_chunk[int(-sw * sr):]
-                raw_section = np.concatenate((tail, chunk))
-            else:
-                raw_section = chunk
-            n_valid = len(raw_section)
-            S = cls["section_len"]
-            section = np.zeros(S, dtype=np.float32)
-            section[:n_valid] = raw_section
-
-            group_consts = tuple((g.corr, g.verify) for g in cls["groups"])
-            packed = (
-                try_pack_pcm16(section) if self._packed_upload else None
+        for sw in self.classes:
+            section, n_valid, raw_section = self._assemble_section(
+                sw, chunk, previous_chunk
             )
-            if packed is not None:
-                flat = _class_step_fused_packed_jit(
-                    jnp.asarray(packed),
-                    jnp.float32(n_valid),
-                    cls["loud"],
-                    group_consts,
-                    metas=self._metas[sw],
-                    height_min=self.height_min,
-                    pallas=self._pallas,
-                )
-            else:
-                flat = _class_step_fused_jit(
-                    jnp.asarray(section),
-                    jnp.float32(n_valid),
-                    cls["loud"],
-                    group_consts,
-                    metas=self._metas[sw],
-                    height_min=self.height_min,
-                    pallas=self._pallas,
-                )
-            _host_prefetch(flat)
+            flat = self._dispatch_section(sw, section, n_valid)
             dispatched.append((sw, flat, raw_section))
         return dispatched
 
     def collect_chunk(
-        self, dispatched: list[tuple[int, Any, NDArray[np.float32]]]
+        self,
+        dispatched: list[tuple[int, Any, NDArray[np.float32]]],
+        padded_rows: "dict[int, tuple[int, ...]] | None" = None,
     ) -> dict[str, list[int]]:
         """Block on a dispatched chunk; returns accepted 'full'-index peak
-        positions per clip name (ascending)."""
+        positions per clip name (ascending). ``padded_rows`` maps a class's
+        sliding window to its per-group payload row counts when they were
+        padded (bank-sharded dispatch)."""
         results: dict[str, list[int]] = {}
         for sw, flat, raw_section in dispatched:
             cls = self.classes[sw]
             flat_np = np.asarray(flat)  # ONE device->host transfer per class
+            rows = padded_rows.get(sw) if padded_rows else None
             flagged: list[tuple[int, int, bool]] = []
             for gi, (g, packed) in enumerate(
-                zip(cls["groups"], _split_fused(flat_np, cls["groups"]))
+                zip(cls["groups"], _split_fused(flat_np, cls["groups"], rows))
             ):
                 pos, sel, host_fb, needs_full = unpack_group(packed, g.k_verify)
                 for ci, name in enumerate(g.names):
@@ -698,19 +733,24 @@ def _host_prefetch(flat) -> None:
 
 
 def _split_fused(
-    flat: NDArray[np.float32], groups: list[ClipGroup]
+    flat: NDArray[np.float32],
+    groups: list[ClipGroup],
+    rows: "tuple[int, ...] | None" = None,
 ) -> list[NDArray[np.float32]]:
     """Split a fused flat payload (..., total) into per-group (..., G, 2K+2)
-    views; leading batch axes pass through."""
+    views; leading batch axes pass through. ``rows`` gives each group's row
+    count in the payload when it differs from its clip count (the
+    bank-sharded path pads groups to a shard-divisible size; padded rows
+    duplicate clip 0 and are sliced off here)."""
     out = []
     off = 0
-    for g in groups:
+    for gi, g in enumerate(groups):
         gn = len(g.names)
+        gr = rows[gi] if rows is not None else gn
         w = 2 * g.k_verify + 2
-        out.append(
-            flat[..., off : off + gn * w].reshape(*flat.shape[:-1], gn, w)
-        )
-        off += gn * w
+        blk = flat[..., off : off + gr * w].reshape(*flat.shape[:-1], gr, w)
+        out.append(blk[..., :gn, :])
+        off += gr * w
     return out
 
 

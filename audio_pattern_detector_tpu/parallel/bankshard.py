@@ -23,11 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from audio_pattern_detector_tpu.models.bank import (
-    PatternBank,
-    _class_step_jit,
-    unpack_group,
-)
+from audio_pattern_detector_tpu.models.bank import PatternBank
 from audio_pattern_detector_tpu.ops.correlate import CorrelationBankConsts
 from audio_pattern_detector_tpu.ops.verify import MarkerVerifyConsts, NormalVerifyConsts
 
@@ -192,8 +188,10 @@ class BankShardedBank:
         self.axis = axis
         n_shards = mesh.shape[axis]
         self._sharded: dict[int, tuple] = {}
+        self._padded_rows: dict[int, tuple[int, ...]] = {}
         for sw, cls in bank.classes.items():
             shard_groups = []
+            pad_rows = []
             for g in cls["groups"]:
                 g_real = len(g.names)
                 g_pad = -(-g_real // n_shards) * n_shards
@@ -201,67 +199,46 @@ class BankShardedBank:
                 shard_groups.append(
                     shard_group_consts(mesh, axis, corr_c, verify_c)
                 )
+                pad_rows.append(g_pad)
             self._sharded[sw] = tuple(shard_groups)
+            self._padded_rows[sw] = tuple(pad_rows)
 
     # ── Per-chunk execution (same dispatch/collect pairing as
     # PatternBank: dispatch enqueues asynchronously, collect blocks) ──
 
     def dispatch_chunk(self, chunk, previous_chunk):
-        """Enqueue one chunk over the sharded bank (async); returns opaque
-        per-class records for :meth:`collect_chunk`."""
-        bank = self._bank
-        sr = bank.sample_rate
-        dispatched = []
-        for sw, cls in bank.classes.items():
-            if previous_chunk is not None:
-                raw_section = np.concatenate(
-                    (previous_chunk[int(-sw * sr):], chunk)
-                )
-            else:
-                raw_section = chunk
-            n_valid = len(raw_section)
-            section = np.zeros(cls["section_len"], dtype=np.float32)
-            section[:n_valid] = raw_section
+        """Enqueue one chunk over the sharded bank (async); returns the
+        same per-class records PatternBank.dispatch_chunk does.
 
+        Rides the serial path's shared helpers (section assembly, packed
+        int16-pair upload, fused single-transfer payload, dispatch-time
+        d2h prefetch) with the GSPMD-placed constants substituted — the
+        jitted program partitions itself across the bank axis. The Pallas
+        candidate scan is forced off: its kernel has no GSPMD partitioning
+        rule for a sharded G axis."""
+        bank = self._bank
+        dispatched = []
+        for sw in bank.classes:
+            section, n_valid, raw_section = bank._assemble_section(
+                sw, chunk, previous_chunk
+            )
             with self.mesh:
-                outs = _class_step_jit(
-                    jnp.asarray(section),
-                    jnp.float32(n_valid),
-                    cls["loud"],
-                    self._sharded[sw],
-                    metas=bank._metas[sw],
-                    height_min=bank.height_min,
-                    lean=True,
+                flat = bank._dispatch_section(
+                    sw, section, n_valid,
+                    group_consts=self._sharded[sw], pallas=False,
                 )
-            dispatched.append((sw, outs, raw_section))
+            dispatched.append((sw, flat, raw_section))
         return dispatched
 
     def collect_chunk(self, dispatched):
         """Block on a dispatched chunk; accepted peak positions per clip.
 
-        Flag-2 rows (lean small-tier miss) re-derive through the serial
-        row-granular full-tier device program
-        (`PatternBank.resolve_flagged_rows`); flag-1 rows take the exact
-        host path."""
-        bank = self._bank
-        results: dict[str, list[int]] = {}
-        for sw, outs, raw_section in dispatched:
-            cls = bank.classes[sw]
-            flagged: list[tuple[int, int, bool]] = []
-            for gi, (g, out) in enumerate(zip(cls["groups"], outs)):
-                pos, sel, host_fb, needs_full = unpack_group(
-                    np.asarray(out["packed"]), g.k_verify
-                )
-                for ci, name in enumerate(g.names):
-                    if host_fb[ci] or needs_full[ci]:
-                        flagged.append((gi, ci, bool(host_fb[ci])))
-                    else:
-                        results[name] = [int(p) for p in pos[ci][sel[ci]]]
-            if flagged:
-                resolved = bank.resolve_flagged_rows(sw, flagged, raw_section)
-                for (gi, ci), hits in resolved.items():
-                    results[cls["groups"][gi].names[ci]] = hits
-        return results
+        Identical record shape to the serial path, so collection —
+        including row-granular flag resolution (full-tier device rerun for
+        flag-2, exact host path for flag-1) — delegates to
+        PatternBank.collect_chunk; the padded-row map slices duplicate
+        rows back off the fused payload."""
+        return self._bank.collect_chunk(dispatched, padded_rows=self._padded_rows)
 
     def process_chunk(self, chunk, previous_chunk):
         """Synchronous dispatch + collect of one chunk."""

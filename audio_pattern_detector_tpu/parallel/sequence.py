@@ -98,6 +98,13 @@ class ShardedDetector:
         self.sample_rate = self._detector.target_sample_rate
         self.chunk_samples = chunk_seconds * self.sample_rate
         self.slab_samples = self.time_size * self.chunk_samples
+        if self.slab_samples >= 2**31:
+            # Device-side sample counts are i32 (f32-only transfers force
+            # an (hi, lo) split that reconstructs into i32).
+            raise ValueError(
+                f"slab of {self.slab_samples} samples exceeds the int32 "
+                "sample-index range; reduce chunk_seconds or the time axis"
+            )
         self.bank: PatternBank = self._detector._ensure_bank()
         self.max_halo = max(
             sw * self.sample_rate for sw in self.bank.classes
@@ -157,12 +164,18 @@ class ShardedDetector:
             gc_specs = P()
             out_spec = P(*blk_spec)
 
-        def local_fn(blk, prev_tail, t_actual, loud_c, gconsts):
+        def local_fn(blk, prev_tail, t_parts, loud_c, gconsts):
             # blk: (B_local, 1, chunk) — this device's time slice.
             # prev_tail: (B_local, halo) — lookback for device 0.
-            # t_actual: () valid samples in the (padded) slab; arrives as
-            # f32 (non-f32 uploads rejected by the degraded tunnel backend).
-            t_actual = t_actual.astype(jnp.int32)
+            # t_parts: (2,) f32 (hi, lo) split of the valid-sample count
+            # (non-f32 uploads rejected by the degraded tunnel backend; a
+            # single f32 scalar would round counts >= 2^24 — large meshes
+            # with long chunks exceed that). Each part is < 2^24 so the
+            # f32 crossing is exact; reconstruction is exact in i32.
+            t_actual = (
+                t_parts[0].astype(jnp.int32) * 4096
+                + t_parts[1].astype(jnp.int32)
+            )
             local = blk[:, 0, :]
             tail = local[:, -halo:]
             # Left-neighbour halo rides ICI; device 0 takes the carried
@@ -206,13 +219,13 @@ class ShardedDetector:
         mapped = shard_map(
             local_fn,
             mesh=self.mesh,
-            in_specs=(P(*blk_spec, None), tail_spec, P(), P(), gc_specs),
+            in_specs=(P(*blk_spec, None), tail_spec, P(None), P(), gc_specs),
             out_specs=out_spec,
             check_vma=False,
         )
         return jax.jit(
-            lambda blk, prev_tail, t_actual: mapped(
-                blk, prev_tail, t_actual, loud, group_consts
+            lambda blk, prev_tail, t_parts: mapped(
+                blk, prev_tail, t_parts, loud, group_consts
             )
         )
 
@@ -321,6 +334,17 @@ class ShardedStreamSession:
         active_d = owned_d > 0
         index_d = self._base + d_idx
 
+        # Valid-sample count as an exact f32 (hi, lo) pair — a single f32
+        # scalar rounds at 2^24 samples, well inside big-mesh slab sizes.
+        t_parts = jnp.asarray(
+            [t_actual >> 12, t_actual & 0xFFF], dtype=jnp.float32
+        )
+
+        # Phase 1: dispatch EVERY class's device program back-to-back
+        # (each payload's d2h prefetched at dispatch time) so no class
+        # waits on an earlier class's blocking unpack before its program
+        # is even enqueued.
+        dispatched = []
         for sw, cls in sd.bank.classes.items():
             key = (sw, has_prev)
             if key not in sd._jitted:
@@ -333,12 +357,16 @@ class ShardedStreamSession:
                 prev_tail = np.zeros((B, halo), dtype=np.float32)
             prev_tail_dev = jax.device_put(prev_tail, tail_sharding)
 
-            outs = sd._jitted[key](blocks_dev, prev_tail_dev, jnp.float32(t_actual))
+            outs = sd._jitted[key](blocks_dev, prev_tail_dev, t_parts)
             for out in outs:
                 # Enqueue each payload's d2h at dispatch time (see
-                # models/bank.py::_host_prefetch) so later groups'
-                # transfers overlap earlier groups' host unpack.
+                # models/bank.py::_host_prefetch) so transfers overlap
+                # other classes' device compute and host unpack.
                 _host_prefetch(out["packed"])
+            dispatched.append((sw, cls, halo, prev_tail, outs))
+
+        # Phase 2: blocking unpack + flag resolution per class.
+        for sw, cls, halo, prev_tail, outs in dispatched:
             subtract_d = np.where((d_idx > 0) | has_prev, sw, 0.0)  # (Dt,)
 
             # Pass 1 (vectorised): clean timestamps per group + flagged
@@ -406,10 +434,10 @@ class ShardedStreamSession:
                         times.extend(cell_times.get((gi, b, ci), []))
                         per_stream.append(sorted(times))
                     results[name] = per_stream
-        # Advance carry/base for the next slab.
+        # Advance carry/base for the next slab. A full slab always covers
+        # the carry: the detector invariant chunk >= 2*sliding_window gives
+        # slab_samples >= chunk_samples >= 2*max_halo.
         if not self._finished:
-            if has_prev and sd.slab_samples < sd.max_halo:
-                raise ValueError("slab shorter than the maximum lookback")
             self._carry = np.ascontiguousarray(slab[:, -sd.max_halo :])
             self._base += sd.time_size
         return results

@@ -101,6 +101,22 @@ class TestShardedMatchesSerial:
         with pytest.raises(ValueError, match="positive"):
             sd.detect(np.zeros((1, 0), np.float32))
 
+    def test_slab_beyond_int32_rejected(self):
+        clip = make_clip()
+        mesh = make_mesh({"time": 8})
+        # 8 devices x 2^28 s x 8 kHz >> 2^31 samples per slab.
+        with pytest.raises(ValueError, match="int32"):
+            ShardedDetector([clip], mesh, chunk_seconds=2**28)
+
+    def test_sample_count_f32_split_exact_beyond_2_24(self):
+        # The valid-sample count crosses host->device as an f32 (hi, lo)
+        # pair because a single f32 rounds integers >= 2^24. The split must
+        # reconstruct exactly for every count up to the int32 guard.
+        for t in [2**24 - 1, 2**24, 2**24 + 1, 30_719_999, 2**31 - 1]:
+            hi = np.float32(t >> 12)
+            lo = np.float32(t & 0xFFF)
+            assert int(hi) * 4096 + int(lo) == t
+
 
 class TestShardedStreaming:
     """Slab-carry streaming: successive feeds must equal one serial scan."""
