@@ -178,13 +178,19 @@ def verify_normal(
     sim = sim_whole if consts.is_short else jnp.minimum(sim_whole, sim_mid)
 
     window = slices[:, :, consts.win_lo : consts.win_hi]  # (G, K, hi-lo)
-    # Sparse-table window max: K_level rounds of shifted max (fused
-    # elementwise) + two static-index lookups per bin — no element gather.
-    f = window
-    for lvl in range(consts.k_level):
-        off = 1 << lvl
-        pad = jnp.full(f.shape[:-1] + (off,), -jnp.inf, f.dtype)
-        f = jnp.maximum(f, jnp.concatenate([f[..., off:], pad], axis=-1))
+    # Sparse-table window max: one reduce_window builds f[i] = max over
+    # [i, i + 2^K), then two static-index lookups cover each resample bin
+    # exactly (bin max = max(f[a], f[b])) — no element gather. A single
+    # reduce_window measures ~2.7 ms faster in-context than K rounds of
+    # shifted max on this backend (per-op fixed cost dominates the tiny
+    # byte traffic; bitwise-identical — scripts/dev/verify_probe.py
+    # sub_opcount). seg_a/seg_b always index the VALID region (every bin
+    # width >= 2^K), so the -inf tail pad is shape-only.
+    win = 1 << consts.k_level
+    f = jax.lax.reduce_window(
+        window, -jnp.inf, jax.lax.max, (1, 1, win), (1, 1, 1), "VALID"
+    )
+    f = jnp.pad(f, ((0, 0), (0, 0), (0, win - 1)), constant_values=-jnp.inf)
     seg_a = np.asarray(consts.seg_a, dtype=np.int32)
     seg_b = np.asarray(consts.seg_b, dtype=np.int32)
     ds_slice = jnp.maximum(f[..., seg_a], f[..., seg_b])  # (G, K, ds_n)
@@ -262,6 +268,49 @@ def build_marker_verify_consts(
     )
 
 
+def _rfft_power_gemm(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """|rfft(x)|^2 along the last axis as one real DFT GEMM on the MXU.
+
+    Replaces a small-length rfft op with a single dot_general against the
+    baked (n, 2F) cos/sin matrix — an op-count reducer for this backend,
+    where each FFT op carries a fixed per-op cost far above these shapes'
+    byte traffic. Not bitwise-identical to the backend FFT (different
+    summation order); the marker verifier is decision-level exact, not
+    spectrum-level, so threshold decisions tolerate this (differentially
+    tested against the host model and the corpus either way).
+    """
+    f = n // 2 + 1
+    idx = np.arange(n, dtype=np.float64)[:, None] * np.arange(f, dtype=np.float64)
+    ang = -2.0 * np.pi * idx / n
+    mat = jnp.asarray(
+        np.concatenate([np.cos(ang), np.sin(ang)], axis=1).astype(np.float32)
+    )
+    proj = jax.lax.dot_general(
+        x.reshape(-1, n),
+        mat,
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    re, im = proj[:, :f], proj[:, f:]
+    return (re * re + im * im).reshape(x.shape[:-1] + (f,))
+
+
+def _marker_gemm_enabled() -> bool:
+    """DFT-GEMM marker spectra: default ON for TPU backends, off elsewhere.
+
+    Same-window A/B on the flagship lean step: 23.75 ms (backend FFT) vs
+    22.21 ms (GEMM) — scripts/dev/marker_gemm_probe.py. On CPU the O(n^2)
+    DFT GEMM is slower than the FFT, so the default follows the backend;
+    APD_MARKER_GEMM=1/0 forces either way.
+    """
+    import os
+
+    env = os.environ.get("APD_MARKER_GEMM")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
 def verify_marker(
     section: jnp.ndarray,  # (S,) normalised, NaN-scrubbed section
     pos: jnp.ndarray,  # (G, K) candidate 'full' indices
@@ -271,6 +320,7 @@ def verify_marker(
     """Returns accept mask (G, K)."""
     g, k = pos.shape
     m = consts.clip_len
+    use_gemm = _marker_gemm_enabled()
 
     # match_start = peak - m + 1 in section coordinates equals the lag
     # (reference: audio_pattern_detector.py:650-653); left flank + match +
@@ -282,9 +332,18 @@ def verify_marker(
         g, k, 3, m
     )  # [left|match|right]
 
-    # Whole-window Hann spectra for all three segments.
-    spec = jnp.abs(jnp.fft.rfft(seg3 * consts.hann_whole, axis=-1))  # (G,K,3,F2)
-    power = spec * spec
+    # Whole-window Hann spectra for all three segments. argmax and the
+    # purity ratios only need the POWER spectrum (squares of non-negative
+    # magnitudes preserve order), so the GEMM path skips the sqrt.
+    if use_gemm:
+        power = _rfft_power_gemm(seg3 * consts.hann_whole, m)  # (G,K,3,F2)
+        match_arg = jnp.argmax(power[:, :, 1, :], axis=-1)
+    else:
+        spec = jnp.abs(jnp.fft.rfft(seg3 * consts.hann_whole, axis=-1))
+        power = spec * spec
+        # argmax on the magnitude, not its square: squaring can collapse
+        # near-tied f32 magnitudes and shift the tie-break index.
+        match_arg = jnp.argmax(spec[:, :, 1, :], axis=-1)
     energy = jnp.sum(power, axis=-1)  # (G, K, 3)
     band_energy = jnp.sum(
         jnp.where(as_mask(consts.band_whole)[:, None, None, :], power, 0.0), axis=-1
@@ -296,8 +355,7 @@ def verify_marker(
         purity[:, :, 2],
     )
 
-    match_spec = spec[:, :, 1, :]
-    detected = consts.freqs_whole[jnp.argmax(match_spec, axis=-1)]  # (G, K)
+    detected = consts.freqs_whole[match_arg]  # (G, K)
     dom = consts.dom_freq[:, None]
     freq_ok = jnp.abs(detected - dom) <= 0.05 * jnp.maximum(jnp.abs(detected), dom)
 
@@ -310,15 +368,20 @@ def verify_marker(
             [seg_match[:, :, s0 : s0 + wl] for s0 in consts.frame_starts],
             axis=2,
         ) * consts.hann_frame  # (G, K, F, wl) — static slices, no gather
-        fspec = jnp.abs(jnp.fft.rfft(frames, axis=-1))
-        fpow = fspec * fspec
+        if use_gemm:
+            fpow = _rfft_power_gemm(frames, wl)
+            ffreq_arg = jnp.argmax(fpow, axis=-1)
+        else:
+            fspec = jnp.abs(jnp.fft.rfft(frames, axis=-1))
+            fpow = fspec * fspec
+            ffreq_arg = jnp.argmax(fspec, axis=-1)
         fenergy = jnp.sum(fpow, axis=-1)  # (G, K, F)
         nonzero = fenergy > 0.0
         fband = jnp.sum(
             jnp.where(as_mask(consts.band_frame)[:, None, None, :], fpow, 0.0), axis=-1
         )
         fpur = jnp.where(nonzero, fband / jnp.maximum(fenergy, 1e-38), 0.0)
-        ffreq = consts.freqs_frame[jnp.argmax(fspec, axis=-1)]
+        ffreq = consts.freqs_frame[ffreq_arg]
         locked = jnp.abs(ffreq - dom[..., None]) <= consts.lock_hz[:, None, None]
         active = nonzero & locked & (fpur >= 0.55)
 

@@ -607,6 +607,63 @@ class TestDeviceVerifyMarker:
         assert bool(dev[0, 0]) is True
         assert bool(dev[1, 0]) is False
 
+    def test_gemm_spectra_same_decisions(self, monkeypatch):
+        """The DFT-GEMM spectra path (TPU default) reaches the same
+        accept/reject decisions as the backend-FFT path on clean-accept,
+        dirty-flank, and wrong-frequency candidates, and its per-frame
+        purity stays within f32 DFT noise of the FFT path's."""
+        freq = 1040.0
+        m = round(0.228375 * SR)
+        t = np.arange(m) / SR
+        tone = np.sin(2 * np.pi * freq * t).astype(np.float32)
+        rng = np.random.default_rng(7)
+        S = 2 * SR
+
+        secs = []
+        sec = (0.001 * rng.standard_normal(S)).astype(np.float32)
+        sec[4000 : 4000 + m] += 0.7 * tone
+        secs.append((sec, 4000 + m - 1))
+        tt = np.arange(3 * m) / SR
+        sec2 = (0.001 * rng.standard_normal(S)).astype(np.float32)
+        sec2[3000 : 3000 + 3 * m] += 0.7 * np.sin(
+            2 * np.pi * freq * tt
+        ).astype(np.float32)
+        secs.append((sec2, 3000 + 2 * m - 1))
+        sec3 = (0.001 * rng.standard_normal(S)).astype(np.float32)
+        sec3[4000 : 4000 + m] += 0.7 * np.sin(
+            2 * np.pi * freq * 1.3 * t
+        ).astype(np.float32)
+        secs.append((sec3, 4000 + m - 1))
+
+        consts = build_marker_verify_consts(m, SR, np.array([freq]), [{}])
+        for sec, peak in secs:
+            args = (
+                jnp.asarray(sec),
+                jnp.asarray([[peak]], dtype=jnp.int32),
+                jnp.asarray([[True]]),
+                consts,
+            )
+            monkeypatch.setenv("APD_MARKER_GEMM", "0")
+            fft_dec = bool(np.asarray(verify_marker(*args))[0, 0])
+            monkeypatch.setenv("APD_MARKER_GEMM", "1")
+            gemm_dec = bool(np.asarray(verify_marker(*args))[0, 0])
+            assert gemm_dec == fft_dec
+
+    def test_gemm_power_matches_fft_power(self):
+        """_rfft_power_gemm equals |rfft|^2 to f32 DFT accuracy."""
+        from audio_pattern_detector_tpu.ops.verify import _rfft_power_gemm
+
+        rng = np.random.default_rng(3)
+        for n in (200, 1827):
+            x = rng.standard_normal((4, n)).astype(np.float32)
+            want = np.abs(np.fft.rfft(x.astype(np.float64), axis=-1)) ** 2
+            got = np.asarray(_rfft_power_gemm(jnp.asarray(x), n))
+            scale = float(want.max())
+            assert np.allclose(got, want, atol=5e-4 * scale, rtol=5e-3), (
+                n,
+                float(np.abs(got - want).max() / scale),
+            )
+
 
 class TestOverlapSaveCorrelation:
     def test_matches_single_fft_and_host(self):
