@@ -20,6 +20,17 @@ def _lazy_cmd_match(args: argparse.Namespace) -> None:
     return cmd_match(args)
 
 
+def _lazy_cmd_serve(args: argparse.Namespace) -> None:
+    from audio_pattern_detector_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+    from audio_pattern_detector_tpu.serve import cmd_serve
+
+    return cmd_serve(args)
+
+
 def _lazy_cmd_show_config(args: argparse.Namespace) -> None:
     from audio_pattern_detector_tpu.match import cmd_show_config
 
@@ -230,6 +241,103 @@ def main() -> None:
         help="write a jax.profiler device trace of the run to this directory",
     )
     match_parser.set_defaults(func=_lazy_cmd_match)
+
+    serve_parser = subparsers.add_parser(
+        "serve",
+        help=(
+            "serve the pattern bank to concurrent TCP audio streams "
+            "(one chip, N live streams, one compiled program)"
+        ),
+    )
+    serve_parser.add_argument(
+        "--pattern-file",
+        metavar="pattern file",
+        required=False,
+        type=str,
+        action="append",
+        help="pattern file (can be specified multiple times)",
+    )
+    serve_parser.add_argument(
+        "--pattern-folder",
+        metavar="pattern folder",
+        required=False,
+        type=str,
+        action="append",
+        help=(
+            "folder with pattern audio clips (can be specified multiple "
+            "times, can be combined with --pattern-file)"
+        ),
+    )
+    serve_parser.add_argument(
+        "--host",
+        metavar="host",
+        type=str,
+        default="127.0.0.1",
+        help="bind address (default: 127.0.0.1)",
+    )
+    serve_parser.add_argument(
+        "--port",
+        metavar="port",
+        type=int,
+        default=7342,
+        help="TCP port to listen on (default: 7342; 0 picks a free port)",
+    )
+    serve_parser.add_argument(
+        "--max-streams",
+        metavar="n",
+        type=int,
+        default=8,
+        help=(
+            "concurrent client streams batched into each device launch "
+            "(default: 8). Extra connections are refused with a JSONL "
+            "error event"
+        ),
+    )
+    serve_parser.add_argument(
+        "--target-sample-rate",
+        metavar="rate",
+        type=int,
+        required=False,
+        help="target sample rate for processing in Hz (default: 8000)",
+    )
+    serve_parser.add_argument(
+        "--timestamp-format",
+        choices=["ms", "formatted", "both"],
+        default="both",
+        help="timestamp format in JSONL events (same as match)",
+    )
+    serve_parser.add_argument(
+        "--chunk-seconds",
+        metavar="seconds",
+        type=int,
+        default=None,
+        help=(
+            "seconds per chunk per stream (default: 60, the live-stream "
+            "default). Smaller chunks lower detection latency; larger "
+            "chunks raise per-stream throughput"
+        ),
+    )
+    serve_parser.add_argument(
+        "--height-min",
+        metavar="height",
+        type=float,
+        default=None,
+        help=(
+            "override minimum correlation peak height (default: 0.25, "
+            "lower to find weak matches)"
+        ),
+    )
+    serve_parser.add_argument(
+        "--pipeline-depth",
+        metavar="rounds",
+        type=int,
+        default=2,
+        help=(
+            "device rounds kept in flight while sockets ingest "
+            "(default: 2)"
+        ),
+    )
+    serve_parser.set_defaults(func=_lazy_cmd_serve)
 
     show_config_parser = subparsers.add_parser(
         "show-config", help="Show computed configuration for a pattern file"

@@ -877,9 +877,16 @@ def _match_pattern_multiplexed_stdin(
     )
 
 
-def _make_jsonl_callback(timestamp_format: str = "both") -> PatternDetectedCallback:
+def _make_jsonl_callback(
+    timestamp_format: str = "both",
+    emit: Callable[..., None] = _emit_jsonl,
+) -> PatternDetectedCallback:
     """pattern_detected JSONL emitter with per-clip equal-ms dedup
-    (overlap-region duplicates are expected; reference: match.py:524-551)."""
+    (overlap-region duplicates are expected; reference: match.py:524-551).
+
+    ``emit`` defaults to the process-wide stdout emitter; the socket
+    server (serve.py) passes a per-connection emitter so every client
+    gets the same event fields on its own stream."""
     last_ms: dict[str, int] = {}
 
     def callback(clip_name: str, timestamp: float) -> None:
@@ -888,15 +895,15 @@ def _make_jsonl_callback(timestamp_format: str = "both") -> PatternDetectedCallb
             return
         last_ms[clip_name] = ts_ms
         if timestamp_format == "formatted":
-            _emit_jsonl(
+            emit(
                 "pattern_detected",
                 clip_name=clip_name,
                 timestamp_formatted=seconds_to_time(timestamp),
             )
         elif timestamp_format == "ms":
-            _emit_jsonl("pattern_detected", clip_name=clip_name, timestamp_ms=ts_ms)
+            emit("pattern_detected", clip_name=clip_name, timestamp_ms=ts_ms)
         else:
-            _emit_jsonl(
+            emit(
                 "pattern_detected",
                 clip_name=clip_name,
                 timestamp_ms=ts_ms,
@@ -906,13 +913,17 @@ def _make_jsonl_callback(timestamp_format: str = "both") -> PatternDetectedCallb
     return callback
 
 
-def _emit_jsonl_end(total_time: float, timestamp_format: str = "both") -> None:
+def _emit_jsonl_end(
+    total_time: float,
+    timestamp_format: str = "both",
+    emit: Callable[..., None] = _emit_jsonl,
+) -> None:
     if timestamp_format == "formatted":
-        _emit_jsonl("end", total_time_formatted=seconds_to_time(total_time))
+        emit("end", total_time_formatted=seconds_to_time(total_time))
     elif timestamp_format == "ms":
-        _emit_jsonl("end", total_time_ms=round(total_time * 1000))
+        emit("end", total_time_ms=round(total_time * 1000))
     else:
-        _emit_jsonl(
+        emit(
             "end",
             total_time_ms=round(total_time * 1000),
             total_time_formatted=seconds_to_time(total_time),

@@ -167,3 +167,15 @@ class MultiStreamSession:
     def total_time(self, stream: int) -> float:
         """Seconds of audio processed so far for one stream."""
         return self._times[stream]
+
+    def reset(self, stream: int) -> None:
+        """Reclaim one slot for a fresh stream.
+
+        The serving layer (serve.py) reuses session slots across client
+        connections; resetting restores the slot to its initial state
+        (no lookback tail, chunk index 0) without touching any other
+        stream or recompiling the batch program.
+        """
+        self._tails[stream] = None
+        self._indices[stream] = 0
+        self._times[stream] = 0.0

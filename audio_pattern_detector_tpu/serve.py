@@ -1,0 +1,525 @@
+"""TCP JSONL serving: N live audio streams multiplexed onto one chip.
+
+The reference's deployment model is one OS process per stream, piped
+over stdin (reference: match.py:215-283 stdin wrapper; cli.py --stdin).
+On a TPU chip that wastes the device — each process would hold its own
+compiled program and the chip idles between one stream's chunks. This
+server keeps ONE process and ONE compiled batch program: up to
+``max_streams`` concurrent TCP clients each send a WAV stream in
+exactly the ``match --stdin`` wire format (mono 16/32-bit PCM or
+32-bit float, pre-resampled to the target rate) and receive the same
+JSONL events the CLI prints (``start`` / ``pattern_detected`` /
+``end``) back on their own socket. Every serving round batches one
+chunk from each ready stream into a single vmapped device launch via
+:class:`MultiStreamSession`, with up to ``pipeline_depth`` rounds in
+flight, so a single chip serves N live stations at chunk cadence.
+
+Per-stream results are bit-identical to piping the same bytes through
+``match --stdin``: header validation, sample decode, chunk/lookback
+algebra, and event fields are the same code paths (match.py), just
+multiplexed. Stream slots are recycled across connections
+(:meth:`MultiStreamSession.reset`), so the batch program never
+recompiles after warm-up.
+
+Single-threaded by design: one Python thread drives the chip (the
+execution model is one queue per device) and a ``selectors`` loop
+drives the sockets; socket reads never block the device and device
+rounds overlap socket ingest through dispatch/collect pipelining.
+"""
+
+from __future__ import annotations
+
+import json
+import selectors
+import socket
+import sys
+from typing import Any
+
+import numpy as np
+from numpy.typing import NDArray
+
+from audio_pattern_detector_tpu.match import (
+    _SAMPLE_CODECS,
+    _decode_samples,
+    _emit_jsonl_end,
+    _make_jsonl_callback,
+    _validate_wav_header,
+)
+from audio_pattern_detector_tpu.models.detector import AudioPatternDetector
+from audio_pattern_detector_tpu.models.multistream import MultiStreamSession
+from audio_pattern_detector_tpu.utils.clip import AudioClip
+
+# A streamable WAV header (RIFF + fmt + skipped metadata chunks) is tiny;
+# anything this large without a data chunk is not a WAV stream.
+_MAX_HEADER_BYTES = 64 * 1024
+
+
+class _NeedMoreData(Exception):
+    """Header parse paused: the buffer doesn't hold the full header yet."""
+
+
+class _ExactReader:
+    """Replay a byte buffer to the WAV header walker, pausing on shortfall.
+
+    ``_validate_wav_header`` consumes a ``.read(n)``-style stream and
+    treats short reads as fatal truncation. Over a socket, a short read
+    just means the rest hasn't arrived: this reader raises
+    :class:`_NeedMoreData` instead, so the caller can retry the parse
+    when more bytes land (real format errors still raise ValueError
+    with the reference error strings).
+    """
+
+    def __init__(self, data: bytearray) -> None:
+        self._data = data
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        if self.pos + n > len(self._data):
+            raise _NeedMoreData
+        out = bytes(self._data[self.pos : self.pos + n])
+        self.pos += n
+        return out
+
+
+class _Conn:
+    """One client stream: socket state + WAV decode state + slot binding."""
+
+    def __init__(self, sock: socket.socket, addr: Any, slot: int) -> None:
+        self.sock = sock
+        self.addr = addr
+        self.slot = slot
+        self.buf = bytearray()  # raw inbound bytes (header, then samples)
+        self.outbound = bytearray()  # JSONL bytes awaiting send
+        self.header_done = False
+        self.dtype: np.dtype | None = None
+        self.scale = 1.0
+        self.eof = False  # client half-closed (finished sending)
+        self.pending = 0  # dispatched rounds not yet collected
+        self.samples_fed = 0
+        self.ended = False  # end event emitted; close when outbound drains
+        self.dead = False  # dropped (error/disconnect); discard collects
+        self.callback: Any = None  # dedup'd pattern_detected emitter
+
+    @property
+    def itemsize(self) -> int:
+        return 4 if self.dtype is None else self.dtype.itemsize
+
+
+class PatternServer:
+    """Serve a compiled pattern bank to concurrent TCP audio streams.
+
+    Protocol per connection (all server->client traffic is JSONL):
+      1. client connects; server sends ``{"type": "start", ...}`` (or
+         ``{"type": "error", "error": "server full..."}`` and closes
+         when all ``max_streams`` slots are busy);
+      2. client streams a WAV (``match --stdin`` format) and half-closes
+         its write side (``shutdown(SHUT_WR)``) at end of audio;
+      3. server streams ``pattern_detected`` events as chunks process,
+         then ``{"type": "end", ...}`` and closes.
+
+    Detection semantics/config mirror ``match --stdin``: fixed
+    ``seconds_per_chunk`` cadence (live stream — no auto-perf chunk
+    sizing), same timestamp formats, same error strings.
+    """
+
+    def __init__(
+        self,
+        pattern_clips: list[AudioClip],
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_streams: int = 8,
+        seconds_per_chunk: int | None = None,
+        target_sample_rate: int | None = None,
+        timestamp_format: str = "both",
+        height_min: float | None = None,
+        pipeline_depth: int = 2,
+    ) -> None:
+        if max_streams < 1:
+            raise ValueError(f"max_streams must be >= 1, got {max_streams}")
+        if pipeline_depth < 1:
+            raise ValueError(
+                f"pipeline_depth must be >= 1, got {pipeline_depth}"
+            )
+        kwargs: dict[str, Any] = {}
+        if seconds_per_chunk is not None:
+            kwargs["seconds_per_chunk"] = seconds_per_chunk
+        if target_sample_rate is not None:
+            kwargs["target_sample_rate"] = target_sample_rate
+        if height_min is not None:
+            kwargs["height_min"] = height_min
+        self.detector = AudioPatternDetector(
+            audio_clips=pattern_clips, **kwargs
+        )
+        self.sr = self.detector.target_sample_rate
+        self.chunk_samples = int(self.detector.seconds_per_chunk * self.sr)
+        self.max_streams = max_streams
+        self.timestamp_format = timestamp_format
+        self.pipeline_depth = pipeline_depth
+        self.session = MultiStreamSession(self.detector, max_streams)
+
+        self._sel = selectors.DefaultSelector()
+        self._listener = socket.create_server((host, port))
+        self._listener.setblocking(False)
+        self._sel.register(self._listener, selectors.EVENT_READ, "accept")
+        self._wake_r, self._wake_w = socket.socketpair()
+        self._wake_r.setblocking(False)
+        self._sel.register(self._wake_r, selectors.EVENT_READ, "wake")
+        self._stopping = False
+        self._free_slots = list(range(max_streams))
+        self._conns: dict[socket.socket, _Conn] = {}
+        # FIFO of in-flight rounds: (session handle, per-slot conn map)
+        self._inflight: list[tuple[Any, dict[int, _Conn]]] = []
+
+    @property
+    def address(self) -> tuple[str, int]:
+        """Bound (host, port) — resolves port 0 to the real port."""
+        return self._listener.getsockname()[:2]
+
+    def warmup(self) -> None:
+        """Compile the batch program before accepting traffic.
+
+        First-launch compilation can take tens of seconds on a cold
+        cache; running one throwaway round up front keeps the first
+        client's latency at chunk cadence instead.
+        """
+        self.session.feed(
+            [np.zeros(self.chunk_samples, dtype=np.float32)]
+            + [None] * (self.max_streams - 1)
+        )
+        self.session.reset(0)
+
+    def shutdown(self) -> None:
+        """Stop ``serve_forever`` from any thread (idempotent)."""
+        self._stopping = True
+        try:
+            self._wake_w.send(b"x")
+        except OSError:
+            pass
+
+    # ------------------------------------------------------------------
+    # event loop
+
+    def serve_forever(self) -> None:
+        host, port = self.address
+        print(
+            f"Serving {len(self.detector.audio_clips)} pattern(s) on "
+            f"{host}:{port} ({self.max_streams} stream slots, "
+            f"{self.detector.seconds_per_chunk}s chunks)",
+            file=sys.stderr,
+        )
+        try:
+            while not self._stopping:
+                self._sel.select(self._poll_timeout())
+                self._service_sockets()
+                self._collect_ready()
+                self._dispatch_round()
+                self._finish_streams()
+        finally:
+            self._teardown()
+
+    def _poll_timeout(self) -> float:
+        if any(self._round_bytes(c) for c in self._conns.values()):
+            return 0.0  # a round can dispatch right now
+        if self._inflight:
+            return 0.01  # device busy; poll for completion
+        return 0.2
+
+    def _service_sockets(self) -> None:
+        # select() again with timeout 0: the timed select in the loop
+        # already fired; this pass drains every currently-ready socket.
+        for key, mask in self._sel.select(0):
+            if key.data == "accept":
+                self._accept()
+            elif key.data == "wake":
+                try:
+                    self._wake_r.recv(4096)
+                except OSError:
+                    pass
+            else:
+                conn = key.data
+                if mask & selectors.EVENT_WRITE:
+                    self._flush(conn)
+                if mask & selectors.EVENT_READ:
+                    self._ingest(conn)
+
+    def _accept(self) -> None:
+        try:
+            sock, addr = self._listener.accept()
+        except OSError:
+            return
+        sock.setblocking(False)
+        if not self._free_slots:
+            # Reject at the protocol layer so clients get a parseable
+            # reason rather than a bare close.
+            msg = (
+                json.dumps(
+                    {
+                        "type": "error",
+                        "error": (
+                            f"server full: {self.max_streams} streams "
+                            "already connected"
+                        ),
+                    }
+                )
+                + "\n"
+            )
+            try:
+                sock.sendall(msg.encode())
+            except OSError:
+                pass
+            sock.close()
+            print(f"Rejected {addr}: server full", file=sys.stderr)
+            return
+        slot = self._free_slots.pop()
+        conn = _Conn(sock, addr, slot)
+        conn.callback = _make_jsonl_callback(
+            self.timestamp_format,
+            emit=lambda et, **kw: self._emit(conn, et, **kw),
+        )
+        self._conns[sock] = conn
+        self._sel.register(sock, selectors.EVENT_READ, conn)
+        self._emit(conn, "start", source=f"tcp:{addr[0]}:{addr[1]}")
+        print(f"Stream {slot}: connected from {addr}", file=sys.stderr)
+
+    def _ingest(self, conn: _Conn) -> None:
+        while True:
+            try:
+                data = conn.sock.recv(1 << 16)
+            except BlockingIOError:
+                return
+            except OSError:
+                self._drop(conn, "connection reset")
+                return
+            if not data:
+                conn.eof = True
+                if not conn.header_done:
+                    self._fail(conn, "Unexpected EOF in WAV header")
+                return
+            conn.buf += data
+            if not conn.header_done:
+                self._try_parse_header(conn)
+                if conn.dead:
+                    return
+
+    def _try_parse_header(self, conn: _Conn) -> None:
+        reader = _ExactReader(conn.buf)
+        try:
+            audio_format, bits = _validate_wav_header(reader, self.sr)
+        except _NeedMoreData:
+            if len(conn.buf) > _MAX_HEADER_BYTES:
+                self._fail(conn, "WAV header too large (not a WAV stream?)")
+            return
+        except ValueError as e:
+            self._fail(conn, str(e))
+            return
+        del conn.buf[: reader.pos]
+        conn.dtype, conn.scale = _SAMPLE_CODECS[(audio_format, bits)]
+        conn.header_done = True
+        fmt_name = "float32" if audio_format == 3 else f"int{bits}"
+        print(
+            f"Stream {conn.slot}: WAV {self.sr}Hz, mono, {fmt_name}",
+            file=sys.stderr,
+        )
+
+    # ------------------------------------------------------------------
+    # device rounds
+
+    def _round_bytes(self, conn: _Conn) -> int:
+        """Decodable payload bytes if this conn can join a round now."""
+        if conn.dead or conn.ended or not conn.header_done:
+            return 0
+        need = self.chunk_samples * conn.itemsize
+        if len(conn.buf) >= need:
+            return need
+        if conn.eof:
+            return len(conn.buf) - len(conn.buf) % conn.itemsize
+        return 0
+
+    def _take_chunk(self, conn: _Conn) -> NDArray[np.float32] | None:
+        n_bytes = self._round_bytes(conn)
+        if n_bytes <= 0:
+            return None
+        raw = bytes(conn.buf[:n_bytes])
+        del conn.buf[:n_bytes]
+        assert conn.dtype is not None
+        samples = _decode_samples(raw, conn.dtype, conn.scale)
+        conn.samples_fed += len(samples)
+        return samples
+
+    def _dispatch_round(self) -> None:
+        if self._inflight and len(self._inflight) >= self.pipeline_depth:
+            return
+        chunks: list[NDArray[np.float32] | None] = [None] * self.max_streams
+        members: dict[int, _Conn] = {}
+        for conn in self._conns.values():
+            chunk = self._take_chunk(conn)
+            if chunk is not None and len(chunk):
+                chunks[conn.slot] = chunk
+                members[conn.slot] = conn
+        if not members:
+            return
+        handle = self.session.dispatch(chunks)
+        for conn in members.values():
+            conn.pending += 1
+        self._inflight.append((handle, members))
+
+    def _collect_ready(self, block: bool = False) -> None:
+        while self._inflight:
+            handle, members = self._inflight[0]
+            must = block or len(self._inflight) >= self.pipeline_depth
+            if not must and not self.session.round_ready(handle):
+                return
+            self._inflight.pop(0)
+            results = self.session.collect(handle)
+            for slot, conn in members.items():
+                conn.pending -= 1
+                if conn.dead:
+                    continue
+                for clip_name, times in results[slot].items():
+                    for t in times:
+                        conn.callback(clip_name, t)
+
+    def _finish_streams(self) -> None:
+        for conn in list(self._conns.values()):
+            if conn.dead:
+                continue
+            if (
+                not conn.ended
+                and conn.eof
+                and conn.header_done
+                and conn.pending == 0
+                and self._round_bytes(conn) <= 0
+            ):
+                _emit_jsonl_end(
+                    conn.samples_fed / self.sr,
+                    self.timestamp_format,
+                    emit=lambda et, **kw: self._emit(conn, et, **kw),
+                )
+                conn.ended = True
+                print(
+                    f"Stream {conn.slot}: ended after "
+                    f"{conn.samples_fed / self.sr:.1f}s",
+                    file=sys.stderr,
+                )
+            if conn.ended and not conn.outbound:
+                self._release(conn)
+
+    # ------------------------------------------------------------------
+    # outbound / lifecycle
+
+    def _emit(self, conn: _Conn, event_type: str, **kwargs: Any) -> None:
+        if conn.dead:
+            return
+        event = {"type": event_type, **kwargs}
+        conn.outbound += (
+            json.dumps(event, ensure_ascii=False) + "\n"
+        ).encode()
+        self._flush(conn)
+
+    def _flush(self, conn: _Conn) -> None:
+        if conn.dead:
+            return
+        while conn.outbound:
+            try:
+                sent = conn.sock.send(conn.outbound)
+            except BlockingIOError:
+                break
+            except OSError:
+                self._drop(conn, "connection reset")
+                return
+            del conn.outbound[:sent]
+        mask = selectors.EVENT_READ
+        if conn.outbound:
+            mask |= selectors.EVENT_WRITE
+        try:
+            self._sel.modify(conn.sock, mask, conn)
+        except KeyError:
+            pass
+
+    def _fail(self, conn: _Conn, message: str) -> None:
+        """Protocol error: tell the client why, then drop the stream."""
+        self._emit(conn, "error", error=message)
+        print(f"Stream {conn.slot}: error: {message}", file=sys.stderr)
+        self._drop(conn, message)
+
+    def _drop(self, conn: _Conn, reason: str) -> None:
+        if conn.dead:
+            return
+        if not conn.ended:
+            print(
+                f"Stream {conn.slot}: dropped ({reason})", file=sys.stderr
+            )
+        conn.dead = True
+        self._release(conn)
+
+    def _release(self, conn: _Conn) -> None:
+        """Close the socket and recycle the stream slot."""
+        try:
+            self._sel.unregister(conn.sock)
+        except (KeyError, ValueError):
+            pass
+        if conn.outbound:
+            # Best-effort: land any queued events (e.g. the error line
+            # that triggered the drop) before the close.
+            try:
+                conn.sock.settimeout(1.0)
+                conn.sock.sendall(conn.outbound)
+            except OSError:
+                pass
+            conn.outbound.clear()
+        try:
+            conn.sock.close()
+        except OSError:
+            pass
+        self._conns.pop(conn.sock, None)
+        conn.dead = True
+        # In-flight rounds hold dispatch-time metadata, so resetting the
+        # slot now is safe: their collects don't read current state, and
+        # a new connection reusing the slot starts from index 0.
+        self.session.reset(conn.slot)
+        if conn.slot not in self._free_slots:
+            self._free_slots.append(conn.slot)
+
+    def _teardown(self) -> None:
+        self._collect_ready(block=True)
+        self._finish_streams()
+        for conn in list(self._conns.values()):
+            self._release(conn)
+        for sock in (self._listener, self._wake_r, self._wake_w):
+            try:
+                self._sel.unregister(sock)
+            except (KeyError, ValueError):
+                pass
+            try:
+                sock.close()
+            except OSError:
+                pass
+        self._sel.close()
+
+
+def cmd_serve(args: Any) -> None:
+    from audio_pattern_detector_tpu.match import (
+        _collect_pattern_files,
+        _load_pattern_clips,
+    )
+
+    pattern_files = _collect_pattern_files(args)
+    sr = args.target_sample_rate or 8000
+    clips = _load_pattern_clips(pattern_files, sr)
+    server = PatternServer(
+        clips,
+        host=args.host,
+        port=args.port,
+        max_streams=args.max_streams,
+        seconds_per_chunk=args.chunk_seconds,
+        target_sample_rate=args.target_sample_rate,
+        timestamp_format=args.timestamp_format,
+        height_min=args.height_min,
+        pipeline_depth=args.pipeline_depth,
+    )
+    print("Compiling batch program...", file=sys.stderr)
+    server.warmup()
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()

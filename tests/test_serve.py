@@ -1,0 +1,251 @@
+"""TCP serving layer: N concurrent client streams, one batched device program.
+
+Per-client JSONL events must match piping the same bytes through
+``match --stdin``: same header validation, decode, chunk/lookback
+algebra, dedup, and event fields — just multiplexed onto shared
+stream slots (serve.py on top of MultiStreamSession).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import socket
+import struct
+import threading
+
+import numpy as np
+import pytest
+
+from tests.conftest import SAMPLE_AUDIOS
+from audio_pattern_detector_tpu import (
+    AudioClip,
+    AudioPatternDetector,
+    AudioStream,
+)
+from audio_pattern_detector_tpu.serve import PatternServer
+from audio_pattern_detector_tpu.utils.audio_io import load_wave_file
+
+SR = 8000
+CHUNK_S = 2
+
+
+def corpus(rel):
+    return os.path.join(SAMPLE_AUDIOS, rel)
+
+
+@pytest.fixture(scope="module")
+def clips():
+    return [
+        AudioClip.from_audio_file(
+            corpus("clips/rthk_beep.apd.toml"), sample_rate=SR
+        ),
+        AudioClip.from_audio_file(
+            corpus("clips/cbs_news.wav"), sample_rate=SR
+        ),
+    ]
+
+
+@pytest.fixture(scope="module")
+def server(clips):
+    srv = PatternServer(
+        clips,
+        host="127.0.0.1",
+        port=0,
+        max_streams=2,
+        seconds_per_chunk=CHUNK_S,
+        pipeline_depth=2,
+    )
+    srv.warmup()
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv
+    srv.shutdown()
+    thread.join(timeout=30)
+    assert not thread.is_alive()
+
+
+def wav_payload(audio: np.ndarray, kind: str = "f32") -> bytes:
+    """A streamable WAV in the ``match --stdin`` wire format."""
+    if kind == "f32":
+        fmt_tag, bits = 3, 32
+        data = audio.astype(np.float32).tobytes()
+    else:
+        fmt_tag, bits = 1, 16
+        data = (
+            np.clip(np.round(audio * 32768.0), -32768, 32767)
+            .astype(np.int16)
+            .tobytes()
+        )
+    block = bits // 8
+    fmt = struct.pack("<HHIIHH", fmt_tag, 1, SR, SR * block, block, bits)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def run_client(port: int, payload: bytes) -> list[dict]:
+    sock = socket.create_connection(("127.0.0.1", port), timeout=60)
+    try:
+        sock.sendall(payload)
+        sock.shutdown(socket.SHUT_WR)
+    except OSError:
+        pass  # server already closed (e.g. rejected/error) — read on
+    sock.settimeout(120)
+    buf = b""
+    while True:
+        try:
+            data = sock.recv(1 << 16)
+        except ConnectionResetError:
+            break
+        if not data:
+            break
+        buf += data
+    sock.close()
+    return [json.loads(line) for line in buf.decode().splitlines()]
+
+
+def serial_events_ms(clips, audio: np.ndarray) -> dict[str, list[int]]:
+    """Expected per-clip emitted timestamps: serial engine + the CLI's
+    equal-ms dedup (match.py:_make_jsonl_callback semantics)."""
+    det = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=CHUNK_S)
+    peaks, _ = det.find_clip_in_audio(
+        AudioStream("s", io.BytesIO(audio.astype(np.float32).tobytes()), SR)
+    )
+    out: dict[str, list[int]] = {}
+    last: dict[str, int] = {}
+    for name, times in peaks.items():
+        for t in times:
+            ms = round(t * 1000)
+            if last.get(name) == ms:
+                continue
+            last[name] = ms
+            out.setdefault(name, []).append(ms)
+    return out
+
+
+def events_by_clip(events: list[dict]) -> dict[str, list[int]]:
+    out: dict[str, list[int]] = {}
+    for ev in events:
+        if ev["type"] == "pattern_detected":
+            out.setdefault(ev["clip_name"], []).append(ev["timestamp_ms"])
+    return out
+
+
+class TestPatternServer:
+    def test_single_stream_matches_serial(self, server, clips):
+        audio = load_wave_file(corpus("rthk_section_with_beep.wav"), SR)
+        port = server.address[1]
+        events = run_client(port, wav_payload(audio))
+
+        assert events[0]["type"] == "start"
+        assert events[0]["source"].startswith("tcp:")
+        assert events[-1]["type"] == "end"
+        assert events[-1]["total_time_ms"] == round(len(audio) / SR * 1000)
+        assert "total_time_formatted" in events[-1]
+
+        got = events_by_clip(events)
+        assert got == serial_events_ms(clips, audio)
+        assert sum(len(v) for v in got.values()) > 0
+
+    def test_int16_stream_matches_serial_on_quantised(self, server, clips):
+        audio = load_wave_file(corpus("cbs_news_audio_section.wav"), SR)
+        payload = wav_payload(audio, kind="i16")
+        quantised = (
+            np.clip(np.round(audio * 32768.0), -32768, 32767).astype(np.int16)
+        ).astype(np.float32) / np.float32(32768.0)
+        events = run_client(server.address[1], payload)
+        got = events_by_clip(events)
+        assert got == serial_events_ms(clips, quantised)
+        assert sum(len(v) for v in got.values()) > 0
+
+    def test_concurrent_streams_are_independent(self, server, clips):
+        audios = [
+            load_wave_file(corpus("rthk_section_with_beep.wav"), SR),
+            load_wave_file(corpus("cbs_news_audio_section.wav"), SR),
+        ]
+        port = server.address[1]
+        results: list[list[dict] | None] = [None, None]
+
+        def client(i: int) -> None:
+            results[i] = run_client(port, wav_payload(audios[i]))
+
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(2)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+            assert not t.is_alive()
+
+        for i, audio in enumerate(audios):
+            events = results[i]
+            assert events is not None
+            assert events[-1]["type"] == "end"
+            assert events[-1]["total_time_ms"] == round(
+                len(audio) / SR * 1000
+            )
+            assert events_by_clip(events) == serial_events_ms(clips, audio)
+
+    def test_server_full_then_slot_recycled(self, server, clips):
+        port = server.address[1]
+        header_only = wav_payload(np.zeros(0, dtype=np.float32))
+
+        holders = []
+        for _ in range(2):
+            s = socket.create_connection(("127.0.0.1", port), timeout=30)
+            s.sendall(header_only)  # occupy the slot, keep it open
+            holders.append(s)
+        try:
+            # Wait until both slots are actually taken (start events).
+            for s in holders:
+                s.settimeout(30)
+                assert b'"start"' in s.recv(1 << 16)
+
+            # The rejected client sends nothing — the refusal arrives on
+            # connect, and an unread inbound payload would risk an RST
+            # discarding the error line.
+            rejected = run_client(port, b"")
+            assert rejected == [
+                {
+                    "type": "error",
+                    "error": "server full: 2 streams already connected",
+                }
+            ]
+        finally:
+            for s in holders:
+                s.close()
+
+        # Slots recycle: the next client gets a fresh stream (timestamps
+        # start at zero — index/lookback were reset with the slot).
+        audio = load_wave_file(corpus("rthk_section_with_beep.wav"), SR)
+        events = run_client(port, wav_payload(audio))
+        assert events[-1]["type"] == "end"
+        assert events_by_clip(events) == serial_events_ms(clips, audio)
+
+    def test_bad_header_gets_error_event(self, server):
+        port = server.address[1]
+        events = run_client(port, b"definitely not a wav stream")
+        assert events[0]["type"] == "start"
+        assert events[-1]["type"] == "error"
+        assert "Not a WAV file" in events[-1]["error"]
+
+    def test_wrong_sample_rate_rejected(self, server):
+        port = server.address[1]
+        bad = bytearray(wav_payload(np.zeros(16, dtype=np.float32)))
+        # Patch the fmt chunk's sample-rate field to 44100.
+        offset = bad.index(b"fmt ") + 8 + 4
+        bad[offset : offset + 4] = struct.pack("<I", 44100)
+        events = run_client(port, bytes(bad))
+        assert events[-1]["type"] == "error"
+        assert "Expected 8000 Hz, got 44100" in events[-1]["error"]
