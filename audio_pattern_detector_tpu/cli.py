@@ -228,6 +228,21 @@ def main() -> None:
         ),
     )
     match_parser.add_argument(
+        "--checkpoint-file",
+        metavar="path",
+        type=str,
+        default=None,
+        help=(
+            "persist O(1) resume state to this file after every chunk "
+            "and resume from it when it already exists (re-feed the "
+            "same source; the already-processed audio is skipped and "
+            "events continue where the interrupted run stopped — use "
+            "the same --chunk-seconds when resuming). Removed on a "
+            "clean end of stream. Single audio file or stdin only; "
+            "incompatible with --debug/--offline-batch/--mesh-time"
+        ),
+    )
+    match_parser.add_argument(
         "--profile",
         action="store_true",
         default=False,

@@ -28,6 +28,7 @@ from numpy.typing import NDArray
 from audio_pattern_detector_tpu.models.detector import (
     AudioPatternDetector,
     PatternDetectedCallback,
+    StreamCheckpoint,
 )
 from audio_pattern_detector_tpu.utils.audio_io import (
     DEFAULT_TARGET_SAMPLE_RATE,
@@ -68,6 +69,10 @@ class EngineOptions:
     # detections; events emitted per mesh_time-chunk slab.
     mesh_time: int | None = None
     mesh_bank: int = 1
+    # Persist a StreamCheckpoint to this path after every chunk (atomic
+    # replace) and resume from it when it already exists; removed on a
+    # clean end of stream. Streaming loop only.
+    checkpoint_file: str | None = None
 
     def validate(self, from_stdin: bool) -> None:
         """Reject option combinations the engine cannot honour.
@@ -108,6 +113,21 @@ class EngineOptions:
                 )
         elif self.mesh_bank > 1:
             raise ValueError("mesh_bank requires mesh_time")
+        if self.checkpoint_file is not None:
+            incompatible = [
+                name
+                for name, active in (
+                    ("debug", self.debug_mode),
+                    ("offline_batch", self.offline_batch is not None),
+                    ("mesh_time", self.mesh_time is not None),
+                )
+                if active
+            ]
+            if incompatible:
+                raise ValueError(
+                    "checkpoint_file is incompatible with: "
+                    + ", ".join(incompatible)
+                )
 
     def build_detector(self, clips: list[AudioClip]) -> AudioPatternDetector:
         return AudioPatternDetector(
@@ -381,10 +401,22 @@ def _scan(
             )
     with device_trace(opts.trace_dir):
         if opts.offline_batch is None:
+            resume: StreamCheckpoint | None = None
+            on_checkpoint = None
+            if opts.checkpoint_file:
+                resume = _load_checkpoint_file(opts.checkpoint_file)
+                if resume is not None:
+                    _skip_stream_samples(
+                        stream,
+                        round(resume.total_time * detector.target_sample_rate),
+                    )
+                on_checkpoint = _checkpoint_writer(opts.checkpoint_file)
             result = detector.find_clip_in_audio(
                 stream,
                 on_pattern_detected=on_pattern_detected,
                 accumulate_results=accumulate_results,
+                checkpoint=resume,
+                on_checkpoint=on_checkpoint,
                 # Default in-flight cap 3: results are collected eagerly
                 # (emission is not deferred by depth — see
                 # find_clip_in_audio), so the deeper default is
@@ -395,6 +427,13 @@ def _scan(
                 stream_batch=opts.stream_batch,
                 stream_batch_mode=opts.stream_batch_mode,
             )
+            if opts.checkpoint_file:
+                # The stream completed: a leftover checkpoint would make
+                # the next run of the same command skip everything.
+                try:
+                    os.remove(opts.checkpoint_file)
+                except FileNotFoundError:
+                    pass
         else:
             audio = _drain_stream(stream)
             peak_times, total_time = detector.find_clip_in_array(
@@ -414,6 +453,59 @@ def _scan(
         if stats is not None:
             print(f"profile: {json.dumps(stats.as_dict())}", file=sys.stderr)
     return result
+
+
+def _load_checkpoint_file(path: str) -> StreamCheckpoint | None:
+    """Resume state from a previous interrupted run, or None when absent.
+
+    Corrupt/truncated files raise the StreamCheckpoint parse errors —
+    silently restarting from zero would double-emit every event the
+    interrupted run already published.
+    """
+    if not os.path.exists(path) or os.path.getsize(path) == 0:
+        return None
+    with open(path, "rb") as f:
+        ck = StreamCheckpoint.from_bytes(f.read())
+    print(
+        f"Resuming from checkpoint {path}: chunk {ck.chunk_index}, "
+        f"{ck.total_time:.1f}s already processed",
+        file=sys.stderr,
+    )
+    return ck
+
+
+def _skip_stream_samples(stream: AudioStream, n_samples: int) -> None:
+    """Advance a float32 stream past already-processed audio on resume.
+
+    The engine contract wants the stream positioned at the checkpoint's
+    chunk boundary (models/detector.py find_clip_in_audio); for the CLI
+    that means re-feeding the same source and discarding what the
+    interrupted run consumed (total_time · sr samples — exact, since
+    total_time accumulates len(chunk)/sr per chunk).
+    """
+    remaining = n_samples * 4
+    while remaining > 0:
+        data = stream.audio_stream.read(min(remaining, 1 << 22))
+        if not data:
+            raise ValueError(
+                f"stream ended {remaining // 4} samples before the "
+                "checkpoint position — is this the same source the "
+                "checkpoint came from?"
+            )
+        remaining -= len(data)
+
+
+def _checkpoint_writer(path: str) -> "Callable[[StreamCheckpoint], None]":
+    """Per-chunk atomic checkpoint persistence (write tmp + rename, so a
+    crash mid-write never leaves a torn file to resume from)."""
+    tmp = path + ".tmp"
+
+    def write(ck: StreamCheckpoint) -> None:
+        with open(tmp, "wb") as f:
+            f.write(ck.to_bytes())
+        os.replace(tmp, path)
+
+    return write
 
 
 def _drain_stream(stream: AudioStream) -> NDArray[np.float32]:
@@ -586,6 +678,7 @@ def match_pattern(
     stream_batch_mode: str = "scan",
     mesh_time: int | None = None,
     mesh_bank: int = 1,
+    checkpoint_file: str | None = None,
 ) -> tuple[dict[str, list[float]] | None, float]:
     """Find pattern matches in an audio file or stdin stream.
 
@@ -601,6 +694,11 @@ def match_pattern(
     ``stream_batch`` runs that many consecutive chunks per device launch
     in the streaming loop (identical results; emission deferred to batch
     boundaries) — the live-stream launch amortiser.
+    ``checkpoint_file`` persists O(1) resume state after every chunk and
+    resumes from the file when it exists (re-feed the same source; the
+    already-processed prefix is skipped, and the resumed run's events
+    continue exactly where the interrupted run stopped). Removed on a
+    clean end of stream. Use the same chunk settings when resuming.
     """
     if not from_stdin:
         if audio_source is None or not os.path.exists(audio_source):
@@ -623,6 +721,7 @@ def match_pattern(
         stream_batch_mode=stream_batch_mode,
         mesh_time=mesh_time,
         mesh_bank=mesh_bank,
+        checkpoint_file=checkpoint_file,
     )
     opts.validate(from_stdin)
     pattern_clips = _load_pattern_clips(pattern_files, sr)
@@ -962,6 +1061,7 @@ def _run_match_with_output(
         stream_batch_mode=opts.stream_batch_mode,
         mesh_time=opts.mesh_time,
         mesh_bank=opts.mesh_bank,
+        checkpoint_file=opts.checkpoint_file,
     )
     print(f"Total time processed: {seconds_to_time(seconds=total_time)}", file=sys.stderr)
     _emit_jsonl_end(total_time, timestamp_format)
@@ -1079,6 +1179,7 @@ def cmd_match(args: argparse.Namespace) -> None:
         stream_batch_mode=getattr(args, "stream_batch_mode", "scan") or "scan",
         mesh_time=getattr(args, "mesh_time", None),
         mesh_bank=getattr(args, "mesh_bank", 1) or 1,
+        checkpoint_file=getattr(args, "checkpoint_file", None),
     )
     timestamp_format: str = getattr(args, "timestamp_format", "both")
 
@@ -1119,6 +1220,15 @@ def cmd_match(args: argparse.Namespace) -> None:
         if len(audio_files) == 1:
             _run_match_with_output(args, pattern_files, audio_files[0], opts)
         else:
+            if opts.checkpoint_file:
+                # One checkpoint file cannot disambiguate which of the
+                # files it belongs to.
+                print(
+                    "Error: --checkpoint-file supports a single audio "
+                    "file or stdin",
+                    file=sys.stderr,
+                )
+                sys.exit(1)
             _run_match_many(args, pattern_files, audio_files, opts)
     else:
         print("Please provide an audio file or --stdin or --multiplexed-stdin", file=sys.stderr)

@@ -276,3 +276,137 @@ class TestStreamBatchCheckpointResume:
             )
             assert sorted(head["clip"] + tail["clip"]) == sorted(full["clip"])
             assert resumed_time == full_time
+
+
+class TestCheckpointFileCLI:
+    """--checkpoint-file surface (match.py): per-chunk atomic persistence,
+    resume-with-skip on re-feed of the same source, removal on a clean
+    end of stream — on the real golden corpus, not just synthetic audio."""
+
+    def _golden(self):
+        import os
+
+        from tests.conftest import SAMPLE_AUDIOS
+
+        wav = os.path.join(SAMPLE_AUDIOS, "rthk_section_with_beep.wav")
+        toml = os.path.join(
+            SAMPLE_AUDIOS, "clips", "rthk_beep.apd.toml"
+        )
+        return wav, toml
+
+    def test_resume_from_file_continues_golden_run(self, tmp_path):
+        import os
+
+        from audio_pattern_detector_tpu.match import match_pattern
+        from audio_pattern_detector_tpu.utils.audio_io import load_wave_file
+
+        wav, toml = self._golden()
+        chunk_s = 2
+        ckfile = str(tmp_path / "resume.ck")
+
+        full, full_time = match_pattern(
+            wav, [toml], seconds_per_chunk=chunk_s
+        )
+
+        # "Interrupt" after chunk 0: run the library on the first chunk
+        # and persist its checkpoint, as the CLI writer would have.
+        audio = load_wave_file(wav, SR)
+        clip = AudioClip.from_audio_file(toml, sample_rate=SR)
+        det = AudioPatternDetector(
+            audio_clips=[clip], seconds_per_chunk=chunk_s
+        )
+        ckpts: list[StreamCheckpoint] = []
+        prefix, _ = det.find_clip_in_audio(
+            stream_of(audio[: chunk_s * SR]), on_checkpoint=ckpts.append
+        )
+        with open(ckfile, "wb") as f:
+            f.write(ckpts[-1].to_bytes())
+
+        # Resume: same source re-fed; the processed prefix is skipped.
+        resumed, resumed_time = match_pattern(
+            wav, [toml], seconds_per_chunk=chunk_s, checkpoint_file=ckfile
+        )
+
+        name = clip.name
+        assert sorted(prefix[name] + resumed[name]) == sorted(full[name])
+        assert resumed_time == full_time
+        # Clean end of stream removes the checkpoint (a leftover would
+        # make the next run skip everything).
+        assert not os.path.exists(ckfile)
+
+    def test_checkpoint_written_and_removed_across_full_run(self, tmp_path):
+        import os
+
+        from audio_pattern_detector_tpu.match import match_pattern
+
+        wav, toml = self._golden()
+        ckfile = str(tmp_path / "ck.bin")
+        seen: list[int] = []
+
+        real_replace = os.replace
+
+        def spy_replace(src, dst):
+            real_replace(src, dst)
+            if dst == ckfile:
+                with open(ckfile, "rb") as f:
+                    seen.append(
+                        StreamCheckpoint.from_bytes(f.read()).chunk_index
+                    )
+
+        os.replace = spy_replace
+        try:
+            match_pattern(
+                wav, [toml], seconds_per_chunk=2, checkpoint_file=ckfile
+            )
+        finally:
+            os.replace = real_replace
+        # One atomic write per chunk (4.078s of audio at 2s chunks = 3),
+        # chunk indices monotonically increasing, file gone at the end.
+        assert seen == [1, 2, 3]
+        assert not os.path.exists(ckfile)
+
+    def test_checkpoint_past_stream_end_rejected(self, tmp_path):
+        import pytest
+
+        from audio_pattern_detector_tpu.match import match_pattern
+
+        wav, toml = self._golden()
+        ckfile = str(tmp_path / "stale.ck")
+        # A checkpoint claiming more audio than the source holds: the
+        # resume skip must fail loudly, not silently misalign timestamps.
+        bad = StreamCheckpoint(50, np.zeros(SR, np.float32), 100.0)
+        with open(ckfile, "wb") as f:
+            f.write(bad.to_bytes())
+        with pytest.raises(ValueError, match="before the checkpoint position"):
+            match_pattern(
+                wav, [toml], seconds_per_chunk=2, checkpoint_file=ckfile
+            )
+
+    def test_corrupt_checkpoint_file_rejected(self, tmp_path):
+        import pytest
+
+        from audio_pattern_detector_tpu.match import match_pattern
+
+        wav, toml = self._golden()
+        ckfile = str(tmp_path / "corrupt.ck")
+        with open(ckfile, "wb") as f:
+            f.write(b"\x01\x02\x03")
+        with pytest.raises(ValueError, match="checkpoint truncated"):
+            match_pattern(
+                wav, [toml], seconds_per_chunk=2, checkpoint_file=ckfile
+            )
+
+    def test_checkpoint_file_incompatible_with_offline_batch(self, tmp_path):
+        import pytest
+
+        from audio_pattern_detector_tpu.match import match_pattern
+
+        wav, toml = self._golden()
+        with pytest.raises(ValueError, match="checkpoint_file is incompatible"):
+            match_pattern(
+                wav,
+                [toml],
+                seconds_per_chunk=2,
+                offline_batch=4,
+                checkpoint_file=str(tmp_path / "x.ck"),
+            )
