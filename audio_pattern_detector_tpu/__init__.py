@@ -33,11 +33,25 @@ from audio_pattern_detector_tpu.models.multistream import MultiStreamSession
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name: str):
+    # Lazy: the serving layer pulls in the whole orchestration module
+    # (match.py); library users who never serve shouldn't pay for it.
+    if name == "PatternServer":
+        from audio_pattern_detector_tpu.serve import PatternServer
+
+        return PatternServer
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r}"
+    )
+
+
 __all__ = [
     "AudioClip",
     "AudioStream",
     "AudioPatternDetector",
     "MultiStreamSession",
+    "PatternServer",
     "PatternDetectedCallback",
     "StreamCheckpoint",
     "DEFAULT_SECONDS_PER_CHUNK",

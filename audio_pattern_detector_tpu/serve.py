@@ -124,7 +124,7 @@ class PatternServer:
 
     def __init__(
         self,
-        pattern_clips: list[AudioClip],
+        pattern_clips: list[AudioClip] | None = None,
         host: str = "127.0.0.1",
         port: int = 0,
         max_streams: int = 8,
@@ -133,6 +133,7 @@ class PatternServer:
         timestamp_format: str = "both",
         height_min: float | None = None,
         pipeline_depth: int = 2,
+        detector: AudioPatternDetector | None = None,
     ) -> None:
         if max_streams < 1:
             raise ValueError(f"max_streams must be >= 1, got {max_streams}")
@@ -140,16 +141,30 @@ class PatternServer:
             raise ValueError(
                 f"pipeline_depth must be >= 1, got {pipeline_depth}"
             )
-        kwargs: dict[str, Any] = {}
-        if seconds_per_chunk is not None:
-            kwargs["seconds_per_chunk"] = seconds_per_chunk
-        if target_sample_rate is not None:
-            kwargs["target_sample_rate"] = target_sample_rate
-        if height_min is not None:
-            kwargs["height_min"] = height_min
-        self.detector = AudioPatternDetector(
-            audio_clips=pattern_clips, **kwargs
-        )
+        if (pattern_clips is None) == (detector is None):
+            raise ValueError(
+                "pass exactly one of pattern_clips or a prebuilt detector"
+            )
+        if detector is not None:
+            # A prebuilt detector carries its own config (and possibly an
+            # already-compiled bank, shared with other sessions).
+            if seconds_per_chunk is not None or target_sample_rate is not None or height_min is not None:
+                raise ValueError(
+                    "detector carries its own config; don't also pass "
+                    "seconds_per_chunk/target_sample_rate/height_min"
+                )
+            self.detector = detector
+        else:
+            kwargs: dict[str, Any] = {}
+            if seconds_per_chunk is not None:
+                kwargs["seconds_per_chunk"] = seconds_per_chunk
+            if target_sample_rate is not None:
+                kwargs["target_sample_rate"] = target_sample_rate
+            if height_min is not None:
+                kwargs["height_min"] = height_min
+            self.detector = AudioPatternDetector(
+                audio_clips=pattern_clips, **kwargs
+            )
         self.sr = self.detector.target_sample_rate
         self.chunk_samples = int(self.detector.seconds_per_chunk * self.sr)
         self.max_streams = max_streams

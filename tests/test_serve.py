@@ -233,6 +233,23 @@ class TestPatternServer:
         assert events[-1]["type"] == "end"
         assert events_by_clip(events) == serial_events_ms(clips, audio)
 
+    def test_prebuilt_detector_constructor(self, clips):
+        det = AudioPatternDetector(
+            audio_clips=clips, seconds_per_chunk=CHUNK_S
+        )
+        srv = PatternServer(detector=det, max_streams=1)
+        try:
+            assert srv.detector is det
+            assert srv.chunk_samples == CHUNK_S * SR
+        finally:
+            srv._teardown()
+        with pytest.raises(ValueError, match="exactly one"):
+            PatternServer(clips, detector=det)
+        with pytest.raises(ValueError, match="exactly one"):
+            PatternServer()
+        with pytest.raises(ValueError, match="carries its own config"):
+            PatternServer(detector=det, seconds_per_chunk=4)
+
     def test_bad_header_gets_error_event(self, server):
         port = server.address[1]
         events = run_client(port, b"definitely not a wav stream")
