@@ -352,6 +352,17 @@ def main() -> None:
             "(default: 2)"
         ),
     )
+    serve_parser.add_argument(
+        "--idle-timeout",
+        metavar="seconds",
+        type=float,
+        default=0,
+        help=(
+            "drop a connection that sends no data for this many seconds "
+            "(it holds a stream slot other clients could use). "
+            "0 disables (default)"
+        ),
+    )
     serve_parser.set_defaults(func=_lazy_cmd_serve)
 
     show_config_parser = subparsers.add_parser(

@@ -33,6 +33,7 @@ import json
 import selectors
 import socket
 import sys
+import time
 from typing import Any
 
 import numpy as np
@@ -52,6 +53,11 @@ from audio_pattern_detector_tpu.utils.clip import AudioClip
 # A streamable WAV header (RIFF + fmt + skipped metadata chunks) is tiny;
 # anything this large without a data chunk is not a WAV stream.
 _MAX_HEADER_BYTES = 64 * 1024
+
+# Outbound JSONL a healthy client drains in microseconds; megabytes of
+# backlog mean the client stopped reading, and an unbounded buffer would
+# let one stalled consumer grow the server's memory without limit.
+_DEFAULT_MAX_OUTBOUND = 8 * 1024 * 1024
 
 
 class _NeedMoreData(Exception):
@@ -94,6 +100,7 @@ class _Conn:
         self.dtype: np.dtype | None = None
         self.scale = 1.0
         self.eof = False  # client half-closed (finished sending)
+        self.last_rx = time.monotonic()  # idle-timeout clock
         self.pending = 0  # dispatched rounds not yet collected
         self.samples_fed = 0
         self.ended = False  # end event emitted; close when outbound drains
@@ -134,6 +141,8 @@ class PatternServer:
         height_min: float | None = None,
         pipeline_depth: int = 2,
         detector: AudioPatternDetector | None = None,
+        idle_timeout: float | None = None,
+        max_outbound: int = _DEFAULT_MAX_OUTBOUND,
     ) -> None:
         if max_streams < 1:
             raise ValueError(f"max_streams must be >= 1, got {max_streams}")
@@ -167,9 +176,15 @@ class PatternServer:
             )
         self.sr = self.detector.target_sample_rate
         self.chunk_samples = int(self.detector.seconds_per_chunk * self.sr)
+        if idle_timeout is not None and idle_timeout <= 0:
+            raise ValueError(
+                f"idle_timeout must be positive or None, got {idle_timeout}"
+            )
         self.max_streams = max_streams
         self.timestamp_format = timestamp_format
         self.pipeline_depth = pipeline_depth
+        self.idle_timeout = idle_timeout
+        self.max_outbound = max_outbound
         self.session = MultiStreamSession(self.detector, max_streams)
 
         self._sel = selectors.DefaultSelector()
@@ -310,6 +325,7 @@ class PatternServer:
                 if not conn.header_done:
                     self._fail(conn, "Unexpected EOF in WAV header")
                 return
+            conn.last_rx = time.monotonic()
             conn.buf += data
             if not conn.header_done:
                 self._try_parse_header(conn)
@@ -395,8 +411,22 @@ class PatternServer:
                         conn.callback(clip_name, t)
 
     def _finish_streams(self) -> None:
+        now = time.monotonic()
         for conn in list(self._conns.values()):
             if conn.dead:
+                continue
+            if (
+                self.idle_timeout is not None
+                and not conn.eof
+                and now - conn.last_rx > self.idle_timeout
+            ):
+                # A connection sending nothing holds a stream slot other
+                # clients could use.
+                self._fail(
+                    conn,
+                    f"idle timeout: no data received for "
+                    f"{self.idle_timeout:g}s",
+                )
                 continue
             if (
                 not conn.ended
@@ -430,6 +460,17 @@ class PatternServer:
             json.dumps(event, ensure_ascii=False) + "\n"
         ).encode()
         self._flush(conn)
+        if len(conn.outbound) > self.max_outbound and not conn.dead:
+            # The client stopped reading; don't let its backlog grow the
+            # server without bound (and don't bother flushing it on
+            # close — the socket buffer is already full).
+            print(
+                f"Stream {conn.slot}: dropped (slow consumer: "
+                f"{len(conn.outbound)} bytes of undelivered events)",
+                file=sys.stderr,
+            )
+            conn.outbound.clear()
+            self._drop(conn, "slow consumer")
 
     def _flush(self, conn: _Conn) -> None:
         if conn.dead:
@@ -531,6 +572,7 @@ def cmd_serve(args: Any) -> None:
         timestamp_format=args.timestamp_format,
         height_min=args.height_min,
         pipeline_depth=args.pipeline_depth,
+        idle_timeout=args.idle_timeout or None,
     )
     print("Compiling batch program...", file=sys.stderr)
     server.warmup()

@@ -257,6 +257,75 @@ class TestPatternServer:
         assert events[-1]["type"] == "error"
         assert "Not a WAV file" in events[-1]["error"]
 
+    def test_idle_connection_reaped(self, clips):
+        srv = PatternServer(
+            clips,
+            max_streams=1,
+            seconds_per_chunk=CHUNK_S,
+            idle_timeout=0.5,
+        )
+        srv.warmup()
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        try:
+            port = srv.address[1]
+            sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+            sock.sendall(wav_payload(np.zeros(0, dtype=np.float32)))
+            # No further data and no half-close: the slot must be
+            # reclaimed by the idle timeout, with a parseable reason.
+            sock.settimeout(30)
+            buf = b""
+            while True:
+                data = sock.recv(1 << 16)
+                if not data:
+                    break
+                buf += data
+            sock.close()
+            events = [json.loads(l) for l in buf.decode().splitlines()]
+            assert events[-1]["type"] == "error"
+            assert "idle timeout" in events[-1]["error"]
+
+            # The reclaimed slot serves the next client normally.
+            audio = np.zeros(CHUNK_S * SR, dtype=np.float32)
+            events = run_client(port, wav_payload(audio))
+            assert events[-1]["type"] == "end"
+        finally:
+            srv.shutdown()
+            thread.join(timeout=30)
+
+    def test_slow_consumer_dropped(self, clips):
+        # A tiny outbound cap stands in for megabytes of backlog: the
+        # client never reads, so the second event overflows the cap.
+        srv = PatternServer(
+            clips,
+            max_streams=1,
+            seconds_per_chunk=CHUNK_S,
+            max_outbound=1,
+        )
+        srv.warmup()
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        try:
+            port = srv.address[1]
+            sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+            # Fill the server->client direction so nothing drains: events
+            # queue server-side. The start event alone exceeds the cap.
+            audio = load_wave_file(corpus("rthk_section_with_beep.wav"), SR)
+            sock.sendall(wav_payload(audio))
+            sock.shutdown(socket.SHUT_WR)
+            deadline = 30.0
+            import time as _time
+
+            t0 = _time.monotonic()
+            while srv._conns and _time.monotonic() - t0 < deadline:
+                _time.sleep(0.05)
+            assert not srv._conns  # dropped, slot reclaimed
+            assert srv._free_slots == [0]
+            sock.close()
+        finally:
+            srv.shutdown()
+            thread.join(timeout=30)
+
     def test_wrong_sample_rate_rejected(self, server):
         port = server.address[1]
         bad = bytearray(wav_payload(np.zeros(16, dtype=np.float32)))
