@@ -59,6 +59,13 @@ _MAX_HEADER_BYTES = 64 * 1024
 # let one stalled consumer grow the server's memory without limit.
 _DEFAULT_MAX_OUTBOUND = 8 * 1024 * 1024
 
+# Inbound backpressure: stop recv()-ing once a connection has this many
+# chunks' worth of undecoded samples buffered. The TCP window then fills
+# and the sender blocks — the socket itself is the backpressure channel,
+# like the reference's stdin pipe. Without a cap, a client that uploads a
+# whole file at line rate would buffer it all in server memory.
+_INBOUND_CAP_CHUNKS = 4
+
 
 class _NeedMoreData(Exception):
     """Header parse paused: the buffer doesn't hold the full header yet."""
@@ -100,6 +107,7 @@ class _Conn:
         self.dtype: np.dtype | None = None
         self.scale = 1.0
         self.eof = False  # client half-closed (finished sending)
+        self.registered = True  # currently in the selector
         self.last_rx = time.monotonic()  # idle-timeout clock
         self.pending = 0  # dispatched rounds not yet collected
         self.samples_fed = 0
@@ -248,10 +256,13 @@ class PatternServer:
             self._teardown()
 
     def _poll_timeout(self) -> float:
-        if any(self._round_bytes(c) for c in self._conns.values()):
+        can_dispatch = len(self._inflight) < self.pipeline_depth
+        if can_dispatch and any(
+            self._round_bytes(c) for c in self._conns.values()
+        ):
             return 0.0  # a round can dispatch right now
         if self._inflight:
-            return 0.01  # device busy; poll for completion
+            return 0.01  # device busy (or pipeline full); poll completion
         return 0.2
 
     def _service_sockets(self) -> None:
@@ -311,8 +322,47 @@ class PatternServer:
         self._emit(conn, "start", source=f"tcp:{addr[0]}:{addr[1]}")
         print(f"Stream {slot}: connected from {addr}", file=sys.stderr)
 
+    def _inbound_cap(self, conn: _Conn) -> int:
+        return _INBOUND_CAP_CHUNKS * self.chunk_samples * conn.itemsize
+
+    def _rx_paused(self, conn: _Conn) -> bool:
+        return conn.header_done and len(conn.buf) >= self._inbound_cap(conn)
+
+    def _update_mask(self, conn: _Conn) -> None:
+        """Sync selector interest to what the conn can actually consume.
+
+        Reads pause while the undecoded backlog sits at the inbound cap
+        (and permanently after EOF); writes register only while JSONL is
+        queued. A conn needing neither leaves the selector entirely —
+        a paused-readable socket would otherwise wake every ``select``
+        and spin the loop hot.
+        """
+        if conn.dead:
+            return
+        mask = 0
+        if not conn.eof and not self._rx_paused(conn):
+            mask |= selectors.EVENT_READ
+        if conn.outbound:
+            mask |= selectors.EVENT_WRITE
+        if mask and conn.registered:
+            self._sel.modify(conn.sock, mask, conn)
+        elif mask:
+            self._sel.register(conn.sock, mask, conn)
+            conn.registered = True
+        elif conn.registered:
+            self._sel.unregister(conn.sock)
+            conn.registered = False
+
     def _ingest(self, conn: _Conn) -> None:
-        while True:
+        while not conn.dead:
+            if self._rx_paused(conn):
+                # Leave the rest in the kernel socket buffer: the TCP
+                # window closes and the sender blocks until rounds drain
+                # conn.buf below the cap (reads re-register then — the
+                # socket itself is the backpressure channel, like the
+                # reference's stdin pipe).
+                self._update_mask(conn)
+                return
             try:
                 data = conn.sock.recv(1 << 16)
             except BlockingIOError:
@@ -324,6 +374,10 @@ class PatternServer:
                 conn.eof = True
                 if not conn.header_done:
                     self._fail(conn, "Unexpected EOF in WAV header")
+                else:
+                    # An EOF'd socket stays readable forever; drop read
+                    # interest so it stops waking the select loop.
+                    self._update_mask(conn)
                 return
             conn.last_rx = time.monotonic()
             conn.buf += data
@@ -371,7 +425,10 @@ class PatternServer:
         if n_bytes <= 0:
             return None
         raw = bytes(conn.buf[:n_bytes])
+        was_paused = self._rx_paused(conn)
         del conn.buf[:n_bytes]
+        if was_paused and not self._rx_paused(conn):
+            self._update_mask(conn)  # backlog drained: resume reads
         assert conn.dtype is not None
         samples = _decode_samples(raw, conn.dtype, conn.scale)
         conn.samples_fed += len(samples)
@@ -418,6 +475,7 @@ class PatternServer:
             if (
                 self.idle_timeout is not None
                 and not conn.eof
+                and not conn.buf  # backpressured ≠ idle: reads are paused
                 and now - conn.last_rx > self.idle_timeout
             ):
                 # A connection sending nothing holds a stream slot other
@@ -484,13 +542,7 @@ class PatternServer:
                 self._drop(conn, "connection reset")
                 return
             del conn.outbound[:sent]
-        mask = selectors.EVENT_READ
-        if conn.outbound:
-            mask |= selectors.EVENT_WRITE
-        try:
-            self._sel.modify(conn.sock, mask, conn)
-        except KeyError:
-            pass
+        self._update_mask(conn)
 
     def _fail(self, conn: _Conn, message: str) -> None:
         """Protocol error: tell the client why, then drop the stream."""
@@ -510,10 +562,12 @@ class PatternServer:
 
     def _release(self, conn: _Conn) -> None:
         """Close the socket and recycle the stream slot."""
-        try:
-            self._sel.unregister(conn.sock)
-        except (KeyError, ValueError):
-            pass
+        if conn.registered:
+            try:
+                self._sel.unregister(conn.sock)
+            except (KeyError, ValueError):
+                pass
+            conn.registered = False
         if conn.outbound:
             # Best-effort: land any queued events (e.g. the error line
             # that triggered the drop) before the close.

@@ -326,6 +326,50 @@ class TestPatternServer:
             srv.shutdown()
             thread.join(timeout=30)
 
+    def test_inbound_backpressure_bounds_memory(self, clips):
+        # A client uploading a whole file at line rate must not buffer it
+        # all in server memory: reads pause at the inbound cap and the
+        # TCP window becomes the backpressure channel (like the
+        # reference's stdin pipe).
+        from audio_pattern_detector_tpu.serve import _INBOUND_CAP_CHUNKS
+
+        srv = PatternServer(
+            clips, max_streams=1, seconds_per_chunk=CHUNK_S
+        )
+        srv.warmup()
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        try:
+            port = srv.address[1]
+            n_chunks = 40
+            audio = np.zeros(n_chunks * CHUNK_S * SR, dtype=np.float32)
+            payload = wav_payload(audio)
+            cap = _INBOUND_CAP_CHUNKS * CHUNK_S * SR * 4
+            high_water = 0
+            done = threading.Event()
+
+            def sample():
+                nonlocal high_water
+                while not done.is_set():
+                    for conn in list(srv._conns.values()):
+                        high_water = max(high_water, len(conn.buf))
+                    done.wait(0.002)
+
+            sampler = threading.Thread(target=sample, daemon=True)
+            sampler.start()
+            events = run_client(port, payload)
+            done.set()
+            sampler.join(timeout=10)
+            assert events[-1]["type"] == "end"
+            assert events[-1]["total_time_ms"] == n_chunks * CHUNK_S * 1000
+            # One recv() of slack past the cap is the enforcement grain.
+            assert 0 < high_water <= cap + (1 << 16), (
+                f"inbound buffer reached {high_water} bytes (cap {cap})"
+            )
+        finally:
+            srv.shutdown()
+            thread.join(timeout=30)
+
     def test_wrong_sample_rate_rejected(self, server):
         port = server.address[1]
         bad = bytearray(wav_payload(np.zeros(16, dtype=np.float32)))
