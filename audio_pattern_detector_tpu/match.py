@@ -409,6 +409,7 @@ def _scan(
                     _skip_stream_samples(
                         stream,
                         round(resume.total_time * detector.target_sample_rate),
+                        detector._chunk_size,
                     )
                 on_checkpoint = _checkpoint_writer(opts.checkpoint_file)
             result = detector.find_clip_in_audio(
@@ -474,7 +475,9 @@ def _load_checkpoint_file(path: str) -> StreamCheckpoint | None:
     return ck
 
 
-def _skip_stream_samples(stream: AudioStream, n_samples: int) -> None:
+def _skip_stream_samples(
+    stream: AudioStream, n_samples: int, chunk_bytes: int
+) -> None:
     """Advance a float32 stream past already-processed audio on resume.
 
     The engine contract wants the stream positioned at the checkpoint's
@@ -482,17 +485,35 @@ def _skip_stream_samples(stream: AudioStream, n_samples: int) -> None:
     that means re-feeding the same source and discarding what the
     interrupted run consumed (total_time · sr samples — exact, since
     total_time accumulates len(chunk)/sr per chunk).
+
+    Reads MUST request ``chunk_bytes`` — the engine's per-chunk read
+    size — not an arbitrary block size: a resampling source
+    (_WavFileStreamWrapper on a non-target-rate file) consumes
+    ``int(target_samples · in_rate / out_rate)`` input frames per read,
+    so the input-file position after N skip reads depends on the request
+    partitioning (each non-whole-second request truncates a fractional
+    input frame). Replaying the interrupted run's exact request sequence
+    makes the resume position exact by construction; arbitrary blocks
+    (e.g. 4 MiB = 131.072 s) would drift the position on long resumes
+    and silently shift post-resume waveforms and detections.
     """
-    remaining = n_samples * 4
-    while remaining > 0:
-        data = stream.audio_stream.read(min(remaining, 1 << 22))
+    target = n_samples * 4
+    skipped = 0
+    while skipped < target:
+        data = stream.audio_stream.read(chunk_bytes)
         if not data:
             raise ValueError(
-                f"stream ended {remaining // 4} samples before the "
-                "checkpoint position — is this the same source the "
+                f"stream ended {(target - skipped) // 4} samples before "
+                "the checkpoint position — is this the same source the "
                 "checkpoint came from?"
             )
-        remaining -= len(data)
+        skipped += len(data)
+    if skipped > target:
+        raise ValueError(
+            "stream read past the checkpoint position (chunk reads "
+            f"overshot by {(skipped - target) // 4} samples) — was the "
+            "interrupted run using a different --chunk-seconds?"
+        )
 
 
 def _checkpoint_writer(path: str) -> "Callable[[StreamCheckpoint], None]":

@@ -50,9 +50,12 @@ from audio_pattern_detector_tpu.models.detector import AudioPatternDetector
 from audio_pattern_detector_tpu.models.multistream import MultiStreamSession
 from audio_pattern_detector_tpu.utils.clip import AudioClip
 
-# A streamable WAV header (RIFF + fmt + skipped metadata chunks) is tiny;
-# anything this large without a data chunk is not a WAV stream.
-_MAX_HEADER_BYTES = 64 * 1024
+# Pre-data WAV metadata (fmt + LIST/INFO/cover art) rarely exceeds a few
+# hundred KB; a stream that hasn't reached its data chunk after this many
+# bytes is treated as not-a-WAV. `match --stdin` itself has no such bound
+# (it skips metadata chunks of any size) — this is a deliberate server-side
+# guard so a garbage stream can't buffer unbounded header bytes per slot.
+_MAX_HEADER_BYTES = 1024 * 1024
 
 # Outbound JSONL a healthy client drains in microseconds; megabytes of
 # backlog mean the client stopped reading, and an unbounded buffer would
@@ -214,17 +217,24 @@ class PatternServer:
         return self._listener.getsockname()[:2]
 
     def warmup(self) -> None:
-        """Compile the batch program before accepting traffic.
+        """Compile the batch programs before accepting traffic.
 
         First-launch compilation can take tens of seconds on a cold
-        cache; running one throwaway round up front keeps the first
-        client's latency at chunk cadence instead.
+        cache; running throwaway rounds up front keeps the first
+        client's latency at chunk cadence instead. Two rounds: zeros
+        sit on the 16-bit PCM grid and compile the packed-upload
+        program; an off-grid round compiles the float fallback the
+        dispatch path switches to whenever ANY stream in a round
+        carries non-PCM16-exact samples (e.g. an IEEE-float WAV client)
+        — without it, that client's first round would stall every
+        connected stream on a mid-service compile.
         """
-        self.session.feed(
-            [np.zeros(self.chunk_samples, dtype=np.float32)]
-            + [None] * (self.max_streams - 1)
-        )
-        self.session.reset(0)
+        for fill in (0.0, 1e-4):  # on-grid (packed) / off-grid (float)
+            self.session.feed(
+                [np.full(self.chunk_samples, fill, dtype=np.float32)]
+                + [None] * (self.max_streams - 1)
+            )
+            self.session.reset(0)
 
     def shutdown(self) -> None:
         """Stop ``serve_forever`` from any thread (idempotent)."""
@@ -256,13 +266,13 @@ class PatternServer:
             self._teardown()
 
     def _poll_timeout(self) -> float:
-        can_dispatch = len(self._inflight) < self.pipeline_depth
-        if can_dispatch and any(
-            self._round_bytes(c) for c in self._conns.values()
-        ):
-            return 0.0  # a round can dispatch right now
+        if any(self._round_bytes(c) for c in self._conns.values()):
+            # A round can dispatch right now — or, at pipeline depth,
+            # _collect_ready will block on the oldest round (waiting on
+            # the device, not spinning) and then dispatch.
+            return 0.0
         if self._inflight:
-            return 0.01  # device busy (or pipeline full); poll completion
+            return 0.01  # device busy; poll for completion
         return 0.2
 
     def _service_sockets(self) -> None:
@@ -323,7 +333,10 @@ class PatternServer:
         print(f"Stream {slot}: connected from {addr}", file=sys.stderr)
 
     def _inbound_cap(self, conn: _Conn) -> int:
-        return _INBOUND_CAP_CHUNKS * self.chunk_samples * conn.itemsize
+        # A deep pipeline drains faster than the 4-chunk default refills
+        # over a paused socket; keep one chunk of headroom past depth.
+        chunks = max(_INBOUND_CAP_CHUNKS, self.pipeline_depth + 1)
+        return chunks * self.chunk_samples * conn.itemsize
 
     def _rx_paused(self, conn: _Conn) -> bool:
         return conn.header_done and len(conn.buf) >= self._inbound_cap(conn)
@@ -429,6 +442,10 @@ class PatternServer:
         del conn.buf[:n_bytes]
         if was_paused and not self._rx_paused(conn):
             self._update_mask(conn)  # backlog drained: resume reads
+            # The client may have been blocked on the TCP window the
+            # whole paused stretch; restart its idle clock so it isn't
+            # reaped before it gets a chance to send again.
+            conn.last_rx = time.monotonic()
         assert conn.dtype is not None
         samples = _decode_samples(raw, conn.dtype, conn.scale)
         conn.samples_fed += len(samples)
@@ -475,7 +492,11 @@ class PatternServer:
             if (
                 self.idle_timeout is not None
                 and not conn.eof
-                and not conn.buf  # backpressured ≠ idle: reads are paused
+                # Backpressured ≠ idle: while reads are paused at the
+                # inbound cap, last_rx legitimately stalls. A partial
+                # header/chunk below the cap, though, IS idle — rounds
+                # can't consume it, so only the timeout reclaims the slot.
+                and not self._rx_paused(conn)
                 and now - conn.last_rx > self.idle_timeout
             ):
                 # A connection sending nothing holds a stream slot other
@@ -614,6 +635,14 @@ def cmd_serve(args: Any) -> None:
     )
 
     pattern_files = _collect_pattern_files(args)
+    if not pattern_files:
+        # Same usage-error surface as cmd_match: message + exit 1, not a
+        # traceback.
+        print(
+            "Please provide either --pattern-file or --pattern-folder",
+            file=sys.stderr,
+        )
+        sys.exit(1)
     sr = args.target_sample_rate or 8000
     clips = _load_pattern_clips(pattern_files, sr)
     server = PatternServer(

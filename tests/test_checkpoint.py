@@ -410,3 +410,74 @@ class TestCheckpointFileCLI:
                 offline_batch=4,
                 checkpoint_file=str(tmp_path / "x.ck"),
             )
+
+    def test_resume_on_resampling_source_exact(self, tmp_path):
+        """Resume must replay the engine's chunk-read partitioning.
+
+        A non-target-rate WAV maps each read to
+        ``int(target_samples · in_rate / out_rate)`` input frames and
+        FFT-resamples that block (_WavFileStreamWrapper.read). Whole-
+        chunk requests consume a whole number of input seconds, so the
+        file position stays exact — but a skip reading arbitrary block
+        sizes (the old 4 MiB slabs) truncates fractional input frames
+        per block, drifting the post-resume position on >131 s resumes.
+        Chunk-sized skip reads reproduce the interrupted run's request
+        sequence, making the resume position exact by construction;
+        this pins prefix+resume == uninterrupted on a 16 kHz source
+        with detections on BOTH sides of the cut.
+        """
+        import os
+
+        from audio_pattern_detector_tpu.match import (
+            _WavFileStreamWrapper,
+            match_pattern,
+        )
+        from audio_pattern_detector_tpu.ops import hostref
+        from audio_pattern_detector_tpu.utils.audio_io import write_wav_file
+
+        clip = make_clip(seed=3)
+        # Hits in chunks 0, 1 (prefix) and 3, 4 (resumed part).
+        audio8k = make_audio(clip, [0.5, 2.6, 7.3, 9.2], 11, seed=11)
+        audio16k = hostref.resample(audio8k, 2 * len(audio8k))
+        wav16 = str(tmp_path / "source_16k.wav")
+        write_wav_file(wav16, audio16k, 2 * SR)
+        clip_wav = str(tmp_path / "clip.wav")
+        write_wav_file(clip_wav, clip.audio, SR)
+
+        chunk_s = 2
+        full, full_time = match_pattern(
+            wav16, [clip_wav], seconds_per_chunk=chunk_s
+        )
+
+        # "Interrupt" after chunk 2: the prefix content must come from
+        # the streaming wrapper itself (chunk-sized resample blocks).
+        wrapper = _WavFileStreamWrapper(wav16, SR)
+        cut_chunks = 2
+        prefix_audio = np.concatenate(
+            [
+                np.frombuffer(wrapper.read(chunk_s * SR * 4), np.float32)
+                for _ in range(cut_chunks)
+            ]
+        )
+        wrapper.close()
+        det = AudioPatternDetector(
+            audio_clips=[AudioClip(name="clip", audio=clip.audio, sample_rate=SR)],
+            seconds_per_chunk=chunk_s,
+        )
+        ckpts: list[StreamCheckpoint] = []
+        prefix, _ = det.find_clip_in_audio(
+            stream_of(prefix_audio), on_checkpoint=ckpts.append
+        )
+        ckfile = str(tmp_path / "resume16k.ck")
+        with open(ckfile, "wb") as f:
+            f.write(ckpts[-1].to_bytes())
+
+        resumed, resumed_time = match_pattern(
+            wav16, [clip_wav], seconds_per_chunk=chunk_s, checkpoint_file=ckfile
+        )
+
+        assert len(prefix["clip"]) == 2  # hits before the cut
+        assert len(resumed["clip"]) == 2  # hits after the cut — teeth
+        assert sorted(prefix["clip"] + resumed["clip"]) == sorted(full["clip"])
+        assert resumed_time == full_time
+        assert not os.path.exists(ckfile)
