@@ -1204,6 +1204,21 @@ def cmd_match(args: argparse.Namespace) -> None:
     )
     timestamp_format: str = getattr(args, "timestamp_format", "both")
 
+    if getattr(args, "offline_batch", None) and (
+        getattr(args, "stdin", False) or getattr(args, "multiplexed_stdin", False)
+    ):
+        # The engine raises the same contract for library callers
+        # (EngineOptions.validate); catching it here keeps the CLI from
+        # silently running the plain streaming loop while the user
+        # believes they're getting the batched scan.
+        print(
+            "Error: --offline-batch requires file mode "
+            "(whole-file scans; incompatible with --stdin/--multiplexed-stdin"
+            " — use --stream-batch for live streams)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
     if getattr(args, "multiplexed_stdin", False):
         # The multiplexed IPC mode ignores --profile/--trace-dir (matching
         # the reference surface, which exposes neither there).

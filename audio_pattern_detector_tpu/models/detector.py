@@ -49,10 +49,15 @@ PatternDetectedCallback = Callable[[str, float], None]
 
 
 def _dispatched_ready(dispatched: list) -> bool:
-    """Non-blocking: every payload of a dispatched chunk batch completed,
-    so collecting it will not stall the pipeline loop."""
-    for _sw, flat, _raws, _b in dispatched:
-        ready = getattr(flat, "is_ready", None)
+    """Non-blocking: every payload of a dispatched round completed, so
+    collecting it will not stall the pipeline loop.
+
+    Accepts both dispatch record shapes — ``dispatch_chunk``'s
+    ``(sw, flat, raws)`` and ``dispatch_chunks_batch``'s
+    ``(sw, flat, raws, b)`` — the payload whose transfer readiness gates
+    collection is ``rec[1]`` in both."""
+    for rec in dispatched:
+        ready = getattr(rec[1], "is_ready", None)
         if ready is None or not ready():
             return False
     return True
@@ -177,6 +182,28 @@ class AudioPatternDetector:
                 )
         self._min_chunk_size = max_min_chunk_size
         self.seconds_per_chunk = seconds_per_chunk
+
+        # Device payloads cross the host↔device boundary as float32 (the
+        # shared-tunnel runtime rejects integer transfers; models/bank.py
+        # packed payload, ops/_pytree.py int_const), which is exact only
+        # below 2**24. Peak positions and length constants live in
+        # correlation space: section (chunk + lookback) plus one clip
+        # length. Reject configs whose positions could round, with the
+        # user-facing knobs in the message.
+        max_sw_seconds = math.ceil(max_clip_length / self.target_sample_rate)
+        max_coord = (
+            (seconds_per_chunk + max_sw_seconds) * self.target_sample_rate
+            + max_clip_length
+        )
+        if max_coord >= 2**24:
+            raise ValueError(
+                f"seconds_per_chunk {seconds_per_chunk} at sample rate "
+                f"{self.target_sample_rate} needs sample positions up to "
+                f"{max_coord}, past float32 exactness (2**24 = {2**24}); "
+                f"use a chunk size below "
+                f"{2**24 // self.target_sample_rate - 2 * max_sw_seconds} "
+                f"seconds"
+            )
 
         if seconds_per_chunk != 60:
             logger.warning(
@@ -436,11 +463,7 @@ class AudioPatternDetector:
         def oldest_ready() -> bool:
             # Non-blocking: the oldest in-flight chunk's payloads have all
             # completed, so draining it emits without stalling the loop.
-            for _sw, flat, _raw in pending[0][2]:
-                ready = getattr(flat, "is_ready", None)
-                if ready is None or not ready():
-                    return False
-            return True
+            return _dispatched_ready(pending[0][2])
 
         # stream_batch mode: (chunk, had_prev, cum_time) buffered per batch;
         # up to ``pipeline_depth`` dispatched batches in flight with eager
@@ -587,12 +610,15 @@ class AudioPatternDetector:
         # Lookback for batch i+1 comes from host-known chunks, so
         # dispatch never waits on results.
         prev_tail: NDArray[np.float32] | None = None
-        pending: list[Any] = []
+        pending: list[tuple[Any, int]] = []
         base_index = 0
 
         def drain_one() -> None:
             nonlocal base_index
-            results = bank.collect_chunks_batch(pending.pop(0))
+            dispatched, n_real = pending.pop(0)
+            # Padding rows are discarded before folding, so they never
+            # contribute timestamps and base_index advances by real chunks.
+            results = bank.collect_chunks_batch(dispatched)[:n_real]
             base_index = self._fold_batch_results(
                 results, base_index, all_peak_times, sr
             )
@@ -603,11 +629,20 @@ class AudioPatternDetector:
         ]
         in_flight_cap = 3
         for batch in batches:
+            # Zero-pad a short final batch to ``batch_size`` so every
+            # dispatch reuses the ONE compiled B-row program — a leftover
+            # batch of a different size would compile (and cache) a whole
+            # second executable, like flush_batch in find_clip_in_audio.
+            n_real = len(batch)
+            padded = batch + [
+                np.zeros(chunk_samples, dtype=np.float32)
+                for _ in range(batch_size - n_real)
+            ]
             pending.append(
-                bank.dispatch_chunks_batch(batch, prev_tail, batch_mode)
+                (bank.dispatch_chunks_batch(padded, prev_tail, batch_mode), n_real)
             )
             prev_tail = batch[-1]
-            while len(pending) > 1 and _dispatched_ready(pending[0]):
+            while len(pending) > 1 and _dispatched_ready(pending[0][0]):
                 drain_one()
             if len(pending) > in_flight_cap:
                 drain_one()

@@ -44,7 +44,15 @@ def int_const(x: Any) -> Any:
     import numpy as np
 
     arr = np.asarray(x)
-    assert arr.size == 0 or np.abs(arr).max() < 2**24, "int exceeds f32 exactness"
+    if arr.size and np.abs(arr).max() >= 2**24:
+        # A real exception (not an assert): ``python -O`` must not strip
+        # the guard and let positions silently round in f32. The detector
+        # validates chunk-size configs up front with a user-facing message
+        # (models/detector.py); this is the backstop for internal callers.
+        raise ValueError(
+            f"integer constant {np.abs(arr).max()} exceeds float32 "
+            f"exactness (2**24)"
+        )
     return host_const(arr, np.float32)
 
 

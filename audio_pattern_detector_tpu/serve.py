@@ -69,6 +69,15 @@ _DEFAULT_MAX_OUTBOUND = 8 * 1024 * 1024
 # whole file at line rate would buffer it all in server memory.
 _INBOUND_CAP_CHUNKS = 4
 
+# After the ``end`` event, a client gets this long to drain any remaining
+# buffered events before the slot is reclaimed. Without a bound, a client
+# that half-closes and never reads again (its events stuck behind a full
+# TCP send buffer) would hold its stream slot forever — the idle-timeout
+# reaper deliberately exempts half-closed connections, and the
+# slow-consumer byte cap only fires on NEW emits, of which there are none
+# after ``end``.
+_END_DRAIN_TIMEOUT = 60.0
+
 
 class _NeedMoreData(Exception):
     """Header parse paused: the buffer doesn't hold the full header yet."""
@@ -111,7 +120,9 @@ class _Conn:
         self.scale = 1.0
         self.eof = False  # client half-closed (finished sending)
         self.registered = True  # currently in the selector
-        self.last_rx = time.monotonic()  # idle-timeout clock
+        # Idle-timeout / drain-timeout clock: last time bytes moved in
+        # EITHER direction (recv progress or send progress).
+        self.last_activity = time.monotonic()
         self.pending = 0  # dispatched rounds not yet collected
         self.samples_fed = 0
         self.ended = False  # end event emitted; close when outbound drains
@@ -392,7 +403,7 @@ class PatternServer:
                     # interest so it stops waking the select loop.
                     self._update_mask(conn)
                 return
-            conn.last_rx = time.monotonic()
+            conn.last_activity = time.monotonic()
             conn.buf += data
             if not conn.header_done:
                 self._try_parse_header(conn)
@@ -445,7 +456,7 @@ class PatternServer:
             # The client may have been blocked on the TCP window the
             # whole paused stretch; restart its idle clock so it isn't
             # reaped before it gets a chance to send again.
-            conn.last_rx = time.monotonic()
+            conn.last_activity = time.monotonic()
         assert conn.dtype is not None
         samples = _decode_samples(raw, conn.dtype, conn.scale)
         conn.samples_fed += len(samples)
@@ -493,11 +504,11 @@ class PatternServer:
                 self.idle_timeout is not None
                 and not conn.eof
                 # Backpressured ≠ idle: while reads are paused at the
-                # inbound cap, last_rx legitimately stalls. A partial
+                # inbound cap, last_activity legitimately stalls. A partial
                 # header/chunk below the cap, though, IS idle — rounds
                 # can't consume it, so only the timeout reclaims the slot.
                 and not self._rx_paused(conn)
-                and now - conn.last_rx > self.idle_timeout
+                and now - conn.last_activity > self.idle_timeout
             ):
                 # A connection sending nothing holds a stream slot other
                 # clients could use.
@@ -527,6 +538,22 @@ class PatternServer:
                 )
             if conn.ended and not conn.outbound:
                 self._release(conn)
+            elif (
+                conn.ended
+                and now - conn.last_activity > _END_DRAIN_TIMEOUT
+            ):
+                # Half-closed client with its remaining events stuck
+                # behind a full TCP send buffer and no send progress:
+                # without this bound the slot would leak forever (the
+                # idle reaper exempts eof'd connections, and the
+                # slow-consumer cap only fires on new emits).
+                print(
+                    f"Stream {conn.slot}: dropped (events not drained "
+                    f"{_END_DRAIN_TIMEOUT:g}s after end)",
+                    file=sys.stderr,
+                )
+                conn.outbound.clear()
+                self._drop(conn, "slow consumer")
 
     # ------------------------------------------------------------------
     # outbound / lifecycle
@@ -563,6 +590,8 @@ class PatternServer:
                 self._drop(conn, "connection reset")
                 return
             del conn.outbound[:sent]
+            if sent:
+                conn.last_activity = time.monotonic()
         self._update_mask(conn)
 
     def _fail(self, conn: _Conn, message: str) -> None:

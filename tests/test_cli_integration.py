@@ -141,6 +141,19 @@ class TestMatchStdin:
         assert r.returncode != 0
         assert b"Expected 8000 Hz" in r.stderr
 
+    @pytest.mark.parametrize("mode", ["--stdin", "--multiplexed-stdin"])
+    def test_offline_batch_with_stdin_rejected(self, mode):
+        """--offline-batch is a whole-file scan knob; combined with a
+        stdin mode it must error loudly, not silently run the plain
+        streaming loop."""
+        r = run_cli(
+            ["match", mode, "--offline-batch", "4",
+             "--pattern-file", RTHK_PATTERN],
+            stdin_bytes=b"",
+        )
+        assert r.returncode == 1
+        assert b"--offline-batch requires file mode" in r.stderr
+
 
 class TestMultiplexedStdin:
     def build_payload(self, patterns: dict[str, bytes], audio_wav: bytes) -> bytes:

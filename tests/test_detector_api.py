@@ -44,6 +44,45 @@ def stream_of(audio):
     )
 
 
+class TestChunkSizeF32Bound:
+    """Device payloads (peak positions, length constants) cross the
+    host<->device boundary as float32, exact only below 2**24; configs
+    whose sample positions could round must be rejected up front with
+    the user-facing knobs in the message."""
+
+    def _clip_at(self, sr):
+        t = np.arange(sr) / sr
+        return AudioClip(
+            name="c",
+            audio=(0.5 * np.sin(2 * np.pi * 523 * t)).astype(np.float32),
+            sample_rate=sr,
+        )
+
+    def test_oversize_chunk_rejected(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="float32 exactness"):
+            AudioPatternDetector(
+                audio_clips=[self._clip_at(44100)],
+                seconds_per_chunk=400,
+                target_sample_rate=44100,
+            )
+
+    def test_bound_is_rate_dependent(self):
+        # The same 400 s chunk is fine at 8 kHz (3.2M samples << 2**24)...
+        det = AudioPatternDetector(
+            audio_clips=[self._clip_at(SR)], seconds_per_chunk=400
+        )
+        assert det.seconds_per_chunk == 400
+        # ...and a 44.1 kHz config just below the bound still constructs.
+        det = AudioPatternDetector(
+            audio_clips=[self._clip_at(44100)],
+            seconds_per_chunk=370,
+            target_sample_rate=44100,
+        )
+        assert det.seconds_per_chunk == 370
+
+
 class TestCallbacks:
     def test_callback_arg_types(self):
         clip = make_clip()

@@ -34,6 +34,40 @@ def test_offline_matches_streaming():
     assert len(set(streamed["c"])) == 4
 
 
+def test_offline_final_batch_padded_to_one_program(monkeypatch):
+    """A leftover final batch is zero-padded to ``batch_size`` so every
+    dispatch reuses the ONE compiled B-row program (a B=2 remainder would
+    otherwise compile a second executable), with padding results
+    discarded."""
+    rng = np.random.default_rng(7)
+    clip = AudioClip(
+        name="c", audio=(0.4 * rng.standard_normal(SR)).astype(np.float32),
+        sample_rate=SR,
+    )
+    audio = (0.01 * rng.standard_normal(47 * SR)).astype(np.float32)
+    o = int(41.25 * SR)  # inside the final (remainder) batch
+    audio[o : o + SR] += clip.audio
+
+    det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=10)
+    bank = det._ensure_bank()
+    seen_sizes: list[int] = []
+    real_dispatch = bank.dispatch_chunks_batch
+
+    def recording_dispatch(chunks, prev, mode="vmap", **kw):
+        seen_sizes.append(len(chunks))
+        return real_dispatch(chunks, prev, mode, **kw)
+
+    monkeypatch.setattr(bank, "dispatch_chunks_batch", recording_dispatch)
+    offline, _ = det.find_clip_in_array(audio, batch_size=3)
+
+    assert seen_sizes == [3, 3]  # 5 real chunks -> batches of 3 + (2 real, 1 pad)
+    det2 = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=10)
+    streamed, _ = det2.find_clip_in_audio(
+        AudioStream("s", io.BytesIO(audio.tobytes()), SR)
+    )
+    assert offline == streamed
+
+
 def test_match_pattern_offline_batch_parity(tmp_path):
     """match_pattern(offline_batch=N) equals the streaming run on a real
     WAV file, and fires the same callback events (post-scan, sorted)."""

@@ -293,6 +293,40 @@ class TestPatternServer:
             srv.shutdown()
             thread.join(timeout=30)
 
+    def test_ended_undrained_events_release_slot(self, clips):
+        """A half-closed client that never reads its remaining events must
+        not hold a stream slot forever: the idle reaper exempts eof'd
+        connections and the byte cap only fires on new emits, so the
+        post-``end`` drain window is the bound (white-box: stale clock)."""
+        from audio_pattern_detector_tpu.serve import _END_DRAIN_TIMEOUT, _Conn
+
+        srv = PatternServer(
+            clips, max_streams=1, seconds_per_chunk=CHUNK_S
+        )
+        try:
+            a, b = socket.socketpair()
+            a.setblocking(False)
+            slot = srv._free_slots.pop()
+            conn = _Conn(a, ("local", 0), slot)
+            conn.registered = False  # never entered the selector
+            conn.header_done = True
+            conn.eof = True
+            conn.ended = True
+            conn.outbound += b'{"type":"end"}\n' * 4
+            srv._conns[a] = conn
+
+            srv._finish_streams()
+            assert not conn.dead  # drain window still open
+
+            conn.last_activity -= _END_DRAIN_TIMEOUT + 1
+            srv._finish_streams()
+            assert conn.dead
+            assert srv._free_slots == [slot]
+            assert a not in srv._conns
+            b.close()
+        finally:
+            srv._teardown()
+
     def test_slow_consumer_dropped(self, clips):
         # A tiny outbound cap stands in for megabytes of backlog: the
         # client never reads, so the second event overflows the cap.
