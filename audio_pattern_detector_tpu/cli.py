@@ -363,6 +363,19 @@ def main() -> None:
             "0 disables (default)"
         ),
     )
+    serve_parser.add_argument(
+        "--mesh-stream",
+        metavar="N",
+        type=int,
+        default=None,
+        help=(
+            "partition the stream slots across N devices (data "
+            "parallelism over streams: each serving round's batch rows "
+            "land on their owning chips; results identical to "
+            "single-device serving). --max-streams must be divisible "
+            "by N"
+        ),
+    )
     serve_parser.set_defaults(func=_lazy_cmd_serve)
 
     show_config_parser = subparsers.add_parser(

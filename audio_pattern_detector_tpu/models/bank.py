@@ -591,6 +591,7 @@ class PatternBank:
         previous_tail: NDArray[np.float32] | None,
         mode: str = "vmap",
         prev_tails: "list[NDArray[np.float32] | None] | None" = None,
+        sharding: Any = None,
     ) -> list[tuple[int, Any, list[NDArray[np.float32]], int]]:
         """Enqueue a chunk batch (async); pair with collect_chunks_batch.
 
@@ -603,9 +604,19 @@ class PatternBank:
         ``prev_tails`` (one per chunk, None = no lookback) instead treats
         the rows as INDEPENDENT streams — the multi-stream serving path
         (models/multistream.py) batches one chunk from each of N live
-        streams into this one launch."""
+        streams into this one launch.
+
+        ``sharding`` (a ``NamedSharding`` whose first dim partitions the
+        batch axis, e.g. ``P("stream", None)``) places the batch across a
+        device mesh: the vmapped program is embarrassingly parallel on B,
+        so GSPMD runs each device's rows locally with no collectives —
+        data parallelism over streams for the multi-chip serving path.
+        Requires ``mode="vmap"`` (scan's sequential lookback chain is one
+        device's work by construction) and B divisible by the partition."""
         if mode not in ("vmap", "scan"):
             raise ValueError(f"mode must be 'vmap' or 'scan', got {mode!r}")
+        if sharding is not None and mode != "vmap":
+            raise ValueError("sharding requires mode='vmap'")
         if prev_tails is not None and len(prev_tails) != len(chunks):
             raise ValueError(
                 f"prev_tails has {len(prev_tails)} entries for "
@@ -647,17 +658,36 @@ class PatternBank:
                     if mode == "scan"
                     else _class_step_batch_packed_jit
                 )
-                payload = jnp.asarray(packed_rows)
+                payload_np: NDArray[np.float32] = packed_rows
             else:
                 step_jit = (
                     _class_step_scan_jit
                     if mode == "scan"
                     else _class_step_batch_jit
                 )
-                payload = jnp.asarray(sections)
+                payload_np = sections
+            if sharding is not None:
+                # Mesh placement: rows land on their owning devices at
+                # upload; the jitted program compiles against the sharded
+                # avals (bank consts are uncommitted, so GSPMD replicates
+                # them). Rows of one batch axis → same program, keyed by
+                # sharding.
+                from jax.sharding import NamedSharding, PartitionSpec
+                import jax as _jax
+
+                row_sharding = NamedSharding(
+                    sharding.mesh, PartitionSpec(sharding.spec[0])
+                )
+                payload = _jax.device_put(payload_np, sharding)
+                n_valid_dev = _jax.device_put(
+                    n_valids.astype(np.float32), row_sharding
+                )
+            else:
+                payload = jnp.asarray(payload_np)
+                n_valid_dev = jnp.asarray(n_valids.astype(np.float32))
             flat = step_jit(
                 payload,
-                jnp.asarray(n_valids.astype(np.float32)),
+                n_valid_dev,
                 cls["loud"],
                 group_consts,
                 metas=self._metas[sw],

@@ -42,7 +42,12 @@ class MultiStreamSession:
     fine, exactly as in the serial engine).
     """
 
-    def __init__(self, detector: AudioPatternDetector, n_streams: int) -> None:
+    def __init__(
+        self,
+        detector: AudioPatternDetector,
+        n_streams: int,
+        mesh: Any = None,
+    ) -> None:
         if n_streams < 1:
             raise ValueError(f"n_streams must be >= 1, got {n_streams}")
         self.detector = detector
@@ -58,6 +63,28 @@ class MultiStreamSession:
         self._indices = [0] * n_streams
         self._times = [0.0] * n_streams
         self._empty = np.zeros(0, dtype=np.float32)
+        # Optional data parallelism over streams: a mesh with a "stream"
+        # axis partitions the batch rows across devices (GSPMD, no
+        # collectives — rows are independent), so N chips serve
+        # N × (n_streams / stream_axis) live stations with the same
+        # per-round semantics. Rounds always batch all n_streams rows
+        # (idle slots run zero-length sections), so the row→device
+        # assignment is static.
+        self._sharding = None
+        if mesh is not None:
+            if "stream" not in mesh.axis_names:
+                raise ValueError("mesh must have a 'stream' axis")
+            stream_size = mesh.shape["stream"]
+            if n_streams % stream_size != 0:
+                raise ValueError(
+                    f"n_streams {n_streams} must be divisible by the "
+                    f"mesh's stream axis ({stream_size})"
+                )
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._sharding = NamedSharding(
+                mesh, PartitionSpec("stream", None)
+            )
 
     def feed(
         self, chunks: Sequence[NDArray[np.float32] | None]
@@ -116,7 +143,8 @@ class MultiStreamSession:
                 tails.append(self._tails[i])
 
         dispatched = self._bank.dispatch_chunks_batch(
-            batch, None, mode="vmap", prev_tails=tails
+            batch, None, mode="vmap", prev_tails=tails,
+            sharding=self._sharding,
         )
         # (stream_active, index, had_prev) snapshot for collect-time
         # timestamp conversion; then advance state for the next round.

@@ -79,6 +79,27 @@ class ShardedDetector:
         self.bank_size = mesh.shape.get("bank", 1)
         self.chunk_seconds = chunk_seconds
 
+        # Slab bound first — before the serial detector's own per-chunk
+        # f32-exactness guard — so oversized MESH configs get the error
+        # that names the mesh knob (time axis), not just chunk size.
+        from audio_pattern_detector_tpu.utils.audio_io import (
+            DEFAULT_TARGET_SAMPLE_RATE,
+        )
+
+        sr = (
+            detector.target_sample_rate
+            if detector is not None
+            else (target_sample_rate or DEFAULT_TARGET_SAMPLE_RATE)
+        )
+        if self.time_size * chunk_seconds * sr >= 2**31:
+            # Device-side sample counts are i32 (f32-only transfers force
+            # an (hi, lo) split that reconstructs into i32).
+            raise ValueError(
+                f"slab of {self.time_size * chunk_seconds * sr} samples "
+                "exceeds the int32 sample-index range; reduce "
+                "chunk_seconds or the time axis"
+            )
+
         if detector is not None:
             # Reuse a caller-built serial detector (the CLI mesh path) so
             # clip validation / chunk resolution run once, not twice.
@@ -98,13 +119,6 @@ class ShardedDetector:
         self.sample_rate = self._detector.target_sample_rate
         self.chunk_samples = chunk_seconds * self.sample_rate
         self.slab_samples = self.time_size * self.chunk_samples
-        if self.slab_samples >= 2**31:
-            # Device-side sample counts are i32 (f32-only transfers force
-            # an (hi, lo) split that reconstructs into i32).
-            raise ValueError(
-                f"slab of {self.slab_samples} samples exceeds the int32 "
-                "sample-index range; reduce chunk_seconds or the time axis"
-            )
         self.bank: PatternBank = self._detector._ensure_bank()
         self.max_halo = max(
             sw * self.sample_rate for sw in self.bank.classes

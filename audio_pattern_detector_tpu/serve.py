@@ -165,6 +165,7 @@ class PatternServer:
         detector: AudioPatternDetector | None = None,
         idle_timeout: float | None = None,
         max_outbound: int = _DEFAULT_MAX_OUTBOUND,
+        mesh: Any = None,
     ) -> None:
         if max_streams < 1:
             raise ValueError(f"max_streams must be >= 1, got {max_streams}")
@@ -207,7 +208,12 @@ class PatternServer:
         self.pipeline_depth = pipeline_depth
         self.idle_timeout = idle_timeout
         self.max_outbound = max_outbound
-        self.session = MultiStreamSession(self.detector, max_streams)
+        # With a mesh (a "stream" axis), each serving round's batch rows
+        # are partitioned across devices: N chips serve N× the streams at
+        # identical per-stream semantics (models/multistream.py).
+        self.session = MultiStreamSession(
+            self.detector, max_streams, mesh=mesh
+        )
 
         self._sel = selectors.DefaultSelector()
         self._listener = socket.create_server((host, port))
@@ -674,6 +680,16 @@ def cmd_serve(args: Any) -> None:
         sys.exit(1)
     sr = args.target_sample_rate or 8000
     clips = _load_pattern_clips(pattern_files, sr)
+    mesh = None
+    mesh_stream = getattr(args, "mesh_stream", None)
+    if mesh_stream:
+        from audio_pattern_detector_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh({"stream": mesh_stream})
+        print(
+            f"Serving over a {mesh_stream}-device stream mesh",
+            file=sys.stderr,
+        )
     server = PatternServer(
         clips,
         host=args.host,
@@ -685,6 +701,7 @@ def cmd_serve(args: Any) -> None:
         height_min=args.height_min,
         pipeline_depth=args.pipeline_depth,
         idle_timeout=args.idle_timeout or None,
+        mesh=mesh,
     )
     print("Compiling batch program...", file=sys.stderr)
     server.warmup()

@@ -95,6 +95,57 @@ class TestMultiStreamSession:
             assert accumulated[i] == serial_peaks, f"stream {i}"
             assert session.total_time(i) == pytest.approx(serial_total)
 
+    def test_mesh_sharded_streams_match_serial_engine(
+        self, clips, stream_audios
+    ):
+        """Stream slots partitioned across a 4-device "stream" mesh (data
+        parallelism: each round's batch rows land on their owning device,
+        no collectives) must produce the exact serial per-stream results —
+        the multi-chip serving path (serve --mesh-stream)."""
+        from audio_pattern_detector_tpu.parallel.mesh import make_mesh
+
+        det = AudioPatternDetector(
+            audio_clips=clips, seconds_per_chunk=CHUNK_S
+        )
+        session = MultiStreamSession(
+            det, n_streams=4, mesh=make_mesh({"stream": 4})
+        )
+
+        per_stream_chunks = [_chunked(a) for a in stream_audios] + [
+            _chunked(stream_audios[0])  # slot 3 replays stream 0
+        ]
+        rounds = max(len(c) for c in per_stream_chunks)
+        accumulated: list[dict[str, list[float]]] = [
+            {c.name: [] for c in clips} for _ in range(4)
+        ]
+        for r in range(rounds):
+            feed = [
+                chunks[r] if r < len(chunks) else None
+                for chunks in per_stream_chunks
+            ]
+            results = session.feed(feed)
+            for i, res in enumerate(results):
+                for name, times in res.items():
+                    accumulated[i][name].extend(times)
+
+        for i, audio in enumerate(
+            stream_audios + [stream_audios[0]]
+        ):
+            serial_peaks, serial_total = _serial_results(clips, audio)
+            assert accumulated[i] == serial_peaks, f"stream {i}"
+            assert session.total_time(i) == pytest.approx(serial_total)
+
+    def test_mesh_validation(self, clips):
+        from audio_pattern_detector_tpu.parallel.mesh import make_mesh
+
+        det = AudioPatternDetector(
+            audio_clips=clips, seconds_per_chunk=CHUNK_S
+        )
+        with pytest.raises(ValueError, match="divisible"):
+            MultiStreamSession(det, n_streams=3, mesh=make_mesh({"stream": 2}))
+        with pytest.raises(ValueError, match="stream"):
+            MultiStreamSession(det, n_streams=4, mesh=make_mesh({"time": 2}))
+
     def test_pipelined_rounds_equal_synchronous(self, clips, stream_audios):
         """dispatch/collect with 3 rounds in flight produces the same
         per-stream results as synchronous feed (state advances at

@@ -293,6 +293,46 @@ class TestPatternServer:
             srv.shutdown()
             thread.join(timeout=30)
 
+    def test_mesh_sharded_serving_matches_serial(self, clips):
+        """serve --mesh-stream semantics: stream slots partitioned across
+        a 2-device mesh serve concurrent clients with events identical to
+        the single-device path (data parallelism over rounds' batch rows)."""
+        from audio_pattern_detector_tpu.parallel.mesh import make_mesh
+
+        srv = PatternServer(
+            clips,
+            max_streams=2,
+            seconds_per_chunk=CHUNK_S,
+            mesh=make_mesh({"stream": 2}),
+        )
+        srv.warmup()
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        try:
+            port = srv.address[1]
+            audio = load_wave_file(corpus("rthk_section_with_beep.wav"), SR)
+            payload = wav_payload(audio)
+            results: list = [None, None]
+
+            def client(i):
+                results[i] = run_client(port, payload)
+
+            threads = [
+                threading.Thread(target=client, args=(i,)) for i in range(2)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+            expected = serial_events_ms(clips, audio)
+            for events in results:
+                assert events[-1]["type"] == "end"
+                assert events_by_clip(events) == expected
+        finally:
+            srv.shutdown()
+            thread.join(timeout=30)
+            assert not thread.is_alive()
+
     def test_ended_undrained_events_release_slot(self, clips):
         """A half-closed client that never reads its remaining events must
         not hold a stream slot forever: the idle reaper exempts eof'd
