@@ -73,6 +73,31 @@ _BIG = np.int32(2**30)
 _SMALL_TIER = 16
 
 
+def _two_tier_accept(verify_accept, vpos, valive, kv):
+    """Two-tier verification, shared by the rich path (_class_step) and the
+    WIDE-lean rerun (_lean_group_packed).
+
+    Real chunks carry at most a handful of live candidates while ``kv``
+    sizes for the worst case. The candidate compaction puts each row's
+    live lanes FIRST, so when every row's survivors fit the small tier —
+    true for all but pathological hit densities — verifying the first
+    ``_SMALL_TIER`` lanes is exact and the heavy full-width gather is
+    skipped at runtime (``lax.cond``; in vmapped batch contexts both
+    branches execute — the win is for the streaming path). Callers gate
+    on ``kv > _SMALL_TIER``.
+    """
+    max_alive = jnp.max(jnp.sum(valive.astype(jnp.int32), axis=1))
+
+    def small_tier(_):
+        acc = verify_accept(vpos[:, :_SMALL_TIER], valive[:, :_SMALL_TIER])
+        return jnp.pad(acc, ((0, 0), (0, kv - _SMALL_TIER)))
+
+    def full_tier(_):
+        return verify_accept(vpos, valive)
+
+    return jax.lax.cond(max_alive <= _SMALL_TIER, small_tier, full_tier, None)
+
+
 @dataclass
 class ClipGroup:
     """Clips sharing (sliding_window, clip_len, strategy) — one device batch."""
@@ -258,16 +283,26 @@ class PatternBank:
         Returns (padded_section, n_valid, raw_section). Shared by the
         serial and bank-sharded dispatch paths so upload optimisations
         apply to both."""
-        sr = self.sample_rate
-        if previous_chunk is not None:
-            tail = previous_chunk[int(-sw * sr):]
-            raw_section = np.concatenate((tail, chunk))
-        else:
-            raw_section = chunk
+        raw_section = self._raw_section(sw, chunk, previous_chunk)
         n_valid = len(raw_section)
         section = np.zeros(self.classes[sw]["section_len"], dtype=np.float32)
         section[:n_valid] = raw_section
         return section, n_valid, raw_section
+
+    def _raw_section(
+        self,
+        sw: int,
+        chunk: NDArray[np.float32],
+        previous_chunk: NDArray[np.float32] | None,
+    ) -> NDArray[np.float32]:
+        """The overlap-save lookback rule in ONE place: prepend the last
+        ``sw`` seconds of the previous chunk (reference:
+        audio_pattern_detector.py:400-412). Shared by the serial,
+        bank-sharded, and batch dispatch paths."""
+        if previous_chunk is None:
+            return chunk
+        tail = previous_chunk[int(-sw * self.sample_rate):]
+        return np.concatenate((tail, chunk))
 
     def _dispatch_section(
         self,
@@ -485,62 +520,55 @@ class PatternBank:
         device_rows = [(gi, ci) for gi, ci, host in flagged if not host]
         host_rows = [(gi, ci) for gi, ci, host in flagged if host]
 
-        # Capped-width rerun first (escalate below); the cap only matters
-        # for groups whose k_detect exceeds it.
-        class_rerun: "list[NDArray[np.float32]] | None" = None
-        if len(device_rows) > self._ROW_RERUN_MAX:
-            class_rerun = self._full_tier_packed(sw, raw_section, capped=True)
-
-        escalate: list[tuple[int, int]] = []
-        for gi, ci in device_rows:
-            g = cls["groups"][gi]
-            if class_rerun is not None:
-                rpos, rsel, rhost, _ = unpack_group(
-                    class_rerun[gi], g.k_verify
+        def rerun_rows(
+            rows: "list[tuple[int, int]]",
+            capped: bool,
+            on_flag: Any,
+        ) -> None:
+            """One wide-rerun pass: class-wide above _ROW_RERUN_MAX, else
+            row-granular. Accepted rows land in ``out``; rows the rerun
+            itself host-flags route through ``on_flag``."""
+            class_rerun: "list[NDArray[np.float32]] | None" = None
+            if len(rows) > self._ROW_RERUN_MAX:
+                class_rerun = self._full_tier_packed(
+                    sw, raw_section, capped=capped
                 )
-                row = (rpos[ci], rsel[ci], bool(rhost[ci]))
-            else:
-                packed_row = self._full_tier_row(
-                    sw, gi, ci, raw_section, capped=True
-                )
-                rpos, rsel, rhost, _ = unpack_group(packed_row, g.k_verify)
-                row = (rpos, rsel, bool(rhost))
-            if row[2]:
-                # Host flag from the capped program: either count exceeded
-                # the cap (escalate to the true k_detect width) or a
-                # genuine host condition (resolved after escalation).
-                if g.k_detect > self._WIDE_RERUN_CAP:
-                    escalate.append((gi, ci))
-                else:
-                    host_rows.append((gi, ci))
-            else:
-                out[(gi, ci)] = [int(p) for p in row[0][row[1]]]
-
-        if escalate:
-            full_rerun: "list[NDArray[np.float32]] | None" = None
-            if len(escalate) > self._ROW_RERUN_MAX:
-                full_rerun = self._full_tier_packed(
-                    sw, raw_section, capped=False
-                )
-            for gi, ci in escalate:
+            for gi, ci in rows:
                 g = cls["groups"][gi]
-                if full_rerun is not None:
+                if class_rerun is not None:
                     rpos, rsel, rhost, _ = unpack_group(
-                        full_rerun[gi], g.k_verify
+                        class_rerun[gi], g.k_verify
                     )
-                    row = (rpos[ci], rsel[ci], bool(rhost[ci]))
+                    pos_row, sel_row, flag = rpos[ci], rsel[ci], bool(rhost[ci])
                 else:
                     packed_row = self._full_tier_row(
-                        sw, gi, ci, raw_section, capped=False
+                        sw, gi, ci, raw_section, capped=capped
                     )
-                    rpos, rsel, rhost, _ = unpack_group(
-                        packed_row, g.k_verify
-                    )
-                    row = (rpos, rsel, bool(rhost))
-                if row[2]:
-                    host_rows.append((gi, ci))
+                    rpos, rsel, rhost, _ = unpack_group(packed_row, g.k_verify)
+                    pos_row, sel_row, flag = rpos, rsel, bool(rhost)
+                if flag:
+                    on_flag(gi, ci)
                 else:
-                    out[(gi, ci)] = [int(p) for p in row[0][row[1]]]
+                    out[(gi, ci)] = [int(p) for p in pos_row[sel_row]]
+
+        # Capped-width rerun first; a host flag from it means either the
+        # count exceeded the cap (escalate to the true k_detect width) or
+        # a genuine host condition (resolved after escalation).
+        escalate: list[tuple[int, int]] = []
+
+        def route_capped_flag(gi: int, ci: int) -> None:
+            if cls["groups"][gi].k_detect > self._WIDE_RERUN_CAP:
+                escalate.append((gi, ci))
+            else:
+                host_rows.append((gi, ci))
+
+        rerun_rows(device_rows, capped=True, on_flag=route_capped_flag)
+        if escalate:
+            rerun_rows(
+                escalate,
+                capped=False,
+                on_flag=lambda gi, ci: host_rows.append((gi, ci)),
+            )
 
         for gi, ci in host_rows:
             g = cls["groups"][gi]
@@ -622,7 +650,10 @@ class PatternBank:
                 f"prev_tails has {len(prev_tails)} entries for "
                 f"{len(chunks)} chunks"
             )
-        sr = self.sample_rate
+        if not chunks:
+            # collect_chunks_batch([]) mirrors this with an empty result
+            # (and the packed-upload np.stack below needs >= 1 row).
+            return []
         b = len(chunks)
         dispatched = []
         for sw, cls in self.classes.items():
@@ -635,10 +666,10 @@ class PatternBank:
                     prev = prev_tails[bi]
                 else:
                     prev = chunks[bi - 1] if bi > 0 else previous_tail
-                if prev is not None:
-                    raw = np.concatenate((prev[int(-sw * sr):], chunk))
-                else:
-                    raw = chunk
+                # Rows write straight into the stacked upload buffer; the
+                # lookback rule itself lives in _raw_section (shared with
+                # the serial path).
+                raw = self._raw_section(sw, chunk, prev)
                 raws.append(raw)
                 sections[bi, : len(raw)] = raw
                 n_valids[bi] = len(raw)
@@ -944,22 +975,7 @@ def _lean_tail(
         verify_accept = lambda p, a: verify_normal(corr, p, a, verify_consts)[0]  # noqa: E731
 
     if wide and kv > _SMALL_TIER:
-        # Two-tier verification (same shape as the rich path's): the
-        # compaction puts live lanes first, so when every row's survivors
-        # fit the small tier — true for all but pathological hit
-        # densities — verifying the first _SMALL_TIER lanes is exact.
-        max_alive = jnp.max(jnp.sum(valive.astype(jnp.int32), axis=1))
-
-        def small_tier(_):
-            acc = verify_accept(vpos[:, :_SMALL_TIER], valive[:, :_SMALL_TIER])
-            return jnp.pad(acc, ((0, 0), (0, kv - _SMALL_TIER)))
-
-        def full_tier(_):
-            return verify_accept(vpos, valive)
-
-        accept = jax.lax.cond(
-            max_alive <= _SMALL_TIER, small_tier, full_tier, None
-        )
+        accept = _two_tier_accept(verify_accept, vpos, valive, kv)
     else:
         accept = verify_accept(vpos, valive)
 
@@ -1293,29 +1309,7 @@ def _class_step(
             verify_accept = lambda p, a: verify_normal(corr, p, a, verify_consts)[0]  # noqa: E731
 
         if lean and k_verify > _SMALL_TIER:
-            # Two-tier verification: real chunks carry at most a handful of
-            # live candidates, while k_verify sizes for the worst case. The
-            # candidate compaction puts each row's live lanes first, so when
-            # every row fits in the small tier, verifying the first
-            # _SMALL_TIER lanes is exact and the heavy full-tier gather is
-            # skipped at runtime (lax.cond; in vmapped batch contexts both
-            # branches execute — the win is for the streaming path).
-            max_alive = jnp.max(jnp.sum(valive, axis=1))
-
-            def small_tier(_):
-                acc = verify_accept(
-                    vpos[:, :_SMALL_TIER], valive[:, :_SMALL_TIER]
-                )
-                return jnp.pad(
-                    acc, ((0, 0), (0, k_verify - _SMALL_TIER))
-                )
-
-            def full_tier(_):
-                return verify_accept(vpos, valive)
-
-            accept = jax.lax.cond(
-                max_alive <= _SMALL_TIER, small_tier, full_tier, None
-            )
+            accept = _two_tier_accept(verify_accept, vpos, valive, k_verify)
             sim = jnp.zeros_like(vpos, dtype=jnp.float32)
             r = jnp.zeros_like(vpos, dtype=jnp.float32)
         elif kind == "marker":

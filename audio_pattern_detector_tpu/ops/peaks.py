@@ -239,8 +239,11 @@ def select_candidates(
 
 # Above this candidate count the O(K^2) conflict matrix of the parallel
 # filter outweighs the sequential loop; fall back to the K-step scan.
-# APD_SEQ_GREEDY=1 forces the sequential path (backend debugging knob,
-# read at call time so it can be toggled after import).
+# APD_SEQ_GREEDY=1 forces the sequential path (backend debugging knob).
+# Read at TRACE time: it only takes effect for programs traced after the
+# env change — the module-level jitted class programs cache per process,
+# so set it before the first dispatch (same as APD_GREEDY_UNROLL /
+# APD_MERGED_IRFFT / APD_MARKER_GEMM).
 import os as _os
 
 

@@ -268,6 +268,15 @@ def build_marker_verify_consts(
     )
 
 
+# DFT-GEMM only pays below this transform length: the baked cos/sin
+# matrix is ~n*(n+2)*4 bytes (67 MB at 4096, growing quadratically — a
+# 2 s marker at 44.1 kHz would bake a ~31 GB constant and OOM at trace
+# time), and the op-count argument only holds where the matrix is small
+# against the fixed per-FFT-op cost. Flagship marker shapes (0.25 s at
+# 8 kHz -> 2000; 25 ms frames -> 200-1102) sit comfortably below.
+_GEMM_MAX_N = 4096
+
+
 def _rfft_power_gemm(x: jnp.ndarray, n: int) -> jnp.ndarray:
     """|rfft(x)|^2 along the last axis as one real DFT GEMM on the MXU.
 
@@ -277,7 +286,8 @@ def _rfft_power_gemm(x: jnp.ndarray, n: int) -> jnp.ndarray:
     byte traffic. Not bitwise-identical to the backend FFT (different
     summation order); the marker verifier is decision-level exact, not
     spectrum-level, so threshold decisions tolerate this (differentially
-    tested against the host model and the corpus either way).
+    tested against the host model and the corpus either way). Callers
+    gate on ``n <= _GEMM_MAX_N``.
     """
     f = n // 2 + 1
     idx = np.arange(n, dtype=np.float64)[:, None] * np.arange(f, dtype=np.float64)
@@ -320,7 +330,7 @@ def verify_marker(
     """Returns accept mask (G, K)."""
     g, k = pos.shape
     m = consts.clip_len
-    use_gemm = _marker_gemm_enabled()
+    use_gemm = _marker_gemm_enabled() and m <= _GEMM_MAX_N
 
     # match_start = peak - m + 1 in section coordinates equals the lag
     # (reference: audio_pattern_detector.py:650-653); left flank + match +
@@ -368,7 +378,7 @@ def verify_marker(
             [seg_match[:, :, s0 : s0 + wl] for s0 in consts.frame_starts],
             axis=2,
         ) * consts.hann_frame  # (G, K, F, wl) — static slices, no gather
-        if use_gemm:
+        if _marker_gemm_enabled() and wl <= _GEMM_MAX_N:
             fpow = _rfft_power_gemm(frames, wl)
             ffreq_arg = jnp.argmax(fpow, axis=-1)
         else:

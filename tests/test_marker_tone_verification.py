@@ -147,6 +147,38 @@ class TestEndToEndMarker:
         for g, e in zip(got, [5.0, 12.5, 22.25]):
             assert abs(g - e) < 0.01
 
+    def test_long_marker_clip_caps_gemm_spectra(self, monkeypatch):
+        """A marker clip longer than _GEMM_MAX_N samples must take the
+        backend-FFT spectra even with the DFT-GEMM forced on: the baked
+        cos/sin matrix grows quadratically (a 2 s 44.1 kHz marker would be
+        ~31 GB), so the GEMM path is size-gated, not just backend-gated."""
+        from audio_pattern_detector_tpu.ops import verify as verify_mod
+
+        monkeypatch.setenv("APD_MARKER_GEMM", "1")
+        assert verify_mod._marker_gemm_enabled()
+
+        seconds = 1.0  # m = 8000 > _GEMM_MAX_N = 4096
+        m = int(seconds * SR)
+        assert m > verify_mod._GEMM_MAX_N
+        t = np.arange(m) / SR
+        clip = AudioClip(
+            name="long_beep",
+            audio=np.sin(2 * np.pi * FREQ * t).astype(np.float32),
+            sample_rate=SR,
+            strategy=MARKER_TONE_STRATEGY,
+            strategy_params={"dominant_frequency_hz": FREQ},
+        )
+        rng = np.random.default_rng(6)
+        audio = (0.02 * rng.standard_normal(12 * SR)).astype(np.float32)
+        audio[4 * SR : 4 * SR + m] += 0.7 * clip.audio
+        det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=6)
+        stream = AudioStream(
+            name="synth", audio_stream=io.BytesIO(audio.tobytes()), sample_rate=SR
+        )
+        peaks, _ = det.find_clip_in_audio(stream)
+        got = sorted(set(peaks["long_beep"]))
+        assert len(got) == 1 and abs(got[0] - 4.0) < 0.01
+
     def test_long_tone_not_detected_as_marker(self):
         # A sustained tone at the marker frequency correlates but fails the
         # flank checks.

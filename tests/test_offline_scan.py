@@ -34,6 +34,19 @@ def test_offline_matches_streaming():
     assert len(set(streamed["c"])) == 4
 
 
+def test_empty_chunk_batch_returns_empty():
+    """An empty batch short-circuits to [] instead of tripping the
+    packed-upload np.stack on zero rows."""
+    rng = np.random.default_rng(9)
+    clip = AudioClip(
+        name="c", audio=(0.4 * rng.standard_normal(SR)).astype(np.float32),
+        sample_rate=SR,
+    )
+    det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=10)
+    bank = det._ensure_bank()
+    assert bank.process_chunks_batch([], None) == []
+
+
 def test_offline_final_batch_padded_to_one_program(monkeypatch):
     """A leftover final batch is zero-padded to ``batch_size`` so every
     dispatch reuses the ONE compiled B-row program (a B=2 remainder would
