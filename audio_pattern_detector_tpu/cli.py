@@ -364,6 +364,17 @@ def main() -> None:
         ),
     )
     serve_parser.add_argument(
+        "--stats-interval",
+        metavar="seconds",
+        type=float,
+        default=0,
+        help=(
+            "print one JSON ops line to stderr every N seconds (window "
+            "throughput, rounds, live streams, detections, pipeline "
+            "occupancy). 0 disables (default)"
+        ),
+    )
+    serve_parser.add_argument(
         "--mesh-stream",
         metavar="N",
         type=int,

@@ -166,6 +166,7 @@ class PatternServer:
         idle_timeout: float | None = None,
         max_outbound: int = _DEFAULT_MAX_OUTBOUND,
         mesh: Any = None,
+        stats_interval: float | None = None,
     ) -> None:
         if max_streams < 1:
             raise ValueError(f"max_streams must be >= 1, got {max_streams}")
@@ -227,6 +228,17 @@ class PatternServer:
         self._conns: dict[socket.socket, _Conn] = {}
         # FIFO of in-flight rounds: (session handle, per-slot conn map)
         self._inflight: list[tuple[Any, dict[int, _Conn]]] = []
+        # Periodic ops stats (one JSON line to stderr per interval):
+        # aggregate audio throughput, rounds, detections over the window.
+        if stats_interval is not None and stats_interval <= 0:
+            raise ValueError(
+                f"stats_interval must be positive or None, got {stats_interval}"
+            )
+        self.stats_interval = stats_interval
+        self._stat_window_start = time.monotonic()
+        self._stat_rounds = 0
+        self._stat_samples = 0
+        self._stat_detections = 0
 
     @property
     def address(self) -> tuple[str, int]:
@@ -279,6 +291,7 @@ class PatternServer:
                 self._collect_ready()
                 self._dispatch_round()
                 self._finish_streams()
+                self._maybe_emit_stats()
         finally:
             self._teardown()
 
@@ -484,6 +497,10 @@ class PatternServer:
         for conn in members.values():
             conn.pending += 1
         self._inflight.append((handle, members))
+        self._stat_rounds += 1
+        self._stat_samples += sum(
+            len(c) for c in chunks if c is not None
+        )
 
     def _collect_ready(self, block: bool = False) -> None:
         while self._inflight:
@@ -498,6 +515,7 @@ class PatternServer:
                 if conn.dead:
                     continue
                 for clip_name, times in results[slot].items():
+                    self._stat_detections += len(times)
                     for t in times:
                         conn.callback(clip_name, t)
 
@@ -560,6 +578,42 @@ class PatternServer:
                 )
                 conn.outbound.clear()
                 self._drop(conn, "slow consumer")
+
+    def _maybe_emit_stats(self) -> None:
+        """One JSON ops line to stderr per ``stats_interval``: window
+        throughput (audio seconds scanned / wall = aggregate realtime
+        factor), rounds, detections, live streams, pipeline occupancy.
+
+        stderr, not stdout: per-client sockets carry the JSONL event
+        contract; operator diagnostics follow the CLI's stream separation
+        (reference: match.py stderr discipline)."""
+        if self.stats_interval is None:
+            return
+        now = time.monotonic()
+        elapsed = now - self._stat_window_start
+        if elapsed < self.stats_interval:
+            return
+        audio_s = self._stat_samples / self.sr
+        print(
+            json.dumps(
+                {
+                    "type": "stats",
+                    "window_seconds": round(elapsed, 3),
+                    "streams": len(self._conns),
+                    "rounds": self._stat_rounds,
+                    "audio_seconds": round(audio_s, 3),
+                    "x_realtime": round(audio_s / elapsed, 1),
+                    "detections": self._stat_detections,
+                    "rounds_in_flight": len(self._inflight),
+                }
+            ),
+            file=sys.stderr,
+            flush=True,
+        )
+        self._stat_window_start = now
+        self._stat_rounds = 0
+        self._stat_samples = 0
+        self._stat_detections = 0
 
     # ------------------------------------------------------------------
     # outbound / lifecycle
@@ -702,6 +756,7 @@ def cmd_serve(args: Any) -> None:
         pipeline_depth=args.pipeline_depth,
         idle_timeout=args.idle_timeout or None,
         mesh=mesh,
+        stats_interval=getattr(args, "stats_interval", 0) or None,
     )
     print("Compiling batch program...", file=sys.stderr)
     server.warmup()

@@ -14,6 +14,7 @@ import os
 import socket
 import struct
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -440,6 +441,42 @@ class TestPatternServer:
             assert 0 < high_water <= cap + (1 << 16), (
                 f"inbound buffer reached {high_water} bytes (cap {cap})"
             )
+        finally:
+            srv.shutdown()
+            thread.join(timeout=30)
+
+    def test_stats_line_emitted(self, clips, capfd):
+        """--stats-interval prints one parseable JSON ops line per window
+        to stderr (stdout stays reserved for client JSONL events)."""
+        srv = PatternServer(
+            clips,
+            max_streams=1,
+            seconds_per_chunk=CHUNK_S,
+            stats_interval=10.0,
+        )
+        srv.warmup()
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        try:
+            port = srv.address[1]
+            audio = load_wave_file(corpus("rthk_section_with_beep.wav"), SR)
+            events = run_client(port, wav_payload(audio))
+            assert events[-1]["type"] == "end"
+            # Force the window closed instead of waiting 10 s.
+            srv._stat_window_start -= 11.0
+            deadline = time.monotonic() + 10.0
+            stats = None
+            while stats is None and time.monotonic() < deadline:
+                time.sleep(0.05)
+                for line in capfd.readouterr().err.splitlines():
+                    if line.startswith("{"):
+                        parsed = json.loads(line)
+                        if parsed.get("type") == "stats":
+                            stats = parsed
+            assert stats is not None
+            assert stats["rounds"] >= 1
+            assert stats["audio_seconds"] > 0
+            assert stats["detections"] >= 2  # the two rthk beeps
         finally:
             srv.shutdown()
             thread.join(timeout=30)
