@@ -200,7 +200,14 @@ def _read_patterns_from_multiplexed_stdin(target_sample_rate: int) -> list[Audio
 
 def _seek_riff_chunk(stream: Any, want: bytes, missing_msg: str) -> int:
     """Advance ``stream`` to the payload of RIFF chunk ``want``, skipping
-    others; returns the found chunk's declared size."""
+    others; returns the found chunk's declared size.
+
+    Skipped odd-sized chunks consume their RIFF pad byte (chunks are
+    word-aligned; e.g. a 3-byte LIST payload is followed by one pad
+    byte) — without this the walk desyncs and rejects spec-conformant
+    WAVs. The reference parser lacks the pad skip (reference:
+    match.py:268-283); this accepts a superset of its inputs with the
+    same error strings (docs/reference-parity.md)."""
     import struct
 
     while True:
@@ -215,6 +222,9 @@ def _seek_riff_chunk(stream: Any, want: bytes, missing_msg: str) -> int:
             return size
         if len(stream.read(size)) != size:
             raise ValueError("WAV file truncated while skipping chunk")
+        if size % 2:
+            # Missing pad at EOF surfaces as missing_msg next iteration.
+            stream.read(1)
 
 
 def _validate_wav_header(stream: Any, target_sample_rate: int) -> tuple[int, int]:
@@ -239,6 +249,8 @@ def _validate_wav_header(stream: Any, target_sample_rate: int) -> tuple[int, int
     fmt_data = stream.read(fmt_size)
     if len(fmt_data) < 16:
         raise ValueError("WAV fmt chunk too short")
+    if fmt_size % 2 and len(fmt_data) == fmt_size:
+        stream.read(1)  # RIFF pad byte after an odd-sized fmt payload
     audio_format, channels, sample_rate, _, _, bits_per_sample = struct.unpack(
         "<HHIIHH", fmt_data[:16]
     )
@@ -275,6 +287,19 @@ def _decode_samples(
     raw = np.frombuffer(data, dtype=dtype)
     if scale == 1.0 and dtype == np.float32:
         return raw  # already float32 — zero-copy
+    if dtype == np.int16 or dtype == np.int32:
+        # C fast path when the native library is built, numpy otherwise —
+        # BITWISE identical either way (cast to f32, then scale in f32;
+        # pinned by tests/test_native.py), so stdin/serve streams decode
+        # the same bits regardless of the runtime.
+        from audio_pattern_detector_tpu import native
+
+        decode = (
+            native.pcm16_to_f32_mono
+            if dtype == np.int16
+            else native.pcm32_to_f32_mono
+        )
+        return decode(raw)
     return (raw.astype(np.float32) * np.float32(scale)).astype(np.float32)
 
 
@@ -294,6 +319,18 @@ class _WavStdinStreamWrapper:
         data = sys.stdin.buffer.read(target_samples * self._dtype.itemsize)
         if not data:
             return b""
+        partial = len(data) % self._dtype.itemsize
+        if partial:
+            # Stream truncated mid-sample (writer died): drop the partial
+            # trailing bytes and finish cleanly rather than crash decode.
+            print(
+                f"Warning: WAV stdin stream truncated mid-sample "
+                f"({partial} trailing byte(s) dropped)",
+                file=sys.stderr,
+            )
+            data = data[: len(data) - partial]
+            if not data:
+                return b""
         return _decode_samples(data, self._dtype, self._scale).tobytes()
 
 
@@ -436,7 +473,7 @@ def _scan(
                 except FileNotFoundError:
                     pass
         else:
-            audio = _drain_stream(stream)
+            audio = _drain_stream(stream, detector._chunk_size)
             peak_times, total_time = detector.find_clip_in_array(
                 audio,
                 batch_size=opts.offline_batch,
@@ -529,11 +566,19 @@ def _checkpoint_writer(path: str) -> "Callable[[StreamCheckpoint], None]":
     return write
 
 
-def _drain_stream(stream: AudioStream) -> NDArray[np.float32]:
-    """Read a float32 AudioStream to exhaustion (offline scan input)."""
+def _drain_stream(stream: AudioStream, chunk_bytes: int) -> NDArray[np.float32]:
+    """Read a float32 AudioStream to exhaustion (offline scan input).
+
+    Reads MUST request ``chunk_bytes`` — the engine's per-chunk read
+    size — not an arbitrary block size: a resampling source
+    (_WavFileStreamWrapper on a non-target-rate file) FFT-resamples each
+    read request independently, so the decoded waveform depends on the
+    request partitioning (see _skip_stream_samples). Chunk-sized requests
+    make the offline scan read the exact waveform the streaming loop
+    reads, preserving the streaming-identical results contract."""
     bufs = []
     while True:
-        b = stream.audio_stream.read(1 << 22)
+        b = stream.audio_stream.read(chunk_bytes)
         if not b:
             break
         bufs.append(b)
@@ -598,6 +643,7 @@ def _scan_sharded(
         detector._sharded_scan_cache = (key, sd)
     sess = sd.session()
     slab_bytes = sd.slab_samples * 4
+    chunk_bytes = sd.chunk_samples * 4
     accumulated: dict[str, list[float]] | None = (
         {name: [] for cls in sd.bank.classes.values() for g in cls["groups"] for name in g.names}
         if accumulate_results
@@ -605,9 +651,21 @@ def _scan_sharded(
     )
     total_samples = 0
     while True:
-        buf = _read_full(stream.audio_stream, slab_bytes)
-        if not buf:
+        # Build the slab from chunk-sized read requests — the exact
+        # request partition the serial streaming loop issues — so a
+        # resampling source decodes the identical waveform (see
+        # _drain_stream / _skip_stream_samples: per-request FFT resample
+        # makes the waveform depend on the read partitioning).
+        parts: list[bytes] = []
+        for _ in range(sd.time_size):
+            b = _read_full(stream.audio_stream, chunk_bytes)
+            if b:
+                parts.append(b)
+            if len(b) < chunk_bytes:
+                break
+        if not parts:
             break
+        buf = b"".join(parts)
         slab = np.frombuffer(buf, dtype=np.float32)
         part = sess.feed(slab)
         total_samples += len(slab)
@@ -861,13 +919,31 @@ def match_pattern_many(
 
 
 def _load_pattern_clips(pattern_files: list[str], sr: int) -> list[AudioClip]:
-    """Load pattern files into clips, rejecting duplicate clip names."""
+    """Load pattern files into clips, rejecting duplicate clip names.
+
+    ``name=path`` renames a clip (``--pattern-file intro_a=a/intro.wav``),
+    resolving stem collisions between different files. The reference's
+    duplicate-name error ADVISES this syntax but never implements it
+    (reference: match.py:137-145); here the advice works. Only an
+    argument that does not itself exist as a file is parsed as
+    ``name=path``, so filenames containing ``=`` stay loadable.
+    """
     clips: list[AudioClip] = []
     seen: dict[str, str] = {}
     for pattern_file in pattern_files:
-        if not os.path.exists(pattern_file):
+        custom_name: str | None = None
+        path = pattern_file
+        if not os.path.exists(path) and "=" in path:
+            maybe_name, maybe_path = path.split("=", 1)
+            if maybe_name and os.path.exists(maybe_path):
+                custom_name, path = maybe_name, maybe_path
+        if not os.path.exists(path):
             raise ValueError(f"Pattern {pattern_file} does not exist")
-        clip = AudioClip.from_audio_file(pattern_file, sample_rate=sr)
+        clip = AudioClip.from_audio_file(path, sample_rate=sr)
+        if custom_name is not None:
+            import dataclasses
+
+            clip = dataclasses.replace(clip, name=custom_name)
         if clip.name in seen:
             raise ValueError(
                 f"Duplicate clip name '{clip.name}' from files:\n"

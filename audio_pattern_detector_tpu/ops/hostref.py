@@ -131,8 +131,6 @@ def _prominences(
         while j >= 0 and x64[j] <= pv:
             left_min = min(left_min, x64[j])
             j -= 1
-        if j >= 0:
-            pass  # stopped at a strictly greater sample
         right_min = pv
         j = p + 1
         while j < len(x64) and x64[j] <= pv:
@@ -170,11 +168,21 @@ def find_peaks(
 
 
 def resample(data: NDArray[np.floating[Any]], num_samples: int) -> NDArray[np.float32]:
-    """FFT resample with the scipy.signal.resample spectrum-slice rule.
+    """FFT resample with the reference's spectrum-slice rule.
 
     Full complex FFT; copy ``(N+1)//2`` positive and ``(N-1)//2`` negative
     bins where ``N = min(len, num)``; inverse FFT scaled by ``1/len``
     (reference: native-helper/src/lib.rs:253-273). f64 throughout.
+
+    Nyquist handling: when ``N`` is even this slice DROPS the Nyquist bin
+    (index N/2) entirely, whereas ``scipy.signal.resample`` folds/splits
+    it — so outputs deviate from scipy on even-N resamples of signals
+    with energy at/near Nyquist (measured up to ~0.27 amplitude on white
+    noise at 101→50). This matches the REFERENCE exactly — its own
+    binding test allows atol=0.2 vs scipy for precisely this reason
+    (reference: native-helper/tests/test_python_bindings.py:161-173
+    "slightly different Nyquist handling") — and detection parity is
+    pinned against the reference, not scipy.
     """
     n = len(data)
     m = int(num_samples)

@@ -201,6 +201,7 @@ def ffmpeg_get_float32_pcm(
 ) -> Generator[IO[bytes], None, None]:
     """Stream float32 little-endian PCM from an ffmpeg child process."""
     process = None
+    finished = False
     try:
         process = subprocess.Popen(
             _ffmpeg_decode_cmd(
@@ -211,11 +212,26 @@ def ffmpeg_get_float32_pcm(
         )
         assert process.stdout is not None
         yield process.stdout
+        finished = True
         if process.wait() != 0:
             raise ValueError(f"ffmpeg command failed with return code {process.returncode}")
     finally:
         if process is not None and process.stdout is not None:
             process.stdout.close()
+        if process is not None and not finished:
+            # The with-body raised before the clean wait: without an
+            # explicit terminate + wait the child runs until SIGPIPE and
+            # lingers as a zombie — a long-lived serve/library process
+            # would accumulate defunct children across failed decodes.
+            try:
+                process.terminate()
+            except OSError:
+                pass
+            try:
+                process.wait(timeout=5)
+            except subprocess.TimeoutExpired:
+                process.kill()
+                process.wait()
 
 
 def write_wav_file(

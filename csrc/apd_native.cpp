@@ -319,15 +319,20 @@ APD_EXPORT void apd_pcm16_to_f32_mono(const int16_t* in, int64_t frames,
 }
 
 // int32 interleaved -> float32 mono mean-mix.
+// Mono matches the stream wrappers' numpy decode BITWISE: cast each
+// sample to f32 FIRST (rounding magnitudes past 2^24 exactly as numpy's
+// astype does), then scale in f32 — a double-precision product would
+// differ by 1 ulp near full scale (e.g. 0x7FFFFFFF: f32-cast path gives
+// exactly 1.0, the double path 0x1.fffffffp-1).
 APD_EXPORT void apd_pcm32_to_f32_mono(const int32_t* in, int64_t frames,
                                       int channels, float* out) {
-    const double scale = 1.0 / 2147483648.0;
+    const float scale = 1.0f / 2147483648.0f;
     if (channels == 1) {
         for (int64_t i = 0; i < frames; ++i)
-            out[i] = static_cast<float>(in[i] * scale);
+            out[i] = static_cast<float>(in[i]) * scale;
         return;
     }
-    const double cscale = scale / channels;
+    const double cscale = 1.0 / (2147483648.0 * channels);
     for (int64_t i = 0; i < frames; ++i) {
         double acc = 0.0;
         for (int c = 0; c < channels; ++c) acc += in[i * channels + c];

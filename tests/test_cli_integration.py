@@ -155,6 +155,51 @@ class TestMatchStdin:
         assert b"--offline-batch requires file mode" in r.stderr
 
 
+class TestPatternNameSyntax:
+    """--pattern-file name=path renames clips, resolving duplicate stems —
+    the syntax the reference's own duplicate-name error advises but never
+    implements (reference: match.py:137-145)."""
+
+    def _two_same_stem_files(self, tmp_path):
+        import numpy as np
+
+        from audio_pattern_detector_tpu.utils.audio_io import write_wav_file
+
+        rng = np.random.default_rng(13)
+        a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+        a_dir.mkdir(), b_dir.mkdir()
+        for d, seed in ((a_dir, 1), (b_dir, 2)):
+            rng = np.random.default_rng(seed)
+            write_wav_file(
+                str(d / "intro.wav"),
+                (0.4 * rng.standard_normal(8000)).astype(np.float32).clip(-1, 1),
+                8000,
+            )
+        return str(a_dir / "intro.wav"), str(b_dir / "intro.wav")
+
+    def test_duplicate_stems_rejected_with_advice(self, tmp_path):
+        from audio_pattern_detector_tpu.match import _load_pattern_clips
+
+        a, b = self._two_same_stem_files(tmp_path)
+        with pytest.raises(ValueError, match="name=path syntax"):
+            _load_pattern_clips([a, b], 8000)
+
+    def test_name_eq_path_resolves_collision(self, tmp_path):
+        from audio_pattern_detector_tpu.match import _load_pattern_clips
+
+        a, b = self._two_same_stem_files(tmp_path)
+        clips = _load_pattern_clips([f"intro_a={a}", f"intro_b={b}"], 8000)
+        assert [c.name for c in clips] == ["intro_a", "intro_b"]
+
+    def test_missing_path_error_shows_original_arg(self, tmp_path):
+        from audio_pattern_detector_tpu.match import _load_pattern_clips
+
+        with pytest.raises(
+            ValueError, match=r"Pattern x=/nope\.wav does not exist"
+        ):
+            _load_pattern_clips(["x=/nope.wav"], 8000)
+
+
 class TestMultiplexedStdin:
     def build_payload(self, patterns: dict[str, bytes], audio_wav: bytes) -> bytes:
         out = struct.pack("<I", len(patterns))

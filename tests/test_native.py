@@ -97,6 +97,39 @@ class TestNativeParity:
         out = native.pcm32_to_f32_mono(raw)
         np.testing.assert_allclose(out, raw.astype(np.float64) / 2147483648.0, atol=1e-7)
 
+    def test_mono_decode_bitwise_matches_stream_wrappers(self):
+        """The mono PCM decode IS the stdin/serve hot path
+        (match.py::_decode_samples routes int16/int32 through it), so the
+        C fast path must match the numpy decode BITWISE — including
+        full-scale int32 values whose f32 cast rounds past 2^24 (the
+        double-product formulation differed by 1 ulp exactly there)."""
+        from audio_pattern_detector_tpu.match import _SAMPLE_CODECS, _decode_samples
+
+        edge16 = np.array([-32768, -32767, -1, 0, 1, 32766, 32767], dtype=np.int16)
+        raw16 = np.concatenate(
+            [edge16, RNG.integers(-32768, 32768, 4096).astype(np.int16)]
+        )
+        dt16, sc16 = _SAMPLE_CODECS[(1, 16)]
+        want16 = (raw16.astype(np.float32) * np.float32(sc16)).astype(np.float32)
+        np.testing.assert_array_equal(native.pcm16_to_f32_mono(raw16), want16)
+        np.testing.assert_array_equal(
+            _decode_samples(raw16.tobytes(), dt16, sc16), want16
+        )
+
+        edge32 = np.array(
+            [-(2**31), -(2**31) + 1, -1, 0, 1, 2**31 - 65, 2**31 - 1],
+            dtype=np.int32,
+        )
+        raw32 = np.concatenate(
+            [edge32, RNG.integers(-(2**31), 2**31 - 1, 4096).astype(np.int32)]
+        )
+        dt32, sc32 = _SAMPLE_CODECS[(1, 32)]
+        want32 = (raw32.astype(np.float32) * np.float32(sc32)).astype(np.float32)
+        np.testing.assert_array_equal(native.pcm32_to_f32_mono(raw32), want32)
+        np.testing.assert_array_equal(
+            _decode_samples(raw32.tobytes(), dt32, sc32), want32
+        )
+
 
 def test_resample_is_exact_host_path():
     # resample routes to the exact numpy implementation regardless of the

@@ -34,6 +34,39 @@ def test_offline_matches_streaming():
     assert len(set(streamed["c"])) == 4
 
 
+def test_offline_matches_streaming_on_resampling_source(tmp_path):
+    """A 16 kHz WAV (FFT-resampled to 8 kHz by the file wrapper) must scan
+    identically offline and streaming. The wrapper resamples each read
+    request independently, so this holds only because the offline drain
+    issues the SAME chunk-sized read requests as the streaming loop —
+    arbitrary block reads would decode a different waveform
+    (match.py::_drain_stream)."""
+    from audio_pattern_detector_tpu.match import match_pattern
+    from audio_pattern_detector_tpu.utils.audio_io import write_wav_file
+
+    src_sr = 16000
+    rng = np.random.default_rng(12)
+    clip_audio = (0.4 * rng.standard_normal(SR)).astype(np.float32)
+    audio16 = (0.01 * rng.standard_normal(26 * src_sr)).astype(np.float32)
+    clip16 = np.repeat(clip_audio, 2)  # crude 2x upsample for embedding
+    for off in [2.0, 14.5, 21.0]:
+        o = int(off * src_sr)
+        audio16[o : o + len(clip16)] += clip16
+
+    clip_path = str(tmp_path / "clip.wav")
+    audio_path = str(tmp_path / "audio16k.wav")
+    write_wav_file(clip_path, np.clip(clip_audio, -1, 1), SR)
+    write_wav_file(audio_path, np.clip(audio16, -1, 1), src_sr)
+
+    streamed, t1 = match_pattern(audio_path, [clip_path], seconds_per_chunk=10)
+    offline, t2 = match_pattern(
+        audio_path, [clip_path], seconds_per_chunk=10, offline_batch=2
+    )
+    assert offline == streamed
+    assert t1 == t2
+    assert len(streamed["clip"]) >= 1  # resampled embeds still detect
+
+
 def test_empty_chunk_batch_returns_empty():
     """An empty batch short-circuits to [] instead of tripping the
     packed-upload np.stack on zero rows."""

@@ -92,6 +92,38 @@ class TestResample:
         x = RNG.standard_normal(100).astype(np.float32)
         np.testing.assert_array_equal(hostref.resample(x, 100), x)
 
+    def test_odd_n_matches_scipy_exactly(self):
+        # When min(len, num) is odd there is no Nyquist bin and the slice
+        # rule coincides with scipy bit-for-bit (to f64 FFT roundoff).
+        rng = np.random.default_rng(21)
+        x = rng.standard_normal(100).astype(np.float32)
+        ours = hostref.resample(x, 51)
+        theirs = scipy.signal.resample(x.astype(np.float64), 51)
+        np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+    def test_even_n_pins_reference_nyquist_rule(self):
+        """Even min(len, num): the REFERENCE drops the Nyquist bin where
+        scipy folds it (reference: lib.rs:253-273; its binding test allows
+        atol=0.2 vs scipy for exactly this). Pin our output to the exact
+        slice formula and record that it deviates from scipy on
+        Nyquist-energy signals — parity is with the reference."""
+        rng = np.random.default_rng(22)
+        x = rng.standard_normal(101).astype(np.float32)
+        m = 50
+        ours = hostref.resample(x, m)
+
+        spectrum = np.fft.fft(x.astype(np.float64))
+        new_spec = np.zeros(m, dtype=np.complex128)
+        pos, neg = (m + 1) // 2, (m - 1) // 2  # 25, 24 — bin 25 dropped
+        new_spec[:pos] = spectrum[:pos]
+        new_spec[m - neg:] = spectrum[len(x) - neg:]
+        expect = (np.fft.ifft(new_spec) * (m / len(x))).real
+        np.testing.assert_allclose(ours, expect.astype(np.float32), atol=1e-6)
+
+        theirs = scipy.signal.resample(x.astype(np.float64), m)
+        dev = float(np.max(np.abs(ours - theirs)))
+        assert 1e-4 < dev < 0.5  # the documented Nyquist-handling gap
+
     def test_length(self):
         x = RNG.standard_normal(1000).astype(np.float32)
         assert len(hostref.resample(x, 313)) == 313

@@ -173,6 +173,44 @@ class TestStdinHeaderValidation:
         )
         assert self._validate(raw) == (1, 16)
 
+    def test_odd_sized_chunk_pad_byte_skipped(self):
+        """RIFF chunks are word-aligned: an odd-sized chunk carries one pad
+        byte that the walk must consume or every later read desyncs by a
+        byte. (The reference parser lacks the pad skip and rejects these
+        spec-conformant WAVs; accepting them is a strict superset —
+        docs/reference-parity.md.)"""
+        import struct
+
+        fmt_payload = struct.pack("<HHIIHH", 1, 1, SR, SR * 2, 2, 16)
+        body = (
+            b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd + pad
+            + b"fmt " + struct.pack("<I", 16) + fmt_payload
+            + b"id3 " + struct.pack("<I", 5) + b"hello" + b"\x00"  # odd + pad
+            + b"data" + struct.pack("<I", 0)
+        )
+        raw = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        assert self._validate(raw) == (1, 16)
+
+    def test_stdin_truncated_mid_sample_ends_cleanly(self, monkeypatch, capsys):
+        """An int16 stream cut mid-sample (writer died) must end the
+        stream with a warning, not crash np.frombuffer on an odd byte
+        count."""
+        import sys as _sys
+        import types
+
+        from audio_pattern_detector_tpu.match import _WavStdinStreamWrapper
+
+        samples = np.array([100, -200, 300], dtype=np.int16).tobytes()
+        raw = build_wav_header(fmt=1, bits=16) + samples[:-1]  # 2.5 samples
+        monkeypatch.setattr(
+            _sys, "stdin", types.SimpleNamespace(buffer=io.BytesIO(raw))
+        )
+        w = _WavStdinStreamWrapper(SR)
+        out = np.frombuffer(w.read(1 << 20), dtype=np.float32)
+        np.testing.assert_allclose(out, [100 / 32768.0, -200 / 32768.0])
+        assert w.read(1 << 20) == b""
+        assert "truncated mid-sample" in capsys.readouterr().err
+
     def test_truncated_before_fmt_rejected(self):
         import struct
 
