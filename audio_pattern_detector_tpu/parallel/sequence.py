@@ -50,6 +50,51 @@ except AttributeError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 
+def _place(
+    local: NDArray[np.float32], sharding: NamedSharding, global_rows: int
+) -> Any:
+    """Place a host batch on the mesh; multi-host aware.
+
+    Single-process: plain ``device_put``. Multi-process (a mesh spanning
+    hosts over DCN): each process passes only its LOCAL batch rows and
+    they land on its addressable devices
+    (``jax.make_array_from_process_local_data``) — the global array is
+    assembled without any cross-host data movement, which is the whole
+    point of sharding streams across hosts."""
+    if jax.process_count() == 1:
+        return jax.device_put(local, sharding)
+    global_shape = (global_rows,) + local.shape[1:]
+    return jax.make_array_from_process_local_data(sharding, local, global_shape)
+
+
+def _host_rows(arr: Any) -> NDArray[np.float32]:
+    """This process's batch rows of a stream-sharded device result.
+
+    Single-process: the whole array. Multi-process: only the addressable
+    shards are read (each host unpacks and post-processes its own
+    streams; rows owned by other hosts never cross DCN). The non-batch
+    dims (time, bank) may themselves be sharded across this host's local
+    devices, so the local block is stitched shard by shard; local row i
+    is this host's i-th stream (stream placement is
+    process-contiguous — see ShardedDetector multi-host notes)."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    shards = arr.addressable_shards
+
+    def _bounds(sl, dim):
+        return (sl.start or 0, dim if sl.stop is None else sl.stop)
+
+    row_lo = min(_bounds(s.index[0], arr.shape[0])[0] for s in shards)
+    row_hi = max(_bounds(s.index[0], arr.shape[0])[1] for s in shards)
+    out = np.empty((row_hi - row_lo,) + arr.shape[1:], dtype=arr.dtype)
+    for s in shards:
+        lo, hi = _bounds(s.index[0], arr.shape[0])
+        out[(slice(lo - row_lo, hi - row_lo),) + tuple(s.index[1:])] = (
+            np.asarray(s.data)
+        )
+    return out
+
+
 class ShardedDetector:
     """Detector over a (stream, time) device mesh.
 
@@ -123,6 +168,32 @@ class ShardedDetector:
         self.max_halo = max(
             sw * self.sample_rate for sw in self.bank.classes
         )
+        # Multi-host (DCN) contract: the "stream" axis spans processes
+        # (process-contiguous rows — jax.devices() is process-major and
+        # make_mesh's virtual/CPU fallback keeps enumeration order), and
+        # every host owns whole (time × bank) slices so halo exchange and
+        # payload unpack stay host-local. Each process then feeds only its
+        # own streams' rows; nothing but the ppermute halo crosses DCN.
+        self.process_count = jax.process_count()
+        if self.process_count > 1:
+            if self.stream_size % self.process_count != 0:
+                raise ValueError(
+                    f"multi-host mesh needs the stream axis "
+                    f"({self.stream_size}) divisible by the process count "
+                    f"({self.process_count})"
+                )
+            local_slices = (
+                (self.stream_size // self.process_count)
+                * self.time_size
+                * self.bank_size
+            )
+            if local_slices != jax.local_device_count():
+                raise ValueError(
+                    f"multi-host mesh places {local_slices} devices per "
+                    f"process but {jax.local_device_count()} are local; "
+                    "order the mesh stream-outermost with time x bank "
+                    "within one host"
+                )
         # Per-class group consts, padded to a bank-axis-divisible clip
         # count when the mesh has a "bank" axis (2-D bank × time sharding;
         # padded rows duplicate clip 0 and are sliced off on unpack).
@@ -298,6 +369,12 @@ class ShardedStreamSession:
         self._finished = False
 
     def feed(self, slab: NDArray[np.float32]) -> dict[str, list[list[float]]]:
+        """One slab; returns name -> per-stream timestamp lists.
+
+        Multi-host: every process calls feed in lockstep with the SAME
+        slab length but only its OWN streams' rows (global batch =
+        local batch × process count, process-contiguous); the returned
+        results cover this process's streams."""
         sd = self._sd
         slab = np.asarray(slab, dtype=np.float32)
         if slab.ndim == 1:
@@ -308,9 +385,11 @@ class ShardedStreamSession:
                 "stream already finished: a short slab must be the last"
             )
         if self._batch is None:
-            if B % sd.stream_size != 0:
+            local_groups = sd.stream_size // sd.process_count
+            if B % local_groups != 0:
                 raise ValueError(
-                    f"batch {B} must be divisible by stream axis {sd.stream_size}"
+                    f"batch {B} must be divisible by this process's share "
+                    f"of the stream axis ({local_groups})"
                 )
             self._batch = B
         elif B != self._batch:
@@ -332,7 +411,8 @@ class ShardedStreamSession:
         sharding = NamedSharding(
             sd.mesh, P("stream" if has_stream else None, "time", None)
         )
-        blocks_dev = jax.device_put(blocks, sharding)
+        global_rows = B * sd.process_count
+        blocks_dev = _place(blocks, sharding, global_rows)
         tail_sharding = NamedSharding(
             sd.mesh, P("stream" if has_stream else None, None)
         )
@@ -350,8 +430,12 @@ class ShardedStreamSession:
 
         # Valid-sample count as an exact f32 (hi, lo) pair — a single f32
         # scalar rounds at 2^24 samples, well inside big-mesh slab sizes.
-        t_parts = jnp.asarray(
-            [t_actual >> 12, t_actual & 0xFFF], dtype=jnp.float32
+        # Kept as a HOST array: multi-controller jit treats numpy inputs
+        # as replicated (every process passes the identical value — the
+        # lockstep slab-length contract), where a device-committed array
+        # would be single-host.
+        t_parts = np.asarray(
+            [t_actual >> 12, t_actual & 0xFFF], dtype=np.float32
         )
 
         # Phase 1: dispatch EVERY class's device program back-to-back
@@ -369,7 +453,7 @@ class ShardedStreamSession:
                 prev_tail = np.ascontiguousarray(self._carry[:, -halo:])
             else:
                 prev_tail = np.zeros((B, halo), dtype=np.float32)
-            prev_tail_dev = jax.device_put(prev_tail, tail_sharding)
+            prev_tail_dev = _place(prev_tail, tail_sharding, global_rows)
 
             outs = sd._jitted[key](blocks_dev, prev_tail_dev, t_parts)
             for out in outs:
@@ -389,7 +473,7 @@ class ShardedStreamSession:
             flagged_cells: dict[tuple[int, int], list[tuple[int, int, bool]]] = {}
             for gi, (g, out) in enumerate(zip(cls["groups"], outs)):
                 g_real = len(g.names)
-                packed = np.asarray(out["packed"])[:, :, :g_real, :]
+                packed = _host_rows(out["packed"])[:, :, :g_real, :]
                 pos, sel, host_fb, needs_full = unpack_group(packed, g.k_verify)
                 clip_seconds = g.clip_len / sr
 
