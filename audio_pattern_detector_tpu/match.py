@@ -1280,6 +1280,23 @@ def cmd_match(args: argparse.Namespace) -> None:
     )
     timestamp_format: str = getattr(args, "timestamp_format", "both")
 
+    _named_files = args.audio_file
+    if isinstance(_named_files, str):
+        _named_files = [_named_files]
+    if _named_files and (
+        getattr(args, "stdin", False) or getattr(args, "multiplexed_stdin", False)
+    ):
+        # Without this the stdin branch would win and the named files
+        # would be silently ignored — missing detections with no
+        # diagnostic.
+        print(
+            "Error: audio files and --stdin/--multiplexed-stdin are "
+            "mutually exclusive (the stdin stream would be scanned and "
+            "the files silently ignored)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
     if getattr(args, "offline_batch", None) and (
         getattr(args, "stdin", False) or getattr(args, "multiplexed_stdin", False)
     ):

@@ -215,6 +215,10 @@ class DebugSink:
             ylimit = max(0.01, float(np.median(y))) if y else 0.01
             plt.ylim(0, ylimit)
             plt.title("Scatter Plot for Similarity")
+            # The swapped/odd axis labels (x IS the chunk index, y IS the
+            # similarity) replicate the reference artifact byte-for-byte
+            # (reference: audio_pattern_detector.py:364-365) — debug
+            # artifacts are parity surfaces, quirks included.
             plt.xlabel("Value")
             plt.ylabel("Sublist Index")
             plt.savefig(f"{graph_dir}/{audio_name}.png")

@@ -30,12 +30,8 @@ ABSOLUTE_GATE_LUFS = -70.0
 DEFAULT_TARGET_LUFS = -16.0
 _FIR_TAPS = 4096
 
-
-def _next_pow2(n: int) -> int:
-    size = 1
-    while size < n:
-        size *= 2
-    return size
+# Same FFT-size rule as the correlation geometry (single-sourced there).
+from audio_pattern_detector_tpu.ops.correlate import next_pow2 as _next_pow2  # noqa: E402,E501
 
 
 @jax.tree_util.register_dataclass

@@ -77,8 +77,16 @@ def try_pack_pcm16(section: NDArray[np.float32]) -> NDArray[np.float32] | None:
     """(S,) f32 → (S/2,) f32 carrying int16 pairs, or None if lossy.
 
     S must be even (section lengths are sample-rate multiples). The check
-    is exact: a packed upload followed by :func:`unpack_pcm16` reproduces
-    the input bit-for-bit or the pack is refused.
+    is exact up to zero sign: a packed upload followed by
+    :func:`unpack_pcm16` reproduces every input VALUE, with ``-0.0``
+    canonicalised to ``+0.0`` (int16 0 unpacks positive). That is the
+    one representable bit difference, and it is invisible downstream:
+    -0.0 == +0.0 in every comparison, and both the correlation pipeline
+    (``abs`` before any consumer) and loudness (squares) erase zero
+    signs before anything sign-sensitive — quantised host audio (e.g.
+    ``np.round`` of small negatives) routinely carries -0.0, so
+    refusing it would silently disable packing on real PCM-grid
+    streams. Pinned by test_packing.py::test_negative_zero_canonicalises.
     """
     if len(section) % 2:
         return None

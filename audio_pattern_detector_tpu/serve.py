@@ -744,20 +744,27 @@ def cmd_serve(args: Any) -> None:
             f"Serving over a {mesh_stream}-device stream mesh",
             file=sys.stderr,
         )
-    server = PatternServer(
-        clips,
-        host=args.host,
-        port=args.port,
-        max_streams=args.max_streams,
-        seconds_per_chunk=args.chunk_seconds,
-        target_sample_rate=args.target_sample_rate,
-        timestamp_format=args.timestamp_format,
-        height_min=args.height_min,
-        pipeline_depth=args.pipeline_depth,
-        idle_timeout=args.idle_timeout or None,
-        mesh=mesh,
-        stats_interval=getattr(args, "stats_interval", 0) or None,
-    )
+    try:
+        server = PatternServer(
+            clips,
+            host=args.host,
+            port=args.port,
+            max_streams=args.max_streams,
+            seconds_per_chunk=args.chunk_seconds,
+            target_sample_rate=args.target_sample_rate,
+            timestamp_format=args.timestamp_format,
+            height_min=args.height_min,
+            pipeline_depth=args.pipeline_depth,
+            idle_timeout=args.idle_timeout or None,
+            mesh=mesh,
+            stats_interval=getattr(args, "stats_interval", 0) or None,
+        )
+    except ValueError as e:
+        # Config errors (negative timeouts, zero streams/depth,
+        # indivisible mesh) are usage errors: message + exit 1, not a
+        # traceback — same surface as the missing-pattern-file path.
+        print(f"Error: {e}", file=sys.stderr)
+        sys.exit(1)
     print("Compiling batch program...", file=sys.stderr)
     server.warmup()
     try:

@@ -103,7 +103,12 @@ def _field(
             raise ValueError(f"{path}: missing required field '{key}'")
         return None
     value = table[key]
-    if not isinstance(value, kind):
+    # bool is an int subclass, so `frequency_hz = true` would otherwise
+    # pass every numeric check and synthesise a 1 Hz "tone" silently —
+    # reject it explicitly (no schema field is boolean). The reference
+    # validator shares the gotcha (reference: pattern_config.py:95); this
+    # is stricter, in the spirit of its reject-at-every-level contract.
+    if isinstance(value, bool) or not isinstance(value, kind):
         raise ValueError(
             f"{path}: field '{key}' must be {_typename(kind)}, "
             f"got {type(value).__name__}"
@@ -150,8 +155,11 @@ def _synthesise_sine(
         )
 
     n = int(round(duration_seconds * sample_rate))
-    # f32 time grid, f64 sin/scale intermediates (bit-parity with the
-    # reference synthesiser, pattern_config.py:106-107).
+    # f32 time grid; the angular coefficient is computed in f64 but the
+    # product/sin/scale all run in f32 (the f64 scalar is a weak type
+    # against the f32 array) — BITWISE identical to the reference
+    # synthesiser's expression (reference: pattern_config.py:106-108,
+    # verified elementwise).
     t = np.arange(n, dtype=np.float32) / np.float32(sample_rate)
     wave = np.sin((2.0 * np.pi * frequency_hz) * t)
     return (amplitude * wave).astype(np.float32)

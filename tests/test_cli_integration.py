@@ -142,6 +142,17 @@ class TestMatchStdin:
         assert b"Expected 8000 Hz" in r.stderr
 
     @pytest.mark.parametrize("mode", ["--stdin", "--multiplexed-stdin"])
+    def test_audio_files_with_stdin_rejected(self, mode):
+        """Named audio files combined with a stdin mode must error, not
+        silently scan stdin and ignore the files."""
+        r = run_cli(
+            ["match", mode, RTHK_AUDIO, "--pattern-file", RTHK_PATTERN],
+            stdin_bytes=b"",
+        )
+        assert r.returncode == 1
+        assert b"mutually exclusive" in r.stderr
+
+    @pytest.mark.parametrize("mode", ["--stdin", "--multiplexed-stdin"])
     def test_offline_batch_with_stdin_rejected(self, mode):
         """--offline-batch is a whole-file scan knob; combined with a
         stdin mode it must error loudly, not silently run the plain
@@ -153,6 +164,26 @@ class TestMatchStdin:
         )
         assert r.returncode == 1
         assert b"--offline-batch requires file mode" in r.stderr
+
+
+class TestServeCliErrors:
+    @pytest.mark.parametrize(
+        "flags",
+        [
+            ["--idle-timeout", "-5"],
+            ["--stats-interval", "-1"],
+            ["--max-streams", "0"],
+            ["--pipeline-depth", "0"],
+        ],
+    )
+    def test_bad_config_clean_error(self, flags):
+        """Usage errors print a message and exit 1, not a traceback."""
+        r = run_cli(
+            ["serve", "--pattern-file", RTHK_PATTERN, "--port", "0", *flags]
+        )
+        assert r.returncode == 1
+        assert b"Error:" in r.stderr
+        assert b"Traceback" not in r.stderr
 
 
 class TestPatternNameSyntax:

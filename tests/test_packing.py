@@ -48,6 +48,19 @@ class TestPackUnpack:
     def test_refuses_lossy(self, bad):
         assert try_pack_pcm16(bad) is None
 
+    def test_negative_zero_canonicalises(self):
+        """-0.0 (routine in np.round-quantised host audio) packs and
+        unpacks as +0.0 — the one documented bit difference; values are
+        equal and every engine consumer erases zero signs (abs/squares)
+        before anything sign-sensitive, so results are unchanged."""
+        sec = np.array([0.5, -0.0], dtype=np.float32)
+        assert np.signbit(sec[1])
+        packed = try_pack_pcm16(sec)
+        assert packed is not None
+        out = np.asarray(unpack_pcm16(jnp.asarray(packed)))
+        np.testing.assert_array_equal(out, sec)  # value-equal (±0.0 ==)
+        assert not np.signbit(out[1])  # canonicalised
+
     def test_refuses_resampled_noise(self):
         rng = np.random.default_rng(1)
         assert try_pack_pcm16(rng.standard_normal(512).astype(np.float32) * 0.1) is None

@@ -76,6 +76,16 @@ class TestSineSource:
         with pytest.raises(ValueError, match="frequency_hz"):
             load_apd_file(write_apd(tmp_path, doc), sample_rate=SR)
 
+    def test_boolean_for_numeric_field_rejected(self, tmp_path):
+        """bool is an int subclass; `frequency_hz = true` must not pass
+        the numeric check and synthesise a 1 Hz "tone" silently."""
+        doc = SINE_DOC.replace("frequency_hz = 1000.0", "frequency_hz = true")
+        with pytest.raises(ValueError, match="frequency_hz.*got bool"):
+            load_apd_file(write_apd(tmp_path, doc), sample_rate=SR)
+        doc = SINE_DOC.replace("amplitude = 1.0", "amplitude = false")
+        with pytest.raises(ValueError, match="amplitude.*got bool"):
+            load_apd_file(write_apd(tmp_path, doc), sample_rate=SR)
+
     def test_unknown_clip_field_rejected(self, tmp_path):
         doc = SINE_DOC.replace("[verification]", "bogus = 1\n[verification]")
         with pytest.raises(ValueError, match="unknown"):
