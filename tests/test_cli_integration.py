@@ -166,6 +166,34 @@ class TestMatchStdin:
         assert b"--offline-batch requires file mode" in r.stderr
 
 
+class TestMultiplexedProtocolFuzz:
+    def test_random_bytes_raise_only_valueerror(self, monkeypatch):
+        """Garbage on the multiplexed wire must surface as the protocol's
+        ValueError contract (size caps, EOF messages), never a struct /
+        decode crash — IPC callers parse the error text."""
+        import io as _io
+        import sys as _sys
+        import types
+
+        import numpy as np
+
+        from audio_pattern_detector_tpu.match import (
+            _read_patterns_from_multiplexed_stdin,
+        )
+
+        rng = np.random.default_rng(37)
+        for _ in range(200):
+            n = int(rng.integers(0, 256))
+            blob = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            monkeypatch.setattr(
+                _sys, "stdin", types.SimpleNamespace(buffer=_io.BytesIO(blob))
+            )
+            try:
+                _read_patterns_from_multiplexed_stdin(8000)
+            except ValueError:
+                pass
+
+
 class TestServeCliErrors:
     @pytest.mark.parametrize(
         "flags",

@@ -211,6 +211,28 @@ class TestStdinHeaderValidation:
         assert w.read(1 << 20) == b""
         assert "truncated mid-sample" in capsys.readouterr().err
 
+    def test_fuzz_random_bytes_raise_only_valueerror(self):
+        """Hostile/garbage input to the header walker must surface as the
+        parser's ValueError contract, never an unhandled struct/index
+        error — the serve loop turns these into protocol error events."""
+        rng = np.random.default_rng(31)
+        for _ in range(300):
+            n = int(rng.integers(0, 64))
+            blob = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            try:
+                self._validate(blob)
+            except ValueError:
+                pass
+        # Mutations of a valid header: flip bytes one at a time.
+        base = bytearray(build_wav_header())
+        for pos in range(len(base)):
+            mutated = bytearray(base)
+            mutated[pos] ^= 0xFF
+            try:
+                self._validate(bytes(mutated))
+            except ValueError:
+                pass
+
     def test_truncated_before_fmt_rejected(self):
         import struct
 
