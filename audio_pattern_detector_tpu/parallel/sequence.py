@@ -523,14 +523,31 @@ class ShardedStreamSession:
                         for p in hits
                     )
 
-            # Pass 3: assemble per-clip per-stream sorted lists.
+            # Pass 3: assemble per-clip per-stream sorted lists. One
+            # nonzero + lexsort + searchsorted per group replaces the old
+            # per-(clip, stream) boolean-mask/sort loop — the surviving
+            # Python work is only the required list construction per cell.
             for gi, (g, t_all, clean, _cs) in enumerate(group_arrays):
+                n_clips = len(g.names)
+                b_f, _d_f, c_f, _k_f = np.nonzero(clean)
+                t_f = t_all[clean]
+                # lexsort: last key is primary → grouped by clip, then
+                # stream, time-ascending within each (clip, stream) cell.
+                order = np.lexsort((t_f, b_f, c_f))
+                t_sorted = t_f[order]
+                cell_key = c_f[order] * B + b_f[order]
+                bounds = np.searchsorted(
+                    cell_key, np.arange(n_clips * B + 1)
+                )
                 for ci, name in enumerate(g.names):
                     per_stream: list[list[float]] = []
                     for b in range(B):
-                        times = t_all[b, :, ci][clean[b, :, ci]].tolist()
-                        times.extend(cell_times.get((gi, b, ci), []))
-                        per_stream.append(sorted(times))
+                        cell = ci * B + b
+                        times = t_sorted[bounds[cell] : bounds[cell + 1]].tolist()
+                        extra = cell_times.get((gi, b, ci))
+                        if extra:
+                            times = sorted(times + extra)
+                        per_stream.append(times)
                     results[name] = per_stream
         # Advance carry/base for the next slab. A full slab always covers
         # the carry: the detector invariant chunk >= 2*sliding_window gives

@@ -80,6 +80,36 @@ class TestSecondsToTime:
                 v, include_decimals=False
             ) == andrew_utils.seconds_to_time(v, include_decimals=False)
 
+    def test_matches_vendored_golden_vectors(self):
+        """Pin the formatter against VENDORED outputs of the real package.
+
+        ``scripts/gen_andrew_utils_vectors.py`` records the real
+        ``andrew_utils.seconds_to_time`` outputs (with provenance) in any
+        networked environment; once the JSON is committed, this test runs
+        fully offline — unlike the importorskip cross-check above, and
+        unlike the reference-diff harness, which shims the same formatter
+        on both sides (scripts/run_reference_cli.py)."""
+        path = os.path.join(
+            os.path.dirname(__file__), "golden", "andrew_utils_vectors.json"
+        )
+        if not os.path.exists(path):
+            pytest.skip(
+                "no vendored vectors: run scripts/gen_andrew_utils_vectors.py "
+                "where the real andrew-utils package is installable "
+                "(this image has no egress — docs/reference-parity.md)"
+            )
+        with open(path) as f:
+            golden = json.load(f)
+        assert golden["provenance"]["package"] == "andrew-utils"
+        assert len(golden["vectors"]) >= 100
+        for vec in golden["vectors"]:
+            v = vec["seconds"]
+            assert seconds_to_time(v) == vec["with_decimals"], v
+            assert (
+                seconds_to_time(v, include_decimals=False)
+                == vec["no_decimals"]
+            ), v
+
 
 class TestNumpyEncoder:
     def test_scalar_and_array_types(self):
