@@ -12,6 +12,15 @@ Prints exactly one JSON line:
 (baseline: the >=1000x realtime target from BASELINE.md; the reference CPU
 implementation publishes no throughput numbers.)
 
+Statistics: every metric is sampled over N>=3 measurement windows within
+the run; the reported `<mode>_x_realtime` is the MEDIAN and
+`<mode>_x_realtime_spread` is [min, max] across samples. Per-run medians
+are persisted under "runs" in bench_results/tpu_measurement.json. The
+headline `value` is the best mode's median from THIS run — historical
+maxima are never folded into reported numbers (the shared chip swings
+±30% between healthy windows; a best-of-history headline would claim
+more precision than one run measures).
+
 Resilience: the single-chip tunnel alternates between healthy and degraded
 windows; a degraded window fails medium/large programs with UNIMPLEMENTED
 and poisons the process. Strategy:
@@ -31,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -39,6 +49,22 @@ RESULT_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "bench_results", "tpu_measurement.json"
 )
 CANARY_FAILED_RC = 3
+
+# metric name -> list of samples (x realtime), accumulated through the run
+_SAMPLES: dict[str, list[float]] = {}
+
+
+def _rec(name: str, value: float) -> None:
+    if value > 0:
+        _SAMPLES.setdefault(name, []).append(value)
+
+
+def _stats(name: str) -> tuple[float, float, float, int]:
+    """(median, min, max, n) over the recorded samples for a metric."""
+    s = _SAMPLES.get(name, [])
+    if not s:
+        return 0.0, 0.0, 0.0, 0
+    return statistics.median(s), min(s), max(s), len(s)
 
 
 def _canary() -> None:
@@ -131,7 +157,7 @@ def _pipelined_loop(bank, get_chunk, n_iters, prev, cap: int):
 
 def _measure_default_cli(
     clips: list, chunks: list, sr: int, chunk_seconds: int
-) -> float:
+) -> None:
     """Throughput of the flag-free CLI path: match_pattern on a WAV file
     with default settings (file-mode auto-perf chunk sizing engaged),
     pattern files loaded from disk exactly as `audio-pattern-detector-tpu
@@ -205,7 +231,94 @@ def _measure_default_cli(
         # still leaves ~2-3x on the first measured run.
         one_run()
         one_run()
-        return max(one_run(), one_run())
+        for _ in range(3):
+            _rec("default_cli", one_run())
+
+
+def _measure_serve(clips, bank, chunks, sr: int, chunk_seconds: int) -> None:
+    """The TCP serving stack end to end (VERDICT r2 #7): N loopback
+    clients stream 16-bit WAV through serve.py's selector loop and read
+    their JSONL events back; aggregate audio-seconds per wall-second from
+    first byte sent to last `end` received. Unlike multi_stream8 (which
+    drives MultiStreamSession directly), this prices socket ingest, the
+    WAV header walk, int16 decode, slot scheduling, and event emission."""
+    import socket
+    import struct
+    import threading
+
+    import numpy as np
+
+    from audio_pattern_detector_tpu.models.detector import AudioPatternDetector
+    from audio_pattern_detector_tpu.serve import PatternServer
+
+    width = int(os.environ.get("APD_BENCH_SERVE_STREAMS", "8"))
+    stream_seconds = int(
+        os.environ.get("APD_BENCH_SERVE_SECONDS", str(4 * chunk_seconds))
+    )
+
+    det = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=chunk_seconds)
+    det._bank = bank
+    server = PatternServer(
+        detector=det, max_streams=width, timestamp_format="ms", pipeline_depth=2
+    )
+    server.warmup()
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    port = server.address[1]
+
+    audio = np.concatenate(
+        [chunks[i % len(chunks)] for i in range(stream_seconds // chunk_seconds)]
+    )
+    data = (
+        np.clip(np.round(audio * 32768.0), -32768, 32767).astype("<i2").tobytes()
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+    def client(out: list, i: int) -> None:
+        sock = socket.create_connection(("127.0.0.1", port), timeout=120)
+        sock.sendall(payload)
+        sock.shutdown(socket.SHUT_WR)
+        sock.settimeout(600)
+        buf = b""
+        while True:
+            d = sock.recv(1 << 16)
+            if not d:
+                break
+            buf += d
+        sock.close()
+        events = [json.loads(line) for line in buf.decode().splitlines()]
+        assert events[-1]["type"] == "end", events[-1]
+        assert events[-1]["total_time_ms"] == stream_seconds * 1000
+        out[i] = events
+
+    def fleet() -> float:
+        results: list = [None] * width
+        threads = [
+            threading.Thread(target=client, args=(results, i))
+            for i in range(width)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=900)
+            assert not t.is_alive()
+        wall = time.perf_counter() - t0
+        assert all(ev is not None for ev in results)
+        return width * stream_seconds / wall
+
+    try:
+        fleet()  # warm (first-connection slot assignment + width-B program)
+        for _ in range(3):
+            _rec(f"serve{width}", fleet())
+    finally:
+        server.shutdown()
+        thread.join(timeout=30)
 
 
 def run_bench() -> dict:
@@ -255,11 +368,15 @@ def run_bench() -> dict:
     _persist_partial(quick_x, detections)
 
     # ── Streaming steady state (includes h2d + host-side unpack) ──
-    streaming_x, detections = run_streaming(20)
-    _persist_partial(streaming_x, detections)  # survive a mid-run failure
+    for _ in range(3):
+        x, detections = run_streaming(15)
+        _rec("streaming", x)
+    _persist_partial(_stats("streaming")[0], detections)
 
     # ── Deep pipeline (3 chunks in flight): hides per-launch round trips ──
-    deep_x, _ = run_streaming(20, depth=3)
+    for _ in range(3):
+        x, _ = run_streaming(15, depth=3)
+        _rec("deep_pipeline", x)
 
     # ── Device-only: the jitted class step, h2d/unpack excluded ──
     import jax
@@ -287,13 +404,13 @@ def run_bench() -> dict:
         )
 
     jax.block_until_ready(dev_step())  # warm
-    n_dev = 20
-    t0 = time.perf_counter()
-    for _ in range(n_dev):
-        outs = dev_step()
-    jax.block_until_ready(outs)
-    dev_elapsed = time.perf_counter() - t0
-    device_x = n_dev * chunk_seconds / dev_elapsed
+    n_dev = 15
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _i in range(n_dev):
+            outs = dev_step()
+        jax.block_until_ready(outs)
+        _rec("device_only", n_dev * chunk_seconds / (time.perf_counter() - t0))
 
     # ── Batched offline scan (amortised launches) ──
     from audio_pattern_detector_tpu.models.detector import AudioPatternDetector
@@ -306,10 +423,10 @@ def run_bench() -> dict:
     # state instead of the exposed head/tail of a 2-batch scan.
     long_audio = np.concatenate([chunks[i % n_distinct] for i in range(batch * 8)])
     det.find_clip_in_array(long_audio, batch_size=batch)  # warm the batch program
-    t0 = time.perf_counter()
-    det.find_clip_in_array(long_audio, batch_size=batch)
-    batch_elapsed = time.perf_counter() - t0
-    batched_x = (len(long_audio) / sr) / batch_elapsed
+    for _ in range(3):
+        t0 = time.perf_counter()
+        det.find_clip_in_array(long_audio, batch_size=batch)
+        _rec("batched", (len(long_audio) / sr) / (time.perf_counter() - t0))
 
     # ── Scanned offline (one launch per batch, chunks sequential on-device;
     # per-launch overhead amortised — the remote-runtime offline mode) ──
@@ -318,14 +435,15 @@ def run_bench() -> dict:
         [chunks[i % n_distinct] for i in range(scan_batch * 3)]
     )
     det.find_clip_in_array(scan_audio, batch_size=scan_batch, batch_mode="scan")
-    t0 = time.perf_counter()
-    det.find_clip_in_array(scan_audio, batch_size=scan_batch, batch_mode="scan")
-    scanned_x = (len(scan_audio) / sr) / (time.perf_counter() - t0)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        det.find_clip_in_array(scan_audio, batch_size=scan_batch, batch_mode="scan")
+        _rec("scanned", (len(scan_audio) / sr) / (time.perf_counter() - t0))
 
     # ── Big-chunk configurations (first-class engine configs via
     # --chunk-seconds: larger chunks amortise per-launch round trips and
     # per-chunk fixed costs at the price of result latency) ──
-    big_banks: dict[int, Any] = {}
+    big_banks: dict[int, tuple] = {}
 
     def measure_big_chunk(big_s: int) -> float:
         if big_s not in big_banks:
@@ -351,20 +469,15 @@ def run_bench() -> dict:
         big_banks[big_s] = (bank_b, cbig, prev_b)
         return 10 * big_s / elapsed
 
-    # The shared chip's throughput swings between (healthy) windows, so the
-    # headline-eligible metrics are sampled in two passes spread across the
-    # run; each metric keeps its best same-process sample.
-    big_chunk_x: dict[int, float] = {}
     big_sizes = [
         int(s)
         for s in os.environ.get("APD_BENCH_BIG_CHUNKS", "120,240,480").split(",")
         if s
     ]
-    for _pass in range(2):
+    for _pass in range(3):
         for big_s in big_sizes:
             try:
-                x = measure_big_chunk(big_s)
-                big_chunk_x[big_s] = max(big_chunk_x.get(big_s, 0.0), x)
+                _rec(f"chunk{big_s}", measure_big_chunk(big_s))
             except Exception as e:  # noqa: BLE001 — secondary metric only
                 print(f"[bench] chunk{big_s} metric failed: {e}", file=sys.stderr)
 
@@ -392,22 +505,26 @@ def run_bench() -> dict:
         return n_iters * chunk_seconds / (time.perf_counter() - t0)
 
     stream_batch_n = int(os.environ.get("APD_BENCH_STREAM_BATCH", "8"))
-    stream_batch_x = 0.0
     modes = os.environ.get("APD_BENCH_STREAM_BATCH_MODES", "scan,vmap").split(",")
+    mode_samples: dict[str, list[float]] = {}
     for mode in [m for m in modes if m]:
         try:
             run_stream_batch(stream_batch_n, stream_batch_n, mode)  # warm
-            for _ in range(2):
-                stream_batch_x = max(
-                    stream_batch_x,
-                    run_stream_batch(5 * stream_batch_n, stream_batch_n, mode),
-                )
+            mode_samples[mode] = [
+                run_stream_batch(5 * stream_batch_n, stream_batch_n, mode)
+                for _ in range(3)
+            ]
         except Exception as e:  # noqa: BLE001 — secondary metric only
             print(f"[bench] stream-batch {mode} failed: {e}", file=sys.stderr)
+    if mode_samples:
+        # Mode is a config choice, not noise: report the better mode's
+        # samples (by median) as THE stream-batch metric.
+        best_mode = max(mode_samples, key=lambda m: statistics.median(mode_samples[m]))
+        for s in mode_samples[best_mode]:
+            _rec("stream_batch", s)
 
     # Combo: big chunks x stream-batch (e.g. 4x240 s per launch) — the
     # launch amortisers compose. "cs:sb[:mode]" via APD_BENCH_COMBOS.
-    combo_x: dict[str, float] = {}
     for spec in os.environ.get("APD_BENCH_COMBOS", "240:4").split(","):
         if not spec:
             continue
@@ -433,8 +550,8 @@ def run_bench() -> dict:
                 stream_batch_mode=mode,
                 pipeline_depth=3,
             )  # warm
-            best_c = 0.0
-            for _ in range(2):
+            suffix = "" if mode == "scan" else f"_{mode}"
+            for _ in range(3):
                 raw_stream = AudioStream(
                     name="combo",
                     audio_stream=io.BytesIO(raw),
@@ -447,11 +564,10 @@ def run_bench() -> dict:
                     stream_batch=sb,
                     stream_batch_mode=mode,
                 )
-                best_c = max(
-                    best_c, n_iters * cs / (time.perf_counter() - t0)
+                _rec(
+                    f"chunk{cs}_sb{sb}{suffix}",
+                    n_iters * cs / (time.perf_counter() - t0),
                 )
-            suffix = "" if mode == "scan" else f"_{mode}"
-            combo_x[f"chunk{cs}_sb{sb}{suffix}"] = best_c
         except Exception as e:  # noqa: BLE001 — secondary metric only
             print(f"[bench] combo {spec} failed: {e}", file=sys.stderr)
 
@@ -470,7 +586,6 @@ def run_bench() -> dict:
         ).astype(np.float32)
 
     hit_chunks = [make_hit_chunk(c) for c in chunks]
-    hit_x = 0.0
     hit_detections = 0
     try:
         prev_h = None
@@ -478,11 +593,11 @@ def run_bench() -> dict:
             bank.process_chunk(hit_chunks[i % n_distinct], prev_h)
             prev_h = hit_chunks[i % n_distinct]
 
-        for _ in range(2):
+        for _ in range(3):
             elapsed, dets, prev_h = _pipelined_loop(
                 bank, lambda i: hit_chunks[i % n_distinct], 15, prev_h, 3
             )
-            hit_x = max(hit_x, 15 * chunk_seconds / elapsed)
+            _rec("hit_bearing", 15 * chunk_seconds / elapsed)
             hit_detections = dets
     except Exception as e:  # noqa: BLE001 — secondary metric only
         print(f"[bench] hit-bearing metric failed: {e}", file=sys.stderr)
@@ -490,9 +605,8 @@ def run_bench() -> dict:
     # ── Default CLI path (VERDICT r1 #2): plain
     # `match file.wav --pattern-file ...` with no tuning flags — file-mode
     # auto-perf chunk sizing must clear the target on its own. ──
-    default_cli_x = 0.0
     try:
-        default_cli_x = _measure_default_cli(clips, chunks, sr, chunk_seconds)
+        _measure_default_cli(clips, chunks, sr, chunk_seconds)
     except Exception as e:  # noqa: BLE001 — secondary metric only
         print(f"[bench] default-CLI metric failed: {e}", file=sys.stderr)
 
@@ -500,7 +614,6 @@ def run_bench() -> dict:
     # streams, one vmapped launch per feed round — a single chip serving
     # N stations concurrently. Aggregate audio-seconds per wall-second
     # (excluded from the single-stream headline max). ──
-    multi_stream_x = 0.0
     n_ms = int(os.environ.get("APD_BENCH_MULTI_STREAMS", "8"))
     try:
         from audio_pattern_detector_tpu.models.multistream import (
@@ -510,7 +623,7 @@ def run_bench() -> dict:
         sess = MultiStreamSession(det, n_streams=n_ms)
         sess.feed([chunks[i % n_distinct] for i in range(n_ms)])  # warm B=n
         ms_rounds = 8
-        for _ in range(2):
+        for _ in range(3):
             # 3 rounds in flight with eager draining, like every other
             # pipelined loop here (synchronous feed serializes launch +
             # d2h + unpack against device compute).
@@ -528,63 +641,66 @@ def run_bench() -> dict:
                     sess.collect(pend.pop(0))
             while pend:
                 sess.collect(pend.pop(0))
-            multi_stream_x = max(
-                multi_stream_x,
+            _rec(
+                f"multi_stream{n_ms}",
                 n_ms * ms_rounds * chunk_seconds / (time.perf_counter() - t0),
             )
     except Exception as e:  # noqa: BLE001 — secondary metric only
         print(f"[bench] multi-stream metric failed: {e}", file=sys.stderr)
 
-    # Second streaming sample (the first ran before the big-chunk compiles).
-    streaming2_x, _ = run_streaming(20)
-    streaming_x = max(streaming_x, streaming2_x)
-    _persist_partial(streaming_x, detections)
+    # ── TCP serve stack (VERDICT r2 #7): real loopback clients through
+    # serve.py's selector loop — the deployment surface, measured. ──
+    try:
+        _measure_serve(clips, bank, chunks, sr, chunk_seconds)
+    except Exception as e:  # noqa: BLE001 — secondary metric only
+        print(f"[bench] serve metric failed: {e}", file=sys.stderr)
+
+    # Final streaming sample (after the big compiles; widens the window
+    # coverage of the headline path's spread).
+    x, _ = run_streaming(15)
+    _rec("streaming", x)
+    _persist_partial(_stats("streaming")[0], detections)
 
     platform = jax.devices()[0].platform
+
+    # Aggregate-across-streams metrics are not single-stream numbers.
+    headline_excluded_prefixes = ("multi_stream", "serve", "device_only")
+    medians = {name: _stats(name)[0] for name in _SAMPLES}
     best = max(
-        streaming_x, deep_x, batched_x, scanned_x, stream_batch_x,
-        default_cli_x, *big_chunk_x.values(), *combo_x.values(),
+        (
+            v
+            for name, v in medians.items()
+            if not name.startswith(headline_excluded_prefixes)
+        ),
+        default=0.0,
     )
+
     result = {
         "metric": "realtime_factor_64clip",
         "value": round(best, 1),
         "unit": "x_realtime",
         "vs_baseline": round(best / 1000.0, 3),
-        "streaming_x_realtime": round(streaming_x, 1),
-        "deep_pipeline_x_realtime": round(deep_x, 1),
-        "batched_x_realtime": round(batched_x, 1),
-        "scanned_x_realtime": round(scanned_x, 1),
-        "stream_batch_x_realtime": round(stream_batch_x, 1),
-        "hit_bearing_x_realtime": round(hit_x, 1),
+        "stats": "median over >=3 samples per metric; spread=[min,max]",
         "hit_bearing_detections": hit_detections,
-        "default_cli_x_realtime": round(default_cli_x, 1),
-        f"multi_stream{n_ms}_x_realtime": round(multi_stream_x, 1),
-        **{
-            f"chunk{s}_x_realtime": round(x, 1)
-            for s, x in sorted(big_chunk_x.items())
-        },
-        **{
-            f"{k}_x_realtime": round(x, 1)
-            for k, x in sorted(combo_x.items())
-        },
-        "device_only_x_realtime": round(device_x, 1),
         "platform": platform,
         "detections": detections,
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
-    big_str = " ".join(
-        f"chunk{s} {x:.0f}x" for s, x in sorted(big_chunk_x.items())
+    for name in sorted(_SAMPLES):
+        med, lo, hi, n = _stats(name)
+        result[f"{name}_x_realtime"] = round(med, 1)
+        result[f"{name}_x_realtime_spread"] = [round(lo, 1), round(hi, 1)]
+        result[f"{name}_n"] = n
+
+    summary = ", ".join(
+        f"{name} {result[f'{name}_x_realtime']:.0f}x"
+        f"[{result[f'{name}_x_realtime_spread'][0]:.0f}"
+        f"-{result[f'{name}_x_realtime_spread'][1]:.0f}]"
+        for name in sorted(_SAMPLES)
     )
     print(
-        f"[bench] streaming {streaming_x:.0f}x (depth3 {deep_x:.0f}x), "
-        f"batched {batched_x:.0f}x, scanned {scanned_x:.0f}x, "
-        f"stream-batch{stream_batch_n} {stream_batch_x:.0f}x, "
-        f"{big_str}, "
-        f"hit-bearing {hit_x:.0f}x ({hit_detections} detections), "
-        f"default-CLI {default_cli_x:.0f}x, "
-        f"multi-stream{n_ms} {multi_stream_x:.0f}x aggregate, "
-        f"device-only {device_x:.0f}x realtime on "
-        f"{platform} ({detections} detections)",
+        f"[bench] medians (spread): {summary} on {platform} "
+        f"({detections} detections)",
         file=sys.stderr,
     )
     return result
@@ -610,21 +726,21 @@ def _inner() -> None:
 
     result = run_bench()
     if result.get("platform") != "cpu":
-        result = _merge_best(result)
+        result = _merge_history(result)
         os.makedirs(os.path.dirname(RESULT_PATH), exist_ok=True)
         with open(RESULT_PATH, "w") as f:
             json.dump(result, f, indent=1)
     print(json.dumps(result), flush=True)
 
 
-def _merge_best(result: dict) -> dict:
-    """Fold the previous persisted measurement in, keeping per-metric max.
+def _merge_history(result: dict) -> dict:
+    """Append this run's medians to the persisted per-run history.
 
-    The shared chip's healthy-window throughput swings ±30% run to run
-    (STATUS.md); every config here is a first-class engine mode, so the
-    number of record is the best measured healthy-window throughput per
-    mode, not one window's draw. Per-run values stay visible under
-    "runs" (most recent last, capped)."""
+    Reported metrics are THIS run's medians with their in-run spread —
+    prior runs' numbers are never folded into the reported values (the
+    shared chip swings ±30% between healthy windows; a best-of-history
+    headline would overstate what one window measures). History stays
+    inspectable under "runs" (most recent last, capped)."""
     prev = None
     try:
         with open(RESULT_PATH) as f:
@@ -632,42 +748,15 @@ def _merge_best(result: dict) -> dict:
     except Exception:
         pass
     this_run = {
-        k: v for k, v in result.items() if k.endswith("_x_realtime")
+        k: v
+        for k, v in result.items()
+        if k.endswith("_x_realtime") or k.endswith("_x_realtime_spread")
     }
     this_run["measured_at"] = result["measured_at"]
     runs = (prev or {}).get("runs", [])
-    # Migrate a pre-"runs" persisted result into the history once.
-    if prev and not runs and "measured_at" in prev:
-        runs = [
-            {
-                **{
-                    k: v
-                    for k, v in prev.items()
-                    if k.endswith("_x_realtime")
-                },
-                "measured_at": prev["measured_at"],
-            }
-        ]
     runs = (runs + [this_run])[-12:]
-    if prev and not prev.get("partial"):
-        for k, v in prev.items():
-            if k.endswith("_x_realtime") and isinstance(v, (int, float)):
-                result[k] = max(result.get(k, 0.0), v)
-    best = max(
-        (
-            v
-            for k, v in result.items()
-            if k.endswith("_x_realtime")
-            and k != "device_only_x_realtime"
-            # aggregate-across-streams metric, not a single-stream number
-            and not k.startswith("multi_stream")
-        ),
-        default=result["value"],
-    )
-    result["value"] = round(best, 1)
-    result["vs_baseline"] = round(best / 1000.0, 3)
     result["runs"] = runs
-    result["best_of_runs"] = len(runs)
+    result["n_runs_recorded"] = len(runs)
     return result
 
 
@@ -678,31 +767,12 @@ def _report(result: dict) -> None:
         "unit": result["unit"],
         "vs_baseline": result["vs_baseline"],
     }
-    for k in (
-        "streaming_x_realtime",
-        "deep_pipeline_x_realtime",
-        "batched_x_realtime",
-        "scanned_x_realtime",
-        "stream_batch_x_realtime",
-        "hit_bearing_x_realtime",
-        "hit_bearing_detections",
-        "default_cli_x_realtime",
-        # any multi_stream<N> width the run was configured with
-        *sorted(
-            k
-            for k in result
-            if k.startswith("multi_stream") and k.endswith("_x_realtime")
-        ),
-        "chunk120_x_realtime",
-        "chunk240_x_realtime",
-        "chunk480_x_realtime",
-        "chunk240_sb4_x_realtime",
-        "device_only_x_realtime",
-        "platform",
-        "measured_at",
-        "cached",
-    ):
-        if k in result:
+    for k in sorted(result):
+        if (
+            k.endswith("_x_realtime")
+            or k.endswith("_x_realtime_spread")
+            or k in ("stats", "hit_bearing_detections", "platform", "measured_at", "cached")
+        ):
             line[k] = result[k]
     print(json.dumps(line), flush=True)
 

@@ -52,6 +52,11 @@ import numpy as np
 
 ITERS = int(os.environ.get("APD_PROBE_ITERS", "10"))
 REPEATS = int(os.environ.get("APD_PROBE_REPEATS", "3"))
+# VERDICT r2 #1: the ladder is parametric in chunk size so the big-chunk
+# configurations (120/240/480 s) get the same device-only attribution as
+# the 60 s flagship — that's what decides whether per-op FFT cost is
+# fixed (launch-amortisation model) or byte-bound (linear model).
+CHUNK_SECONDS = int(os.environ.get("APD_PROBE_CHUNK_SECONDS", "60"))
 
 
 def time_chained(step) -> float:
@@ -89,7 +94,9 @@ def main() -> None:
     )
 
     sr = 8000
-    bank, _clips = _make_bank(num_normal=32, num_marker=32, chunk_seconds=60)
+    bank, _clips = _make_bank(
+        num_normal=32, num_marker=32, chunk_seconds=CHUNK_SECONDS
+    )
     sw = sorted(bank.classes)[0]
     cls = bank.classes[sw]
     metas = bank._metas[sw]
@@ -279,6 +286,10 @@ def main() -> None:
         "platform": jax.devices()[0].platform,
         "iters": ITERS,
         "repeats": REPEATS,
+        "chunk_seconds": CHUNK_SECONDS,
+        "x_realtime_full_lean": round(
+            CHUNK_SECONDS / results["full_lean_step"], 1
+        ),
         "cumulative_s": results,
         "marginal_ms": {
             name: round(
@@ -293,7 +304,9 @@ def main() -> None:
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "bench_results",
-        "step_decompose.json",
+        "step_decompose.json"
+        if CHUNK_SECONDS == 60
+        else f"step_decompose_{CHUNK_SECONDS}.json",
     )
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
