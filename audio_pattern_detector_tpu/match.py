@@ -682,12 +682,14 @@ def _scan_sharded(
     return accumulated, total_samples / sd.sample_rate
 
 
-# 120 s cap, measured: with the depth-3 pipeline hiding per-launch round
-# trips, 120 s chunks stream at ~2400x (same-window: 2404/2410) while
-# 240 s chunks drop to ~2085x (per-op FFT cost grows with section size
-# faster than the amortised fixed costs shrink, docs/scaling.md rule 5)
-# — so the smaller cap is both faster AND halves worst-case event-flush
-# latency.
+# 120 s cap, measured twice over: with the depth-3 pipeline hiding
+# per-launch round trips, 120 s chunks stream at ~2400x (same-window:
+# 2404/2410) while 240 s drop to ~2085x; the round-3 device-only ladder
+# (docs/scaling.md "Device cost vs chunk size") explains why — the corr
+# stage is LINEAR in chunk seconds (~0.18 ms/s, worsening to ~0.28 past
+# 240 s) so launch amortisation is exhausted by 120 s and x_realtime
+# peaks there (2794x vs 2302x at 240 s). The smaller cap is both faster
+# AND halves worst-case event-flush latency.
 AUTO_PERF_MAX_CHUNK_SECONDS = 120
 
 
