@@ -16,9 +16,10 @@ backend — see docs/scaling.md):
               the full lean class step (cross-check vs _class_step_jit)
 
 Marginal cost of each stage = its cumulative time minus the previous
-stage's. The backend-fixed share is `launch` + the FFT ops' fixed cost
-(every FFT op on this runtime costs ~5-6 ms nearly independent of batch —
-bench_results/fft_sweep.json); the rest is addressable.
+stage's. The backend-fixed share is `launch` + the irffts at the
+backend FFT's measured per-row rate (~10 us/row at 32k, LINEAR in
+rows — scripts/dev/irfft_batch_probe.py, round-3 correction of the
+round-2 "fixed per-op cost" model); the rest is addressable.
 
 Run in a healthy window:  python scripts/dev/step_decompose.py
 Writes bench_results/step_decompose.json.
@@ -59,17 +60,26 @@ REPEATS = int(os.environ.get("APD_PROBE_REPEATS", "3"))
 CHUNK_SECONDS = int(os.environ.get("APD_PROBE_CHUNK_SECONDS", "60"))
 
 
+# Wall-time salt + a token that advances ~+1 per call: the runtime
+# memoises value-identical executions server-side (the cache survives
+# the client process) and block_until_ready can return early — a host
+# value fetch is the only reliable sync. See docs/scaling.md rule 10
+# and scripts/dev/irfft_batch_probe.py for the measured failure modes.
+_SALT = float(int(time.time()) % 86400)
+
+
 def time_chained(step) -> float:
-    token = jnp.float32(0.0)
-    token = jax.block_until_ready(step(token))
+    global _SALT
+    tok = step(jnp.float32(_SALT))  # compile + warm
+    float(tok)
     samples = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        tok = token
         for _ in range(ITERS):
-            tok = step(tok)
-        jax.block_until_ready(tok)
+            tok = step(tok)  # token keeps advancing: never replayed
+        tv = float(tok)
         samples.append((time.perf_counter() - t0) / ITERS)
+    _SALT = tv + 100.0
     return float(np.median(samples))
 
 
@@ -110,8 +120,12 @@ def main() -> None:
 
     def tok_mix(token):
         # Fold the token into the section so every stage depends on the
-        # previous iteration's full output.
-        return base + token * jnp.float32(1e-12)
+        # previous iteration's output — at a VISIBLE, bounded scale
+        # (sin keeps it bounded as the token advances by +1 per call;
+        # 1e-3 of a noise signal changes f32 bits without creating
+        # detections), so no two calls are ever value-identical and the
+        # runtime's server-side memoisation cannot fire (rule 10).
+        return base * (jnp.float32(1.0) + jnp.sin(token) * jnp.float32(1e-3))
 
     def out_tok(x):
         return jnp.sum(x) * jnp.float32(1e-12)
@@ -132,7 +146,7 @@ def main() -> None:
         sec = tok_mix(token)
         lufs = integrated_loudness_device(sec, jnp.int32(S), loud)
         norm = loudness_normalize_device(sec, lufs)
-        return out_tok(norm)
+        return token + jnp.float32(1.0) + out_tok(norm)
 
     @jax.jit
     def p_secfft(token):
@@ -140,7 +154,7 @@ def main() -> None:
         lufs = integrated_loudness_device(sec, jnp.int32(S), loud)
         norm = loudness_normalize_device(sec, lufs)
         spec = section_segment_spectra(norm, first) if shared else norm
-        return out_tok(jnp.abs(spec))
+        return token + jnp.float32(1.0) + out_tok(jnp.abs(spec))
 
     def correlations(norm, spec):
         # Production lean path: normalised correlation (the divide fuses
@@ -156,7 +170,7 @@ def main() -> None:
         norm = loudness_normalize_device(sec, lufs)
         spec = section_segment_spectra(norm, first) if shared else None
         outs = correlations(norm, spec)
-        return sum(out_tok(corr) for corr, _ in outs)
+        return token + jnp.float32(1.0) + sum(out_tok(corr) for corr, _ in outs)
 
     @jax.jit
     def p_mask(token):
@@ -179,7 +193,7 @@ def main() -> None:
             p, h, overflow = greedy_survivors_blockwise(scored, m, 16)
             acc += out_tok(h) + out_tok(overflow.astype(jnp.float32))
             acc += out_tok(plateau.astype(jnp.float32))
-        return acc
+        return token + jnp.float32(1.0) + acc
 
     @jax.jit
     def p_full(token):
@@ -193,7 +207,7 @@ def main() -> None:
             height_min=height_min,
             lean=True,
         )
-        return sum(out_tok(o["packed"]) for o in outs)
+        return token + jnp.float32(1.0) + sum(out_tok(o["packed"]) for o in outs)
 
     ladder = [
         ("launch", p_launch),
@@ -235,7 +249,7 @@ def main() -> None:
                 acc += out_tok(bmax) + out_tok(omax)
                 acc += out_tok(count_min.astype(jnp.float32))
                 acc += out_tok(plateau_min.astype(jnp.float32))
-            return acc
+            return token + jnp.float32(1.0) + acc
 
         @jax.jit
         def p_full_pallas(token):
@@ -250,12 +264,82 @@ def main() -> None:
                 lean=True,
                 pallas=True,
             )
-            return sum(out_tok(o["packed"]) for o in outs)
+            return token + jnp.float32(1.0) + sum(
+                out_tok(o["packed"]) for o in outs
+            )
 
         ladder += [
             ("mask_pallas", p_mask_pallas),
             ("full_pallas", p_full_pallas),
         ]
+
+    # Merged-irfft A/B rungs (VERDICT r2 #2): both groups' inverse
+    # transforms in ONE irfft op (ops/correlate.py::bank_correlate_multi,
+    # APD_MERGED_IRFFT=1 in production). Round 2 measured merged SLOWER
+    # (15.8 vs 13.0 ms) — but with the round-3 finding that irfft cost is
+    # linear in rows (irfft_batch_probe.py), merging should save the
+    # small per-op intercept; the round-2 reading may have been a
+    # memoisation artifact. Requires the shared class geometry.
+    if shared and os.environ.get("APD_PROBE_MERGED") != "0":
+        from audio_pattern_detector_tpu.ops.correlate import (
+            bank_correlate_multi,
+        )
+
+        @jax.jit
+        def p_corr_merged(token):
+            sec = tok_mix(token)
+            lufs = integrated_loudness_device(sec, jnp.int32(S), loud)
+            norm = loudness_normalize_device(sec, lufs)
+            spec = section_segment_spectra(norm, first)
+            outs = bank_correlate_multi(
+                jnp.int32(S), [c for c, _ in gcs], spec
+            )
+            return token + jnp.float32(1.0) + sum(
+                out_tok(corr) for corr, _ in outs
+            )
+
+        ladder += [("corr_merged", p_corr_merged)]
+
+    # Bank-split A/B rung: each group's multiply+irfft in SPLITS sub-ops
+    # along the bank axis, so per-op intermediates stay small. Probes
+    # whether the big-chunk corr regression (production ~0.28 ms/s past
+    # 240 s vs ~0.18 at <=120 s while the isolated op stays linear) is a
+    # fusion/materialisation size threshold.
+    _splits = int(os.environ.get("APD_PROBE_CORR_SPLITS", "0"))
+    if _splits > 1:
+        from audio_pattern_detector_tpu.ops.correlate import (
+            _bank_spec,
+            _finalize_correlation,
+        )
+
+        @jax.jit
+        def p_corr_split(token):
+            sec = tok_mix(token)
+            lufs = integrated_loudness_device(sec, jnp.int32(S), loud)
+            norm = loudness_normalize_device(sec, lufs)
+            spec = section_segment_spectra(norm, first)
+            acc = jnp.float32(0.0)
+            for c, _ in gcs:
+                bspec = _bank_spec(c)
+                G = bspec.shape[0]
+                N, ns, step_ = c.fft_len, c.num_segments, c.step
+                parts = []
+                bounds = np.linspace(0, G, _splits + 1).astype(int)
+                for a, b in zip(bounds[:-1], bounds[1:]):
+                    y = jnp.fft.irfft(
+                        spec[None, :, :] * bspec[a:b, None, :], n=N, axis=2
+                    )
+                    parts.append(
+                        y[:, :, :step_].reshape(b - a, ns * step_)
+                    )
+                flat = jnp.concatenate(parts, axis=0)
+                off = c.out_offset
+                corr = jnp.abs(flat[:, off : off + c.full_len])
+                corr, _vl = _finalize_correlation(corr, jnp.int32(S), c)
+                acc += out_tok(corr)
+            return token + jnp.float32(1.0) + acc
+
+        ladder += [("corr_split", p_corr_split)]
     # The base ladder is cumulative; the pallas rungs are A/B counterparts
     # of `mask`/`full_lean_step`, not further rungs, so marginals are only
     # meaningful within the base ladder.
@@ -275,7 +359,13 @@ def main() -> None:
             )
             prev = t
         else:
-            ref = results["mask" if name == "mask_pallas" else "full_lean_step"]
+            counterpart = {
+                "mask_pallas": "mask",
+                "full_pallas": "full_lean_step",
+                "corr_merged": "corr",
+                "corr_split": "corr",
+            }[name]
+            ref = results[counterpart]
             print(
                 f"{name:16s} cumulative {t * 1e3:8.2f} ms   "
                 f"vs counterpart {(t - ref) * 1e3:+8.2f} ms",
