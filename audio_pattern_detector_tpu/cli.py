@@ -353,6 +353,18 @@ def main() -> None:
         ),
     )
     serve_parser.add_argument(
+        "--dispatch-defer-ms",
+        metavar="ms",
+        type=float,
+        default=50.0,
+        help=(
+            "hold a device round back up to this long while other live "
+            "streams are mid-chunk, so rounds run at full slot occupancy "
+            "(a width-B round costs the same at any fill). Adds at most "
+            "this much per-chunk latency. 0 disables (default: 50)"
+        ),
+    )
+    serve_parser.add_argument(
         "--idle-timeout",
         metavar="seconds",
         type=float,

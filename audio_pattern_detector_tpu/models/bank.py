@@ -67,6 +67,14 @@ from audio_pattern_detector_tpu.ops.verify import (
 
 _BIG = np.int32(2**30)
 
+
+def _pcm16_to_f32(raw: NDArray[np.int16]) -> NDArray[np.float32]:
+    """Bitwise-pinned int16 -> f32 decode (cast, then scale in f32) —
+    the same bits the stream wrappers and the device unpack produce."""
+    from audio_pattern_detector_tpu import native
+
+    return native.pcm16_to_f32_mono(raw)
+
 # Small verification tier: chunks whose live-candidate count fits entirely
 # below this bound verify through a 16-lane program instead of the full
 # k_verify tier (see the two-tier cond in _class_step).
@@ -298,10 +306,21 @@ class PatternBank:
         """The overlap-save lookback rule in ONE place: prepend the last
         ``sw`` seconds of the previous chunk (reference:
         audio_pattern_detector.py:400-412). Shared by the serial,
-        bank-sharded, and batch dispatch paths."""
+        bank-sharded, and batch dispatch paths.
+
+        Rows may arrive as raw int16 (the serving fast path) or f32;
+        a mixed pair (e.g. an int16-tail checkpoint resumed against a
+        float stream) decodes the int16 side first — int16 + f32 must
+        never concatenate raw (numpy would promote the PCM integers as
+        if they were sample values)."""
         if previous_chunk is None:
             return chunk
         tail = previous_chunk[int(-sw * self.sample_rate):]
+        if tail.dtype != chunk.dtype:
+            if tail.dtype == np.int16:
+                tail = _pcm16_to_f32(tail)
+            if chunk.dtype == np.int16:
+                chunk = _pcm16_to_f32(chunk)
         return np.concatenate((tail, chunk))
 
     def _dispatch_section(
@@ -658,7 +677,6 @@ class PatternBank:
         dispatched = []
         for sw, cls in self.classes.items():
             S = cls["section_len"]
-            sections = np.zeros((b, S), dtype=np.float32)
             n_valids = np.zeros(b, dtype=np.int32)
             raws = []
             for bi, chunk in enumerate(chunks):
@@ -666,23 +684,47 @@ class PatternBank:
                     prev = prev_tails[bi]
                 else:
                     prev = chunks[bi - 1] if bi > 0 else previous_tail
-                # Rows write straight into the stacked upload buffer; the
-                # lookback rule itself lives in _raw_section (shared with
-                # the serial path).
                 raw = self._raw_section(sw, chunk, prev)
                 raws.append(raw)
-                sections[bi, : len(raw)] = raw
                 n_valids[bi] = len(raw)
 
             group_consts = tuple((g.corr, g.verify) for g in cls["groups"])
             # Packed upload (half the h2d bytes) when every row is 16-bit
-            # PCM-exact — zero padding packs, so only genuinely non-PCM
-            # audio (ffmpeg floats, resampled streams) falls back to f32.
+            # PCM-exact. Rows that arrive as raw int16 (the serving fast
+            # path) bit-pack with a zero-cost view — no f32 decode, no
+            # round-trip check; f32 rows pay the per-chunk exactness
+            # check and fall back to the float program when any sample
+            # is off the PCM16 grid (ffmpeg floats, resampled streams).
             packed_rows: NDArray[np.float32] | None = None
-            if self._packed_upload:
-                packs = [try_pack_pcm16(sections[bi]) for bi in range(b)]
-                if all(p is not None for p in packs):
-                    packed_rows = np.stack(packs)  # type: ignore[arg-type]
+            sections: NDArray[np.float32] | None = None
+            if (
+                self._packed_upload
+                and S % 2 == 0
+                and all(r.dtype == np.int16 for r in raws if len(r))
+            ):
+                rows_i16 = np.zeros((b, S), dtype=np.int16)
+                for bi, raw in enumerate(raws):
+                    rows_i16[bi, : len(raw)] = raw
+                packed_rows = rows_i16.view(np.float32)
+            else:
+                # np.empty + per-row tail zeroing: full rows (the steady
+                # serving/offline case) skip the zero pass np.zeros
+                # would pay every round.
+                sections = np.empty((b, S), dtype=np.float32)
+                for bi, raw in enumerate(raws):
+                    if raw.dtype == np.int16:
+                        raw = _pcm16_to_f32(raw)
+                        raws[bi] = raw
+                    sections[bi, : len(raw)] = raw
+                    if len(raw) < S:
+                        sections[bi, len(raw):] = 0.0
+                if self._packed_upload:
+                    # Per-row packing beats one batched pass here: each
+                    # row stays cache-resident through the round/compare/
+                    # cast chain (same-process A/B: 11.3 vs 14.7 ms, B=8).
+                    packs = [try_pack_pcm16(sections[bi]) for bi in range(b)]
+                    if all(p is not None for p in packs):
+                        packed_rows = np.stack(packs)  # type: ignore[arg-type]
             if packed_rows is not None:
                 step_jit = (
                     _class_step_scan_packed_jit
@@ -696,6 +738,7 @@ class PatternBank:
                     if mode == "scan"
                     else _class_step_batch_jit
                 )
+                assert sections is not None  # float fallback built above
                 payload_np = sections
             if sharding is not None:
                 # Mesh placement: rows land on their owning devices at
@@ -757,7 +800,12 @@ class PatternBank:
                                 int(p) for p in pos[bi, ci][sel[bi, ci]]
                             ]
             for bi, flagged in flagged_by_bi.items():
-                resolved = self.resolve_flagged_rows(sw, flagged, raws[bi])
+                raw_bi = raws[bi]
+                if raw_bi.dtype == np.int16:
+                    # Serving fast-path rows stay int16 until a flagged
+                    # cell actually needs the exact host path (rare).
+                    raw_bi = _pcm16_to_f32(raw_bi)
+                resolved = self.resolve_flagged_rows(sw, flagged, raw_bi)
                 for (gi, ci), hits in resolved.items():
                     results[bi][cls["groups"][gi].names[ci]] = hits
         return results

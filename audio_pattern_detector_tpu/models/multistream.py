@@ -122,7 +122,14 @@ class MultiStreamSession:
         rounds: list[NDArray[np.float32] | None] = []
         for i, chunk in enumerate(chunks):
             if chunk is not None:
-                chunk = np.ascontiguousarray(chunk, dtype=np.float32)
+                # int16 chunks ride through raw: the bank's batch
+                # dispatch bit-packs them into upload lanes without ever
+                # materialising f32 on the host (bit-identical results —
+                # the device unpack IS the int16 -> f32 decode).
+                if np.asarray(chunk).dtype == np.int16:
+                    chunk = np.ascontiguousarray(chunk)
+                else:
+                    chunk = np.ascontiguousarray(chunk, dtype=np.float32)
                 if chunk.ndim != 1 or len(chunk) > self._chunk_samples:
                     raise ValueError(
                         f"stream {i}: chunk must be 1-D with at most "

@@ -39,9 +39,18 @@ def packed_upload_supported() -> bool:
     """
     global _ROUNDTRIP_OK
     if _ROUNDTRIP_OK is None:
+        import time as _time
+
         # Pairs (even, odd) covering: +NaN / -NaN payloads (quiet + the
         # 0x7F80/0xFF80 infinity edge), full-scale extremes, subnormal-range
-        # patterns, and ordinary values.
+        # patterns, and ordinary values. The ordinary pair is SALTED with
+        # wall time: the tunnel runtime memoises executions server-side
+        # by (program, input values), and a prior process killed with
+        # this exact call in flight leaves a poisoned cache entry that
+        # every later identical call hangs on (observed live 2026-08-19;
+        # docs/scaling.md rule 10). Fresh values → fresh cache key; the
+        # hazardous bit patterns under test are unaffected.
+        salt = int(_time.time_ns() % 30000) + 1
         pairs = np.array(
             [
                 [1, 0x7FC0],  # hi 0x7FC0: quiet-NaN bit pattern
@@ -50,7 +59,7 @@ def packed_upload_supported() -> bool:
                 [-0x8000, -0x8000],  # -full scale
                 [0x1234, -0x0040],  # hi 0xFFC0: negative quiet NaN
                 [0, -0x0080],  # hi 0xFF80: -inf bit pattern
-                [7, 42],  # ordinary small values
+                [salt, 42],  # ordinary values (salt: cache-buster)
                 [0x0001, 0x0000],  # subnormal f32 pattern
             ],
             dtype=np.int16,

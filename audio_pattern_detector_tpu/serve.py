@@ -167,6 +167,7 @@ class PatternServer:
         max_outbound: int = _DEFAULT_MAX_OUTBOUND,
         mesh: Any = None,
         stats_interval: float | None = None,
+        dispatch_defer_ms: float = 50.0,
     ) -> None:
         if max_streams < 1:
             raise ValueError(f"max_streams must be >= 1, got {max_streams}")
@@ -228,6 +229,15 @@ class PatternServer:
         self._conns: dict[socket.socket, _Conn] = {}
         # FIFO of in-flight rounds: (session handle, per-slot conn map)
         self._inflight: list[tuple[Any, dict[int, _Conn]]] = []
+        # Dispatch hold-back (see _dispatch_round): a round that would
+        # leave mid-chunk streams out waits up to this long for them to
+        # fill, so device rounds run at full slot occupancy. 0 disables.
+        if dispatch_defer_ms < 0:
+            raise ValueError(
+                f"dispatch_defer_ms must be >= 0, got {dispatch_defer_ms}"
+            )
+        self.dispatch_defer = dispatch_defer_ms / 1e3
+        self._defer_start: float | None = None
         # Periodic ops stats (one JSON line to stderr per interval):
         # aggregate audio throughput, rounds, detections over the window.
         if stats_interval is not None and stats_interval <= 0:
@@ -239,6 +249,16 @@ class PatternServer:
         self._stat_rounds = 0
         self._stat_samples = 0
         self._stat_detections = 0
+        # Cumulative wall time per event-loop phase (seconds) — cheap
+        # monotonic bookkeeping, read by scripts/dev/serve_probe.py to
+        # attribute per-round cost on the deployment surface.
+        self.phase_seconds: dict[str, float] = {
+            "select": 0.0,
+            "sockets": 0.0,
+            "collect": 0.0,
+            "dispatch": 0.0,
+            "finish": 0.0,
+        }
 
     @property
     def address(self) -> tuple[str, int]:
@@ -258,7 +278,15 @@ class PatternServer:
         — without it, that client's first round would stall every
         connected stream on a mid-service compile.
         """
-        for fill in (0.0, 1e-4):  # on-grid (packed) / off-grid (float)
+        # Fill values are salted with wall time so no two processes ever
+        # issue value-identical warmup rounds: the runtime memoises
+        # executions server-side by (program, inputs), and a process
+        # killed mid-warmup would leave a poisoned entry every later
+        # warmup hangs on (docs/scaling.md rule 10). The salt keeps the
+        # on-grid round 16-bit-PCM-exact (k/32768) and the second round
+        # off-grid.
+        k = float(time.time_ns() % 20000 + 1)
+        for fill in (k / 32768.0, 1e-4 + k * 1e-9):
             self.session.feed(
                 [np.full(self.chunk_samples, fill, dtype=np.float32)]
                 + [None] * (self.max_streams - 1)
@@ -284,18 +312,33 @@ class PatternServer:
             f"{self.detector.seconds_per_chunk}s chunks)",
             file=sys.stderr,
         )
+        phases = self.phase_seconds
         try:
             while not self._stopping:
+                t0 = time.monotonic()
                 self._sel.select(self._poll_timeout())
+                t1 = time.monotonic()
+                phases["select"] += t1 - t0
                 self._service_sockets()
+                t2 = time.monotonic()
+                phases["sockets"] += t2 - t1
                 self._collect_ready()
+                t3 = time.monotonic()
+                phases["collect"] += t3 - t2
                 self._dispatch_round()
+                t4 = time.monotonic()
+                phases["dispatch"] += t4 - t3
                 self._finish_streams()
+                phases["finish"] += time.monotonic() - t4
                 self._maybe_emit_stats()
         finally:
             self._teardown()
 
     def _poll_timeout(self) -> float:
+        if self._defer_start is not None:
+            # Mid hold-back: wake promptly for straggler bytes without
+            # spinning the loop hot for the whole defer window.
+            return 0.002
         if any(self._round_bytes(c) for c in self._conns.values()):
             # A round can dispatch right now — or, at pipeline depth,
             # _collect_ready will block on the oldest round (waiting on
@@ -477,15 +520,52 @@ class PatternServer:
             # reaped before it gets a chance to send again.
             conn.last_activity = time.monotonic()
         assert conn.dtype is not None
-        samples = _decode_samples(raw, conn.dtype, conn.scale)
+        if conn.dtype == np.int16:
+            # int16 fast path: hand the raw samples through — the batch
+            # dispatch bit-packs int16 pairs into f32 upload lanes with a
+            # zero-cost view (ops/packing.py semantics), so the f32
+            # decode here would be pure waste (~30 ms/width-8 round of
+            # host work, scripts/dev/serve_probe.py). Device results are
+            # bit-identical either way (the in-graph unpack IS the
+            # decode: int16 -> f32 exact).
+            samples: NDArray[np.float32] = np.frombuffer(
+                raw, dtype=np.int16
+            )  # type: ignore[assignment]
+        else:
+            samples = _decode_samples(raw, conn.dtype, conn.scale)
         conn.samples_fed += len(samples)
         return samples
 
     def _dispatch_round(self) -> None:
         if self._inflight and len(self._inflight) >= self.pipeline_depth:
             return
+        ready = sum(1 for c in self._conns.values() if self._round_bytes(c))
+        if not ready:
+            self._defer_start = None
+            return
+        if self.dispatch_defer > 0:
+            # Hold the round back (bounded) while other live streams are
+            # mid-chunk: a width-B device round costs the same at any
+            # slot occupancy, so dispatching a 2-of-8 round wastes ~4x
+            # device time vs waiting a few ms for the stragglers.
+            # Measured (scripts/dev/serve_probe.py, width 8, 4 chunks
+            # per stream): 11 rounds -> 4-5 full rounds. Live streams at
+            # chunk cadence lose at most dispatch_defer_ms of latency.
+            waiting = any(
+                not c.dead and not c.ended and not c.eof
+                and not self._round_bytes(c)
+                for c in self._conns.values()
+            )
+            now = time.monotonic()
+            if waiting:
+                if self._defer_start is None:
+                    self._defer_start = now
+                if now - self._defer_start < self.dispatch_defer:
+                    return
+        self._defer_start = None
         chunks: list[NDArray[np.float32] | None] = [None] * self.max_streams
         members: dict[int, _Conn] = {}
+        t_take = time.monotonic()
         for conn in self._conns.values():
             chunk = self._take_chunk(conn)
             if chunk is not None and len(chunk):
@@ -493,7 +573,16 @@ class PatternServer:
                 members[conn.slot] = conn
         if not members:
             return
+        t_disp = time.monotonic()
+        self.phase_seconds["take"] = (
+            self.phase_seconds.get("take", 0.0) + t_disp - t_take
+        )
         handle = self.session.dispatch(chunks)
+        self.phase_seconds["enqueue"] = (
+            self.phase_seconds.get("enqueue", 0.0)
+            + time.monotonic()
+            - t_disp
+        )
         for conn in members.values():
             conn.pending += 1
         self._inflight.append((handle, members))
@@ -502,10 +591,25 @@ class PatternServer:
             len(c) for c in chunks if c is not None
         )
 
+    def _input_exhausted(self) -> bool:
+        """True when no connection can contribute another round (all
+        dead/ended, or EOF with nothing dispatchable left in the buffer)
+        — in-flight rounds are then the only work, so collecting may
+        block on the device instead of polling at select granularity.
+        A new connection's accept waits at most one round."""
+        return all(
+            c.dead or c.ended or (c.eof and not self._round_bytes(c))
+            for c in self._conns.values()
+        )
+
     def _collect_ready(self, block: bool = False) -> None:
         while self._inflight:
             handle, members = self._inflight[0]
-            must = block or len(self._inflight) >= self.pipeline_depth
+            must = (
+                block
+                or len(self._inflight) >= self.pipeline_depth
+                or self._input_exhausted()
+            )
             if not must and not self.session.round_ready(handle):
                 return
             self._inflight.pop(0)
@@ -758,6 +862,7 @@ def cmd_serve(args: Any) -> None:
             idle_timeout=args.idle_timeout or None,
             mesh=mesh,
             stats_interval=getattr(args, "stats_interval", 0) or None,
+            dispatch_defer_ms=getattr(args, "dispatch_defer_ms", 50.0),
         )
     except ValueError as e:
         # Config errors (negative timeouts, zero streams/depth,

@@ -115,7 +115,14 @@ def measure(clips, bank, width: int) -> dict:
     # separating steady-state serving cost from first-window effects
     # (shared-chip variance shows up as cold/warm disagreement).
     cold = fleet()
+    snap0 = dict(server.phase_seconds)
+    rounds0 = server._stat_rounds
     warm = fleet()
+    phases = {
+        k: round(v - snap0.get(k, 0.0), 3)
+        for k, v in server.phase_seconds.items()
+    }
+    rounds = server._stat_rounds - rounds0
     server.shutdown()
     thread.join(timeout=30)
 
@@ -126,6 +133,8 @@ def measure(clips, bank, width: int) -> dict:
         "wall_warm_s": round(warm, 2),
         "aggregate_x_realtime": round(total_audio / warm, 1),
         "per_stream_x_realtime": round(STREAM_SECONDS / warm, 1),
+        "warm_rounds": rounds,
+        "warm_phase_seconds": phases,
     }
 
 

@@ -95,6 +95,42 @@ class TestMultiStreamSession:
             assert accumulated[i] == serial_peaks, f"stream {i}"
             assert session.total_time(i) == pytest.approx(serial_total)
 
+    def test_int16_fast_path_bit_identical(self, clips, stream_audios):
+        """Raw int16 chunks (the serving fast path: bit-packed upload
+        with no host f32 decode) produce bit-identical detections to the
+        same audio fed as f32 — including a MIXED round (one int16
+        stream + one f32 stream forces the float-program fallback)."""
+        audio = stream_audios[0]
+        q = np.round(audio * 32768.0)
+        assert (q == audio * 32768.0).all(), "corpus audio is PCM16-exact"
+        audio_i16 = q.astype(np.int16)
+
+        noise = stream_audios[2]  # rng noise: NOT PCM16-exact (stays f32)
+        noise_i16 = np.clip(
+            np.round(noise * 32768.0), -32768, 32767
+        ).astype(np.int16)
+        noise_q = noise_i16.astype(np.float32) * np.float32(1.0 / 32768.0)
+
+        det = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=CHUNK_S)
+        ref = MultiStreamSession(det, n_streams=2)
+        fast = MultiStreamSession(det, n_streams=2)  # all rows int16
+        mixed = MultiStreamSession(det, n_streams=2)  # int16 + f32 rows
+
+        ref_rounds = [_chunked(audio), _chunked(noise_q)]
+        fast_rounds = [_chunked(audio_i16), _chunked(noise_i16)]
+        mixed_rounds = [_chunked(audio_i16), _chunked(noise)]
+        rounds = max(len(c) for c in ref_rounds)
+        for r in range(rounds):
+
+            def feed_of(per_stream):
+                return [c[r] if r < len(c) else None for c in per_stream]
+
+            expect = ref.feed(feed_of(ref_rounds))
+            assert fast.feed(feed_of(fast_rounds)) == expect, f"round {r}"
+            mixed_res = mixed.feed(feed_of(mixed_rounds))
+            assert mixed_res[0] == expect[0], f"round {r} (mixed)"
+        assert fast.total_time(0) == ref.total_time(0)
+
     def test_mesh_sharded_streams_match_serial_engine(
         self, clips, stream_audios
     ):
