@@ -155,6 +155,12 @@ class PatternBank:
         # until measured faster on the target backend; see
         # ops/pallas_peaks.py).
         self._pallas = _os.environ.get("APD_PALLAS") == "1"
+        # Block-summary lean tier (ops/peaks.py::greedy_survivors_rederive):
+        # bitwise-identical survivors with no (G, L) scored/mask buffers —
+        # the XLA analogue of the Pallas scan's structure. Opt-in until
+        # measured on the target backend; the Pallas scan takes
+        # precedence when both are set.
+        self._blocked = _os.environ.get("APD_BLOCK_LEAN") == "1"
 
         # ── Group clips by (sliding_window, clip_len, strategy) ──
         grouped: dict[tuple[int, int, str], list[str]] = {}
@@ -351,6 +357,7 @@ class PatternBank:
                 metas=self._metas[sw],
                 height_min=self.height_min,
                 pallas=pallas,
+                blocked=self._blocked,
             )
         else:
             flat = _class_step_fused_jit(
@@ -361,6 +368,7 @@ class PatternBank:
                 metas=self._metas[sw],
                 height_min=self.height_min,
                 pallas=pallas,
+                blocked=self._blocked,
             )
         _host_prefetch(flat)
         return flat
@@ -767,6 +775,7 @@ class PatternBank:
                 metas=self._metas[sw],
                 height_min=self.height_min,
                 pallas=self._pallas,
+                blocked=self._blocked,
             )
             _host_prefetch(flat)
             dispatched.append((sw, flat, raws, b))
@@ -892,6 +901,7 @@ def _lean_group_packed(
     height_min: float,
     verify_consts,
     wide: bool = False,
+    blocked: bool = False,
 ) -> jnp.ndarray:
     """Production (lean) per-group tail: exact greedy survivors in-program.
 
@@ -942,8 +952,33 @@ def _lean_group_packed(
     L = corr.shape[1]
     idx = jnp.arange(L, dtype=jnp.int32)[None, :]
     x = jnp.where(idx < valid_len, corr, -jnp.inf)
-    mask = short_run_local_maxima_mask(x) & (x >= height_min)
     plateau = long_plateau_present(x, height_min)
+
+    if not wide and blocked:
+        # Block-summary variant: the (G, L) mask/scored arrays have no
+        # gather consumer — only their per-block maxima leave the fused
+        # mask pass; each greedy round re-derives its candidates on a
+        # ±2-halo window sliced from ``corr``. Bitwise-identical
+        # survivors (ops/peaks.py::greedy_survivors_rederive), fewer
+        # materialised (G, L) buffers.
+        from audio_pattern_detector_tpu.ops.peaks import (
+            greedy_survivors_rederive,
+        )
+
+        k_lanes = min(_SMALL_TIER, k_detect)
+        pos, height, overflow = greedy_survivors_rederive(
+            corr, valid_len, height_min, m, k_lanes
+        )
+        host_fallback = plateau
+        needs_full = ~host_fallback & overflow
+        flag = jnp.where(host_fallback, 1.0, jnp.where(needs_full, 2.0, 0.0))
+        return _lean_tail(
+            norm, corr, valid_len, kind, m, k_verify, verify_consts,
+            pos, height, host_fallback, flag, k_lanes,
+            pre_filtered=True,
+        )
+
+    mask = short_run_local_maxima_mask(x) & (x >= height_min)
     scored = jnp.where(mask, x, -jnp.inf)
 
     if wide:
@@ -1187,6 +1222,7 @@ def _class_step(
     lean: bool = False,
     pallas: bool = False,
     wide: bool = False,
+    blocked: bool = False,
 ) -> list[dict[str, jnp.ndarray]]:
     """The full per-chunk device program for one sliding-window class.
 
@@ -1323,6 +1359,7 @@ def _class_step(
                         k_verify,
                         height_min,
                         verify_consts,
+                        blocked=blocked,
                     )
                 }
             )
@@ -1406,7 +1443,7 @@ def _class_step(
 # shape + static metas, so repeated detector construction (tests, CLI runs
 # in one process) reuses compiled programs.
 _class_step_jit = jax.jit(
-    _class_step, static_argnames=("metas", "height_min", "lean", "pallas", "wide")
+    _class_step, static_argnames=("metas", "height_min", "lean", "pallas", "wide", "blocked")
 )
 
 
@@ -1414,17 +1451,19 @@ _class_step_jit = jax.jit(
 # f32 vector, so the host pays a single device->host transfer (one RPC on
 # remote runtimes) per class per chunk.
 def _class_step_fused(
-    section, n_valid, loud, group_consts, *, metas, height_min, pallas=False
+    section, n_valid, loud, group_consts, *, metas, height_min, pallas=False,
+    blocked=False,
 ):
     outs = _class_step(
         section, n_valid, loud, group_consts,
         metas=metas, height_min=height_min, lean=True, pallas=pallas,
+        blocked=blocked,
     )
     return jnp.concatenate([o["packed"].reshape(-1) for o in outs])
 
 
 _class_step_fused_jit = jax.jit(
-    _class_step_fused, static_argnames=("metas", "height_min", "pallas")
+    _class_step_fused, static_argnames=("metas", "height_min", "pallas", "blocked")
 )
 
 
@@ -1433,30 +1472,31 @@ _class_step_fused_jit = jax.jit(
 # per-chunk h2d bytes, bit-exact when the pack succeeded host-side.
 def _class_step_fused_packed(
     packed_section, n_valid, loud, group_consts, *, metas, height_min,
-    pallas=False,
+    pallas=False, blocked=False,
 ):
     from audio_pattern_detector_tpu.ops.packing import unpack_pcm16
 
     return _class_step_fused(
         unpack_pcm16(packed_section), n_valid, loud, group_consts,
-        metas=metas, height_min=height_min, pallas=pallas,
+        metas=metas, height_min=height_min, pallas=pallas, blocked=blocked,
     )
 
 
 _class_step_fused_packed_jit = jax.jit(
-    _class_step_fused_packed, static_argnames=("metas", "height_min", "pallas")
+    _class_step_fused_packed, static_argnames=("metas", "height_min", "pallas", "blocked")
 )
 
 
 # Batched variant: vmap over (section, n_valid); constants broadcast.
 def _class_step_batch(
     sections, n_valids, loud, group_consts, *, metas, height_min,
-    pallas=False,
+    pallas=False, blocked=False,
 ):
     import functools
 
     step = functools.partial(
-        _class_step_fused, metas=metas, height_min=height_min, pallas=pallas
+        _class_step_fused, metas=metas, height_min=height_min, pallas=pallas,
+        blocked=blocked,
     )
     return jax.vmap(step, in_axes=(0, 0, None, None))(
         sections, n_valids, loud, group_consts
@@ -1464,7 +1504,7 @@ def _class_step_batch(
 
 
 _class_step_batch_jit = jax.jit(
-    _class_step_batch, static_argnames=("metas", "height_min", "pallas")
+    _class_step_batch, static_argnames=("metas", "height_min", "pallas", "blocked")
 )
 
 
@@ -1473,13 +1513,13 @@ _class_step_batch_jit = jax.jit(
 # _class_step_fused_packed, same bit-exactness contract).
 def _class_step_batch_packed(
     packed_sections, n_valids, loud, group_consts, *, metas, height_min,
-    pallas=False,
+    pallas=False, blocked=False,
 ):
     import functools
 
     step = functools.partial(
         _class_step_fused_packed,
-        metas=metas, height_min=height_min, pallas=pallas,
+        metas=metas, height_min=height_min, pallas=pallas, blocked=blocked,
     )
     return jax.vmap(step, in_axes=(0, 0, None, None))(
         packed_sections, n_valids, loud, group_consts
@@ -1487,19 +1527,20 @@ def _class_step_batch_packed(
 
 
 _class_step_batch_packed_jit = jax.jit(
-    _class_step_batch_packed, static_argnames=("metas", "height_min", "pallas")
+    _class_step_batch_packed, static_argnames=("metas", "height_min", "pallas", "blocked")
 )
 
 
 def _class_step_scan_packed(
     packed_sections, n_valids, loud, group_consts, *, metas, height_min,
-    pallas=False,
+    pallas=False, blocked=False,
 ):
     def body(carry, inp):
         packed_section, n_valid = inp
         flat = _class_step_fused_packed(
             packed_section, n_valid, loud, group_consts,
             metas=metas, height_min=height_min, pallas=pallas,
+            blocked=blocked,
         )
         return carry, flat
 
@@ -1513,7 +1554,7 @@ def _class_step_scan_packed(
 
 
 _class_step_scan_packed_jit = jax.jit(
-    _class_step_scan_packed, static_argnames=("metas", "height_min", "pallas")
+    _class_step_scan_packed, static_argnames=("metas", "height_min", "pallas", "blocked")
 )
 
 
@@ -1524,13 +1565,14 @@ _class_step_scan_packed_jit = jax.jit(
 # runtimes where each execution costs a round trip.
 def _class_step_scan(
     sections, n_valids, loud, group_consts, *, metas, height_min,
-    pallas=False,
+    pallas=False, blocked=False,
 ):
     def body(carry, inp):
         section, n_valid = inp
         flat = _class_step_fused(
             section, n_valid, loud, group_consts,
             metas=metas, height_min=height_min, pallas=pallas,
+            blocked=blocked,
         )
         return carry, flat
 
@@ -1545,5 +1587,5 @@ def _class_step_scan(
 
 
 _class_step_scan_jit = jax.jit(
-    _class_step_scan, static_argnames=("metas", "height_min", "pallas")
+    _class_step_scan, static_argnames=("metas", "height_min", "pallas", "blocked")
 )

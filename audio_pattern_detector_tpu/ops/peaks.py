@@ -565,3 +565,91 @@ def greedy_survivors_from_blocks(
         )
     overflow = jnp.any(bwork > -jnp.inf, axis=1)
     return kept_pos, kept_h, overflow
+
+
+def greedy_survivors_rederive(
+    corr: jnp.ndarray,  # (G, L) NORMALISED correlation, zeros past valid_len
+    valid_len: jnp.ndarray,  # int32
+    height_min: "float | jnp.ndarray",
+    min_distance: int,
+    r_max: int,
+    block: int = _TOPK_BLOCK,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """:func:`greedy_survivors_blockwise` without a (G, L) gather source.
+
+    Bitwise-identical results — same candidate mask chain, same greedy
+    core — but the scored array's ONLY consumer is the per-block max
+    reduce, so XLA is free to fuse the whole where/compare/reshape/reduce
+    chain into one streaming pass over ``corr`` instead of materialising
+    the shifted copies and bool masks that
+    :func:`greedy_survivors_blockwise`'s ``dynamic_slice`` gathers force
+    into HBM. Each greedy round RE-DERIVES its candidates on a ±2-halo
+    window sliced straight from ``corr`` (already materialised by the
+    irfft): the exact :func:`plateau_run_mask` comparison chain on the
+    exact values, so gathered maxima equal the block summary bitwise and
+    :func:`greedy_survivors_from_blocks`' seed invariant holds by
+    construction. This is the structure the Pallas candidate scan uses
+    (models/bank.py::_lean_group_packed_pallas) minus Mosaic and minus
+    its raw-vs-quotient rounding edge — everything here reads the
+    normalised array every tier compares.
+
+    Callers must apply the same ``long_plateau_present`` escape they
+    would pair with :func:`short_run_local_maxima_mask`: runs of length
+    ≥ 4 at/above ``height_min`` are outside the mask's exact domain.
+    """
+    G, L = corr.shape
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    x = jnp.where(idx < valid_len, corr, -jnp.inf)
+    mask = short_run_local_maxima_mask(x) & (x >= height_min)
+    scored = jnp.where(mask, x, -jnp.inf)
+
+    nb = -(-L // block)
+    pad = nb * block - L
+    padded = (
+        jnp.pad(scored, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        if pad
+        else scored
+    )
+    bwork0 = jnp.max(padded.reshape(G, nb, block), axis=2)
+
+    W = block + 4
+    corr_w = jnp.pad(corr, ((0, 0), (0, W - L))) if L < W else corr
+    woffs = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    def gather_scored(b_idx):  # (G,) -> ((G, W) scored vals, (G, W) pos)
+        start = jnp.clip(b_idx * block - 2, 0, max(L - W, 0))
+        xw = slice_rows_windows(corr_w, start[:, None], W)[:, 0, :]
+        c = start[:, None] + woffs  # global positions, ascending
+        xv = jnp.where(c < valid_len, xw, -jnp.inf)
+        # Window-local shifts: in-block lanes always see their true ±2
+        # neighbourhood (the window carries a 2-sample halo on each side;
+        # at the array edges the -inf window fill IS the full-width
+        # _shift's pad, so the comparison partners match bitwise).
+        neg1 = jnp.full((G, 1), -jnp.inf, xv.dtype)
+        neg2 = jnp.full((G, 2), -jnp.inf, xv.dtype)
+        xm1 = jnp.concatenate([neg1, xv[:, :-1]], axis=1)
+        xm2 = jnp.concatenate([neg2, xv[:, :-2]], axis=1)
+        xp1 = jnp.concatenate([xv[:, 1:], neg1], axis=1)
+        xp2 = jnp.concatenate([xv[:, 2:], neg2], axis=1)
+        runs = plateau_run_mask(
+            xv, xm2, xm1, xp1, xp2,
+            fin_p1=jnp.isfinite(xp1),
+            fin_p2=jnp.isfinite(xp2),
+            left_ok=c > 1,
+        )
+        in_block = (c >= b_idx[:, None] * block) & (
+            c < (b_idx[:, None] + 1) * block
+        )
+        wmask = (
+            runs
+            & in_block
+            & (c > 0)
+            & (c < L - 1)
+            & jnp.isfinite(xv)
+            & (xv >= height_min)
+        )
+        return jnp.where(wmask, xv, -jnp.inf), c
+
+    return greedy_survivors_from_blocks(
+        bwork0, gather_scored, min_distance, r_max, block
+    )

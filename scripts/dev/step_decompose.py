@@ -340,6 +340,65 @@ def main() -> None:
             return token + jnp.float32(1.0) + acc
 
         ladder += [("corr_split", p_corr_split)]
+    # Blocked-lean A/B rungs: the block-summary lean tier
+    # (ops/peaks.py::greedy_survivors_rederive, APD_BLOCK_LEAN=1 in
+    # production) — no (G, L) scored/mask buffers behind dynamic_slice
+    # consumers, per-round candidate re-derivation on ±2-halo windows.
+    # Bitwise-identical results; probes whether freeing XLA to fuse the
+    # mask chain into the block-max reduce harvests the multi-pass HBM
+    # traffic (mask stage marginal 4.3 ms at 60 s, 22.4/39.5 ms at
+    # 240/480 s).
+    if os.environ.get("APD_PROBE_BLOCKED") != "0":
+        from audio_pattern_detector_tpu.ops.peaks import (
+            greedy_survivors_rederive,
+        )
+
+        @jax.jit
+        def p_mask_blocked(token):
+            sec = tok_mix(token)
+            lufs = integrated_loudness_device(sec, jnp.int32(S), loud)
+            norm = loudness_normalize_device(sec, lufs)
+            spec = section_segment_spectra(norm, first) if shared else None
+            acc = jnp.float32(0.0)
+            for (kind, m, k_detect, k_verify), (corr, valid_len) in zip(
+                metas, correlations(norm, spec)
+            ):
+                x = jnp.where(
+                    jnp.arange(corr.shape[1], dtype=jnp.int32)[None, :]
+                    < valid_len,
+                    corr,
+                    -jnp.inf,
+                )
+                plateau = long_plateau_present(x, height_min)
+                p, h, overflow = greedy_survivors_rederive(
+                    corr, valid_len, height_min, m, 16
+                )
+                acc += out_tok(h) + out_tok(overflow.astype(jnp.float32))
+                acc += out_tok(plateau.astype(jnp.float32))
+            return token + jnp.float32(1.0) + acc
+
+        @jax.jit
+        def p_full_blocked(token):
+            sec = tok_mix(token)
+            outs = _class_step_jit(
+                sec,
+                jnp.float32(S),
+                loud,
+                gcs,
+                metas=metas,
+                height_min=height_min,
+                lean=True,
+                blocked=True,
+            )
+            return token + jnp.float32(1.0) + sum(
+                out_tok(o["packed"]) for o in outs
+            )
+
+        ladder += [
+            ("mask_blocked", p_mask_blocked),
+            ("full_lean_step_blocked", p_full_blocked),
+        ]
+
     # The base ladder is cumulative; the pallas rungs are A/B counterparts
     # of `mask`/`full_lean_step`, not further rungs, so marginals are only
     # meaningful within the base ladder.
@@ -364,6 +423,8 @@ def main() -> None:
                 "full_pallas": "full_lean_step",
                 "corr_merged": "corr",
                 "corr_split": "corr",
+                "mask_blocked": "mask",
+                "full_lean_step_blocked": "full_lean_step",
             }[name]
             ref = results[counterpart]
             print(

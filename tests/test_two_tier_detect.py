@@ -461,3 +461,161 @@ class TestBlockGreedySurvivors:
             # Not cleared: the rerun path re-derives it — just sanity-check
             # the wide tier agrees on flag semantics.
             assert wide[2 * self.K_VERIFY] in (0.0, 1.0)
+
+
+class TestBlockedLeanVariant:
+    """APD_BLOCK_LEAN=1 (ops/peaks.py::greedy_survivors_rederive): the
+    block-summary lean tier — no (G, L) scored/mask buffers, per-round
+    candidate re-derivation on ±2-halo windows — must be bitwise the
+    default lean tier on EVERY row shape, including candidates and
+    plateau runs straddling the 512-sample block boundaries its gathers
+    are aligned to."""
+
+    M = 257
+    K_VERIFY = 16
+    BLOCK = 512  # ops/peaks._TOPK_BLOCK — gather alignment under test
+
+    @pytest.fixture(scope="class")
+    def runner(self):
+        import jax.numpy as jnp
+        from audio_pattern_detector_tpu.models.bank import _lean_group_packed
+        from audio_pattern_detector_tpu.ops.verify import (
+            build_normal_verify_consts,
+        )
+
+        m = self.M
+        rng = np.random.default_rng(23)
+        cc = np.abs(rng.standard_normal((1, 2 * m - 1))).astype(np.float32)
+        cc /= cc.max()
+        consts = build_normal_verify_consts(cc, m, SR)
+
+        def run(corr_row, valid_len, blocked=False):
+            corr = jnp.asarray(corr_row[None, :].astype(np.float32))
+            return np.asarray(
+                _lean_group_packed(
+                    jnp.zeros(8, dtype=np.float32),
+                    corr,
+                    jnp.int32(valid_len),
+                    "normal",
+                    m,
+                    64,
+                    self.K_VERIFY,
+                    0.25,
+                    consts,
+                    blocked=blocked,
+                )
+            )[0]
+
+        return run
+
+    def _assert_bitwise(self, run, x, vl):
+        default, blocked = run(x, vl), run(x, vl, blocked=True)
+        np.testing.assert_array_equal(default, blocked)
+        return default
+
+    @staticmethod
+    def _row(L, peaks):
+        x = np.full(L, 1e-4, dtype=np.float32)
+        for pos, h in peaks:
+            x[pos - 1], x[pos], x[pos + 1] = h * 0.6, h, h * 0.6
+        return x
+
+    def test_block_boundary_candidates(self, runner):
+        """One candidate at every offset around a block edge (the gather
+        window's halo must supply the true ±2 neighbours)."""
+        L, vl, B = 6000, 5900, self.BLOCK
+        for edge in (B, 2 * B, 4 * B):
+            for off in (-2, -1, 0, 1, 2):
+                x = self._row(L, [(edge + off, 0.9)])
+                out = self._assert_bitwise(runner, x, vl)
+                assert out[0] == edge + off, (edge, off)
+
+    def test_plateau_runs_straddling_block_edge(self, runner):
+        """Length-2/3 plateau runs crossing a block boundary: midpoint
+        selection must agree bitwise between the full-width mask and the
+        window re-derivation."""
+        L, vl, B = 6000, 5900, self.BLOCK
+        for start in (B - 2, B - 1, B, 2 * B - 1):
+            for run_len in (2, 3):
+                x = np.full(L, 1e-4, dtype=np.float32)
+                x[start - 1] = 0.5
+                x[start : start + run_len] = 0.9
+                x[start + run_len] = 0.5
+                self._assert_bitwise(runner, x, vl)
+
+    def test_tie_across_block_edge(self, runner):
+        """Two equal-height candidates in adjacent blocks: the greedy's
+        lower-index tie rule must pick the same one in both variants."""
+        L, vl, B = 6000, 5900, self.BLOCK
+        x = self._row(L, [(B - 10, 0.9), (B + 10, 0.9)])
+        out = self._assert_bitwise(runner, x, vl)
+        assert out[0] == B - 10
+
+    def test_valid_len_edges(self, runner):
+        """Candidates at/near valid_len, and valid_len landing mid-block:
+        the -inf tail must mask identically in both formulations."""
+        L = 6000
+        for vl in (L - 100, 3 * self.BLOCK + 7, L):
+            x = self._row(L, [(vl - self.M, 0.9), (1000, 0.5)])
+            self._assert_bitwise(runner, x, max(vl, 1200))
+
+    def test_dense_comb_and_overflow_flags(self, runner):
+        """Hit-shaped combs (1 survivor) and >16-survivor rows must carry
+        identical payloads AND identical flag columns."""
+        x = np.full(24000, 1e-4, dtype=np.float32)
+        for k in range(25):
+            side = 1 if k % 2 else -1
+            p = 1500 + side * 12 * ((k + 1) // 2)
+            h = 0.9 - 0.02 * k
+            x[p - 1], x[p], x[p + 1] = h * 0.6, h, h * 0.6
+        out = self._assert_bitwise(runner, x, 23900)
+        assert out[2 * self.K_VERIFY] == 0.0
+        peaks = [(300 + 600 * k, 0.9 - 0.01 * k) for k in range(20)]
+        out = self._assert_bitwise(runner, self._row(20000, peaks), 19900)
+        assert out[2 * self.K_VERIFY] == 2.0
+
+    def test_long_plateau_flag(self, runner):
+        x = np.full(6000, 1e-4, dtype=np.float32)
+        x[2000:2004] = 0.9  # length-4 run: host-fallback flag 1
+        out = self._assert_bitwise(runner, x, 5900)
+        assert out[2 * self.K_VERIFY] == 1.0
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_rows_bitwise(self, runner, seed):
+        rng = np.random.default_rng(200 + seed)
+        L = int(rng.integers(4000, 30000))
+        x = np.full(L, 1e-4, dtype=np.float32)
+        for c in rng.integers(400, L - 400, size=rng.integers(1, 5)):
+            n = int(rng.integers(1, 30))
+            top = float(rng.uniform(0.3, 1.0))
+            sp = int(rng.integers(6, 20))
+            for k in range(n):
+                side = 1 if k % 2 else -1
+                p = int(c) + side * sp * ((k + 1) // 2)
+                h = top * float(rng.uniform(0.3, 0.99)) if k else top
+                x[p - 1], x[p], x[p + 1] = h * 0.6, h, h * 0.6
+        self._assert_bitwise(runner, x, L - int(rng.integers(10, 300)))
+
+    def test_detector_end_to_end_identical(self, monkeypatch):
+        """A full AudioPatternDetector built under APD_BLOCK_LEAN=1
+        returns identical detections on a hit-bearing stream."""
+        rng = np.random.default_rng(9)
+        clip = AudioClip(
+            name="c",
+            audio=(0.4 * rng.standard_normal(SR)).astype(np.float32),
+            sample_rate=SR,
+        )
+        audio = _chunk_with_copies(clip.audio, 3, 20, seed=5)
+        results = {}
+        for env, tag in ((None, "default"), ("1", "blocked")):
+            if env is None:
+                monkeypatch.delenv("APD_BLOCK_LEAN", raising=False)
+            else:
+                monkeypatch.setenv("APD_BLOCK_LEAN", env)
+            det = AudioPatternDetector(
+                audio_clips=[clip], seconds_per_chunk=20
+            )
+            bank = det._ensure_bank()
+            h = bank.dispatch_chunk(audio, previous_chunk=None)
+            results[tag] = bank.collect_chunk(h)
+        assert results["blocked"] == results["default"]
