@@ -228,6 +228,22 @@ def main() -> None:
         ),
     )
     match_parser.add_argument(
+        "--mesh-stream",
+        metavar="devices",
+        type=int,
+        default=1,
+        dest="mesh_stream",
+        help=(
+            "scan MULTIPLE audio files concurrently, rows partitioned "
+            "across N devices (data parallelism over files; N devices "
+            "scan N files at full per-device rate). Output is byte-"
+            "identical to the sequential multi-file run: one JSONL block "
+            "per file, in argument order. Requires 2+ audio files; "
+            "incompatible with --stdin/--debug/--profile/--offline-batch/"
+            "--stream-batch/--mesh-time/--checkpoint-file"
+        ),
+    )
+    match_parser.add_argument(
         "--checkpoint-file",
         metavar="path",
         type=str,

@@ -69,6 +69,11 @@ class EngineOptions:
     # detections; events emitted per mesh_time-chunk slab.
     mesh_time: int | None = None
     mesh_bank: int = 1
+    # Data parallelism over FILES (match_pattern_many_parallel): scan N
+    # audio files concurrently, one batched device round per chunk
+    # cadence, rows partitioned across a "stream" mesh axis of this size
+    # (1 = single-device batching). Multi-file mode only.
+    mesh_stream: int = 1
     # Persist a StreamCheckpoint to this path after every chunk (atomic
     # replace) and resume from it when it already exists; removed on a
     # clean end of stream. Streaming loop only.
@@ -113,6 +118,29 @@ class EngineOptions:
                 )
         elif self.mesh_bank > 1:
             raise ValueError("mesh_bank requires mesh_time")
+        if self.mesh_stream != 1:
+            if self.mesh_stream < 1:
+                raise ValueError(
+                    f"mesh_stream must be >= 1, got {self.mesh_stream}"
+                )
+            incompatible = [
+                name
+                for name, active in (
+                    ("stdin", from_stdin),
+                    ("debug", self.debug_mode),
+                    ("profile", self.profile),
+                    ("offline_batch", self.offline_batch is not None),
+                    ("stream_batch", self.stream_batch > 1),
+                    ("mesh_time", self.mesh_time is not None),
+                    ("checkpoint_file", self.checkpoint_file is not None),
+                )
+                if active
+            ]
+            if incompatible:
+                raise ValueError(
+                    "mesh_stream is incompatible with: "
+                    + ", ".join(incompatible)
+                )
         if self.checkpoint_file is not None:
             incompatible = [
                 name
@@ -920,6 +948,246 @@ def match_pattern_many(
     return results
 
 
+def match_pattern_many_parallel(
+    audio_sources: list[str],
+    pattern_files: list[str],
+    mesh_stream: int = 1,
+    *,
+    on_file_start: "Callable[[int, str], None] | None" = None,
+    on_file_detect: "Callable[[int, str, str, float], None] | None" = None,
+    on_file_end: "Callable[[int, str, float], None] | None" = None,
+    accumulate_results: bool = True,
+    seconds_per_chunk: int | None = 60,
+    chunk_seconds_auto_perf: bool = False,
+    target_sample_rate: int | None = None,
+    height_min: float | None = None,
+    pipeline_depth: int | None = None,
+    n_slots: int | None = None,
+) -> list[tuple[dict[str, list[float]] | None, float]]:
+    """Scan MANY audio files CONCURRENTLY: data parallelism over files.
+
+    Where :func:`match_pattern_many` shares the pattern bank but scans
+    files one after another, this batches one chunk from every in-flight
+    file into a single vmapped device round (``MultiStreamSession``) and
+    — with ``mesh_stream`` > 1 — partitions the rows across a ``stream``
+    mesh axis, so N devices scan N files at full per-device rate (the
+    SURVEY §2.3 "DP over files/streams" axis at the offline-scanning
+    surface; the reference's model is one OS process per file,
+    reference: match.py:98).
+
+    Results are bit-identical to the sequential scan of each file (the
+    session rides the engine's independent-lookback batch path). Files
+    are assigned to slots in input order and recycled as they finish;
+    callbacks carry the file's input INDEX and path (files may repeat)
+    and fire as device rounds complete — i.e. interleaved across files.
+    The CLI layer reorders into one per-file JSONL block in input order;
+    library callers needing that ordering can do the same.
+
+    ``n_slots`` (default: ``mesh_stream``, or ``min(n_files, 8)``
+    unmeshed) is the batch width; it must be a multiple of
+    ``mesh_stream``. ``pipeline_depth`` rounds stay in flight (default
+    3, eager in-order collection).
+    """
+    if not audio_sources:
+        raise ValueError("No audio sources passed")
+    for src in audio_sources:
+        if src is None or not os.path.exists(src):
+            raise ValueError(f"Audio {src} does not exist")
+    sr = (
+        target_sample_rate
+        if target_sample_rate is not None
+        else DEFAULT_TARGET_SAMPLE_RATE
+    )
+    opts = EngineOptions(
+        seconds_per_chunk=seconds_per_chunk,
+        chunk_auto_perf=chunk_seconds_auto_perf,
+        target_sample_rate=sr,
+        height_min=height_min,
+        pipeline_depth=pipeline_depth,
+        mesh_stream=mesh_stream,
+    )
+    opts.validate(from_stdin=False)
+    pattern_clips = _load_pattern_clips(pattern_files, sr)
+
+    if opts.chunk_auto_perf:
+        opts.seconds_per_chunk = max(
+            _auto_perf_chunk_seconds(src, pattern_clips, sr)
+            for src in audio_sources
+        )
+
+    mesh = None
+    if mesh_stream > 1:
+        from audio_pattern_detector_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh({"stream": mesh_stream})
+    slots = n_slots if n_slots is not None else (
+        mesh_stream if mesh_stream > 1 else min(len(audio_sources), 8)
+    )
+    if slots < 1 or slots % mesh_stream:
+        raise ValueError(
+            f"n_slots ({slots}) must be a positive multiple of "
+            f"mesh_stream ({mesh_stream})"
+        )
+    depth = 3 if pipeline_depth is None else pipeline_depth
+
+    # The reference contract drops --height-min for non-WAV (ffmpeg)
+    # sources (_opts_for_source), giving at most two detector variants;
+    # each variant runs its own parallel session, files grouped in input
+    # order.
+    groups: dict[float | None, list[tuple[int, str]]] = {}
+    for idx, src in enumerate(audio_sources):
+        hm = _opts_for_source(opts, src).height_min
+        groups.setdefault(hm, []).append((idx, src))
+
+    results: list[tuple[dict[str, list[float]] | None, float]] = [
+        (None, 0.0)
+    ] * len(audio_sources)
+    for hm, items in groups.items():
+        import dataclasses
+
+        det = dataclasses.replace(opts, height_min=hm).build_detector(
+            pattern_clips
+        )
+        _scan_group_parallel(
+            det, items, slots, mesh, depth,
+            on_file_start, on_file_detect, on_file_end,
+            accumulate_results, results,
+        )
+    return results
+
+
+def _scan_group_parallel(
+    detector: "AudioPatternDetector",
+    items: list[tuple[int, str]],
+    n_slots: int,
+    mesh: Any,
+    depth: int,
+    on_file_start: "Callable[[int, str], None] | None",
+    on_file_detect: "Callable[[int, str, str, float], None] | None",
+    on_file_end: "Callable[[int, str, float], None] | None",
+    accumulate_results: bool,
+    results: list,
+) -> None:
+    """Drive one detector variant's files through a MultiStreamSession.
+
+    One chunk per active slot per round; finished files free their slot
+    for the next pending file (session.reset, the serve.py recycling
+    contract). Up to ``depth`` rounds stay in flight with eager in-order
+    collection, so emission tracks the device and host reads stay ahead.
+    """
+    from collections import deque
+    from contextlib import ExitStack
+
+    from audio_pattern_detector_tpu.models.multistream import (
+        MultiStreamSession,
+    )
+
+    session = MultiStreamSession(detector, n_streams=n_slots, mesh=mesh)
+    chunk_bytes = detector._chunk_size
+    sr = detector.target_sample_rate
+    queue = deque(items)
+    slot: list[dict | None] = [None] * n_slots
+    inflight: deque = deque()  # (handle, fed slot ids)
+
+    def assign() -> None:
+        for s in range(n_slots):
+            if slot[s] is None and queue:
+                idx, src = queue.popleft()
+                stack = ExitStack()
+                print(
+                    f"Finding pattern in audio file {Path(src).stem}...",
+                    file=sys.stderr,
+                )
+                if src.lower().endswith(".wav"):
+                    wrapper = _WavFileStreamWrapper(src, sr)
+                    stack.callback(wrapper.close)
+                    stream: Any = wrapper
+                else:
+                    stream = stack.enter_context(
+                        ffmpeg_get_float32_pcm(
+                            src, target_sample_rate=sr, ac=1
+                        )
+                    )
+                session.reset(s)
+                slot[s] = {
+                    "idx": idx,
+                    "src": src,
+                    "stream": stream,
+                    "stack": stack,
+                    "eof": False,
+                    "pending": 0,
+                    "acc": (
+                        {c.name: [] for c in detector.audio_clips}
+                        if accumulate_results
+                        else None
+                    ),
+                }
+                if on_file_start is not None:
+                    on_file_start(idx, src)
+
+    def finalize(s: int) -> None:
+        st = slot[s]
+        assert st is not None
+        st["stack"].close()
+        total = session.total_time(s)
+        if on_file_end is not None:
+            on_file_end(st["idx"], st["src"], total)
+        results[st["idx"]] = (st["acc"], total)
+        slot[s] = None
+
+    def collect_one() -> None:
+        handle, fed = inflight.popleft()
+        out = session.collect(handle)
+        for s in fed:
+            st = slot[s]
+            assert st is not None
+            st["pending"] -= 1
+            # Timestamp-ordered within the chunk, like the serial emit.
+            matches = sorted(
+                (t, name) for name, ts in out[s].items() for t in ts
+            )
+            if on_file_detect is not None:
+                for t, name in matches:
+                    on_file_detect(st["idx"], st["src"], name, t)
+            if st["acc"] is not None:
+                for name, ts in out[s].items():
+                    st["acc"][name].extend(ts)
+            if st["eof"] and st["pending"] == 0:
+                finalize(s)
+
+    assign()
+    while any(slot) or queue or inflight:
+        chunks: list = [None] * n_slots
+        fed: list[int] = []
+        for s in range(n_slots):
+            st = slot[s]
+            if st is None or st["eof"]:
+                continue
+            data = st["stream"].read(chunk_bytes)
+            if not data:
+                st["eof"] = True
+                if st["pending"] == 0:
+                    finalize(s)
+                continue
+            chunks[s] = np.frombuffer(data, dtype="float32")
+            fed.append(s)
+        if fed:
+            handle = session.dispatch(chunks)
+            for s in fed:
+                slot[s]["pending"] += 1  # type: ignore[index]
+            inflight.append((handle, fed))
+            while len(inflight) > 1 and session.round_ready(inflight[0][0]):
+                collect_one()
+            while len(inflight) > depth:
+                collect_one()
+        else:
+            # Nothing dispatchable: drain every in-flight round (this
+            # finalizes EOF slots), then refill from the queue.
+            while inflight:
+                collect_one()
+        assign()
+
+
 def _load_pattern_clips(pattern_files: list[str], sr: int) -> list[AudioClip]:
     """Load pattern files into clips, rejecting duplicate clip names.
 
@@ -1225,6 +1493,87 @@ def _run_match_many(
     )
 
 
+def _run_match_many_parallel(
+    args: argparse.Namespace,
+    pattern_files: list[str],
+    audio_sources: list[str],
+    opts: EngineOptions,
+) -> None:
+    """CLI runner for ``match a.wav b.wav … --mesh-stream N``.
+
+    Output is BYTE-IDENTICAL to the sequential multi-file runner
+    (_run_match_many): one start/end JSONL block per file, in argument
+    order, per-file equal-ms dedup. Files scan concurrently underneath
+    (match_pattern_many_parallel); events for files behind the emission
+    cursor stream live, later files' events buffer until their block's
+    turn. Only the stderr diagnostics interleave in completion order.
+    """
+    timestamp_format: str = getattr(args, "timestamp_format", "both")
+    n = len(audio_sources)
+    cursor = 0
+    state = ["pending"] * n  # pending | started | ended
+    buffers: list[list[tuple[str, float]]] = [[] for _ in range(n)]
+    callbacks: list[PatternDetectedCallback | None] = [None] * n
+    totals = [0.0] * n
+
+    def emit_start(i: int) -> None:
+        callbacks[i] = _make_jsonl_callback(timestamp_format)
+        _emit_jsonl("start", source=audio_sources[i])
+
+    def advance() -> None:
+        nonlocal cursor
+        while cursor < n and state[cursor] != "pending":
+            i = cursor
+            if callbacks[i] is None:
+                emit_start(i)
+            cb = callbacks[i]
+            assert cb is not None
+            for clip_name, t in buffers[i]:
+                cb(clip_name, t)
+            buffers[i].clear()
+            if state[i] != "ended":
+                return  # head file now live; its events emit directly
+            print(
+                f"Total time processed: {seconds_to_time(seconds=totals[i])}",
+                file=sys.stderr,
+            )
+            _emit_jsonl_end(totals[i], timestamp_format)
+            cursor += 1
+
+    def on_start(i: int, src: str) -> None:
+        state[i] = "started"
+        if i == cursor:
+            advance()
+
+    def on_detect(i: int, src: str, clip_name: str, t: float) -> None:
+        cb = callbacks[i]
+        if i == cursor and cb is not None:
+            cb(clip_name, t)
+        else:
+            buffers[i].append((clip_name, t))
+
+    def on_end(i: int, src: str, total: float) -> None:
+        state[i] = "ended"
+        totals[i] = total
+        advance()
+
+    match_pattern_many_parallel(
+        audio_sources,
+        pattern_files,
+        mesh_stream=opts.mesh_stream,
+        on_file_start=on_start,
+        on_file_detect=on_detect,
+        on_file_end=on_end,
+        accumulate_results=False,
+        seconds_per_chunk=opts.seconds_per_chunk,
+        chunk_seconds_auto_perf=opts.chunk_auto_perf,
+        target_sample_rate=getattr(args, "target_sample_rate", None),
+        height_min=opts.height_min,
+        pipeline_depth=opts.pipeline_depth,
+    )
+    assert cursor == n, "parallel scan ended with unemitted file blocks"
+
+
 def _parse_chunk_seconds(args: argparse.Namespace) -> tuple[int | None, bool]:
     """(seconds_per_chunk, auto_perf): None CLI value → 60 s with file-mode
     auto-perf sizing; "auto" → engine-computed minimum; else the integer
@@ -1278,6 +1627,7 @@ def cmd_match(args: argparse.Namespace) -> None:
         stream_batch_mode=getattr(args, "stream_batch_mode", "scan") or "scan",
         mesh_time=getattr(args, "mesh_time", None),
         mesh_bank=getattr(args, "mesh_bank", 1) or 1,
+        mesh_stream=getattr(args, "mesh_stream", 1) or 1,
         checkpoint_file=getattr(args, "checkpoint_file", None),
     )
     timestamp_format: str = getattr(args, "timestamp_format", "both")
@@ -1348,6 +1698,14 @@ def cmd_match(args: argparse.Namespace) -> None:
     elif audio_files:
         opts.offline_batch = getattr(args, "offline_batch", None)
         opts.offline_batch_mode = getattr(args, "offline_batch_mode", "vmap")
+        if opts.mesh_stream != 1 and len(audio_files) == 1:
+            print(
+                "Error: --mesh-stream parallelises across MULTIPLE audio "
+                "files (data parallelism over files); pass 2+ files, or "
+                "use --mesh-time to shard a single file's scan",
+                file=sys.stderr,
+            )
+            sys.exit(1)
         if len(audio_files) == 1:
             _run_match_with_output(args, pattern_files, audio_files[0], opts)
         else:
@@ -1360,7 +1718,17 @@ def cmd_match(args: argparse.Namespace) -> None:
                     file=sys.stderr,
                 )
                 sys.exit(1)
-            _run_match_many(args, pattern_files, audio_files, opts)
+            if opts.mesh_stream != 1:
+                try:
+                    opts.validate(from_stdin=False)
+                except ValueError as e:
+                    print(f"Error: {e}", file=sys.stderr)
+                    sys.exit(1)
+                _run_match_many_parallel(
+                    args, pattern_files, audio_files, opts
+                )
+            else:
+                _run_match_many(args, pattern_files, audio_files, opts)
     else:
         print("Please provide an audio file or --stdin or --multiplexed-stdin", file=sys.stderr)
         sys.exit(1)

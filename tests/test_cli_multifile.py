@@ -242,3 +242,120 @@ class TestMatchPatternMany:
             for src in (RTHK_AUDIO, CBS_AUDIO)
         ]
         assert many == singles
+
+
+class TestMeshStreamParallel:
+    """``--mesh-stream N``: data parallelism over FILES. Files scan
+    concurrently (MultiStreamSession rows partitioned across a 'stream'
+    mesh axis); CLI stdout must be BYTE-identical to the sequential
+    multi-file runner, library results identical to per-file runs."""
+
+    FILES = [CBS_AUDIO, RTHK_AUDIO, RTHK_AUDIO]  # file 0 finishes LAST
+    PATTERNS = [RTHK_PATTERN, CBS_PATTERN]
+
+    def _mesh_ok(self, n):
+        import jax
+
+        return len(jax.devices()) >= n
+
+    def test_cli_stdout_byte_identical_to_sequential(self, capsys):
+        """Different-length files force out-of-order completion; the
+        emission cursor must still produce the sequential byte stream."""
+        if not self._mesh_ok(2):
+            pytest.skip("needs a multi-device mesh")
+        cmd_match(_args(list(self.FILES), list(self.PATTERNS)))
+        sequential = capsys.readouterr().out
+        cmd_match(
+            _args(list(self.FILES), list(self.PATTERNS), mesh_stream=2)
+        )
+        parallel = capsys.readouterr().out
+        assert parallel == sequential
+
+    def test_library_results_equal_per_file(self):
+        if not self._mesh_ok(2):
+            pytest.skip("needs a multi-device mesh")
+        from audio_pattern_detector_tpu.match import (
+            match_pattern_many_parallel,
+        )
+
+        par = match_pattern_many_parallel(
+            list(self.FILES), list(self.PATTERNS),
+            mesh_stream=2, accumulate_results=True,
+        )
+        singles = [
+            match_pattern(src, list(self.PATTERNS), accumulate_results=True)
+            for src in self.FILES
+        ]
+        assert par == singles
+
+    def test_slot_recycling_and_indexed_callbacks(self):
+        """5 files through 2 slots: every file gets start/end callbacks
+        carrying its input index (repeated sources stay distinguishable),
+        and ends fire once per file."""
+        if not self._mesh_ok(2):
+            pytest.skip("needs a multi-device mesh")
+        from audio_pattern_detector_tpu.match import (
+            match_pattern_many_parallel,
+        )
+
+        files = [RTHK_AUDIO, RTHK_AUDIO, CBS_AUDIO, RTHK_AUDIO, RTHK_AUDIO]
+        events: list = []
+        match_pattern_many_parallel(
+            files, list(self.PATTERNS), mesh_stream=2,
+            accumulate_results=False,
+            on_file_start=lambda i, s: events.append(("start", i)),
+            on_file_detect=lambda i, s, c, t: events.append(("det", i, c)),
+            on_file_end=lambda i, s, t: events.append(("end", i, round(t, 3))),
+        )
+        starts = [e[1] for e in events if e[0] == "start"]
+        ends = {e[1]: e[2] for e in events if e[0] == "end"}
+        assert sorted(starts) == [0, 1, 2, 3, 4]
+        assert starts[:2] == [0, 1], "slots assign in input order"
+        assert ends == {0: 4.078, 1: 4.078, 2: 32.122, 3: 4.078, 4: 4.078}
+        # Detections only between their file's start and end.
+        for i in (0, 1, 3, 4):
+            dets = [e for e in events if e[0] == "det" and e[1] == i]
+            assert len(dets) >= 2 and all(c == "rthk_beep" for _, _, c in dets)
+
+    def test_single_device_batching_without_mesh(self):
+        """mesh_stream=1 via the library still batches files per round
+        (n_slots > 1) with identical results — the no-mesh degenerate."""
+        from audio_pattern_detector_tpu.match import (
+            match_pattern_many_parallel,
+        )
+
+        par = match_pattern_many_parallel(
+            list(self.FILES), list(self.PATTERNS),
+            mesh_stream=1, n_slots=3, accumulate_results=True,
+        )
+        singles = [
+            match_pattern(src, list(self.PATTERNS), accumulate_results=True)
+            for src in self.FILES
+        ]
+        assert par == singles
+
+    def test_cli_single_file_rejected(self, capsys):
+        with pytest.raises(SystemExit):
+            cmd_match(_args([RTHK_AUDIO], [RTHK_PATTERN], mesh_stream=2))
+        assert "MULTIPLE audio files" in capsys.readouterr().err
+
+    def test_cli_incompatible_flags_rejected(self, capsys):
+        with pytest.raises(SystemExit):
+            cmd_match(
+                _args(
+                    [RTHK_AUDIO, CBS_AUDIO], [RTHK_PATTERN],
+                    mesh_stream=2, mesh_time=2,
+                )
+            )
+        assert "incompatible" in capsys.readouterr().err
+
+    def test_invalid_slot_multiple_rejected(self):
+        from audio_pattern_detector_tpu.match import (
+            match_pattern_many_parallel,
+        )
+
+        with pytest.raises(ValueError, match="multiple of"):
+            match_pattern_many_parallel(
+                list(self.FILES), list(self.PATTERNS),
+                mesh_stream=2, n_slots=3,
+            )
