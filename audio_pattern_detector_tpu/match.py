@@ -129,6 +129,7 @@ class EngineOptions:
                     ("stdin", from_stdin),
                     ("debug", self.debug_mode),
                     ("profile", self.profile),
+                    ("trace_dir", self.trace_dir is not None),
                     ("offline_batch", self.offline_batch is not None),
                     ("stream_batch", self.stream_batch > 1),
                     ("mesh_time", self.mesh_time is not None),
@@ -1142,10 +1143,16 @@ def _scan_group_parallel(
             st = slot[s]
             assert st is not None
             st["pending"] -= 1
-            # Timestamp-ordered within the chunk, like the serial emit.
-            matches = sorted(
+            # Timestamp-ordered within the chunk, like the serial emit:
+            # build in clip order, STABLE-sort by timestamp only, so
+            # equal-timestamp ties keep bank order (detector.py's
+            # chunk_matches.sort(key=t) contract — sorting (t, name)
+            # tuples would reorder ties by clip name and break the
+            # byte-identical-stdout promise).
+            matches = [
                 (t, name) for name, ts in out[s].items() for t in ts
-            )
+            ]
+            matches.sort(key=lambda x: x[0])
             if on_file_detect is not None:
                 for t, name in matches:
                     on_file_detect(st["idx"], st["src"], name, t)
@@ -1155,37 +1162,48 @@ def _scan_group_parallel(
             if st["eof"] and st["pending"] == 0:
                 finalize(s)
 
-    assign()
-    while any(slot) or queue or inflight:
-        chunks: list = [None] * n_slots
-        fed: list[int] = []
-        for s in range(n_slots):
-            st = slot[s]
-            if st is None or st["eof"]:
-                continue
-            data = st["stream"].read(chunk_bytes)
-            if not data:
-                st["eof"] = True
-                if st["pending"] == 0:
-                    finalize(s)
-                continue
-            chunks[s] = np.frombuffer(data, dtype="float32")
-            fed.append(s)
-        if fed:
-            handle = session.dispatch(chunks)
-            for s in fed:
-                slot[s]["pending"] += 1  # type: ignore[index]
-            inflight.append((handle, fed))
-            while len(inflight) > 1 and session.round_ready(inflight[0][0]):
-                collect_one()
-            while len(inflight) > depth:
-                collect_one()
-        else:
-            # Nothing dispatchable: drain every in-flight round (this
-            # finalizes EOF slots), then refill from the queue.
-            while inflight:
-                collect_one()
+    try:
         assign()
+        while any(slot) or queue or inflight:
+            chunks: list = [None] * n_slots
+            fed: list[int] = []
+            for s in range(n_slots):
+                st = slot[s]
+                if st is None or st["eof"]:
+                    continue
+                data = st["stream"].read(chunk_bytes)
+                if not data:
+                    st["eof"] = True
+                    if st["pending"] == 0:
+                        finalize(s)
+                    continue
+                chunks[s] = np.frombuffer(data, dtype="float32")
+                fed.append(s)
+            if fed:
+                handle = session.dispatch(chunks)
+                for s in fed:
+                    slot[s]["pending"] += 1  # type: ignore[index]
+                inflight.append((handle, fed))
+                while len(inflight) > 1 and session.round_ready(
+                    inflight[0][0]
+                ):
+                    collect_one()
+                while len(inflight) > depth:
+                    collect_one()
+            else:
+                # Nothing dispatchable: drain every in-flight round (this
+                # finalizes EOF slots), then refill from the queue.
+                while inflight:
+                    collect_one()
+            assign()
+    finally:
+        # An escaping exception (corrupt file mid-stream, device error in
+        # collect) must not leak the other slots' open WAV handles or
+        # running ffmpeg children — the parallel analogue of the
+        # sequential path's per-file try/finally (_scan_file_source).
+        for st in slot:
+            if st is not None:
+                st["stack"].close()
 
 
 def _load_pattern_clips(pattern_files: list[str], sr: int) -> list[AudioClip]:
@@ -1660,6 +1678,22 @@ def cmd_match(args: argparse.Namespace) -> None:
             "Error: --offline-batch requires file mode "
             "(whole-file scans; incompatible with --stdin/--multiplexed-stdin"
             " — use --stream-batch for live streams)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+    if opts.mesh_stream != 1 and (
+        getattr(args, "stdin", False)
+        or getattr(args, "multiplexed_stdin", False)
+    ):
+        # Same rationale as the offline-batch guard above: without this
+        # the stdin branch would run the plain serial loop while the user
+        # believes they're getting multi-device file parallelism.
+        print(
+            "Error: --mesh-stream requires file mode (data parallelism "
+            "over multiple audio FILES; incompatible with "
+            "--stdin/--multiplexed-stdin — use serve --mesh-stream for "
+            "live streams)",
             file=sys.stderr,
         )
         sys.exit(1)

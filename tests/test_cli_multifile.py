@@ -359,3 +359,61 @@ class TestMeshStreamParallel:
                 list(self.FILES), list(self.PATTERNS),
                 mesh_stream=2, n_slots=3,
             )
+
+    def test_cli_stdin_rejected(self, capsys, monkeypatch):
+        """--mesh-stream with --stdin must error loudly, not silently run
+        the serial stdin loop (the flag would otherwise be ignored)."""
+        with pytest.raises(SystemExit):
+            cmd_match(
+                _args(None, [RTHK_PATTERN], stdin=True, mesh_stream=2)
+            )
+        assert "--mesh-stream requires file mode" in capsys.readouterr().err
+
+    def test_trace_dir_rejected(self, capsys):
+        """--trace-dir is not forwarded by the parallel path; like
+        --profile it must error rather than silently drop the trace."""
+        with pytest.raises(SystemExit):
+            cmd_match(
+                _args(
+                    [RTHK_AUDIO, CBS_AUDIO], [RTHK_PATTERN],
+                    mesh_stream=2, trace_dir="/tmp/tr",
+                )
+            )
+        assert "incompatible" in capsys.readouterr().err
+
+    def test_exception_closes_open_slots(self, monkeypatch):
+        """An exception escaping the drive loop (e.g. a device error in
+        collect) must close every open slot's stream stack — no leaked
+        WAV handles / ffmpeg children."""
+        from audio_pattern_detector_tpu.match import (
+            match_pattern_many_parallel,
+        )
+        from audio_pattern_detector_tpu.models import multistream
+
+        closed = []
+        orig_close = (
+            __import__("audio_pattern_detector_tpu.match", fromlist=["x"])
+            ._WavFileStreamWrapper.close
+        )
+
+        def tracking_close(self):
+            closed.append(1)
+            orig_close(self)
+
+        monkeypatch.setattr(
+            "audio_pattern_detector_tpu.match._WavFileStreamWrapper.close",
+            tracking_close,
+        )
+
+        def boom(self, handle):
+            raise RuntimeError("device fell over")
+
+        monkeypatch.setattr(
+            multistream.MultiStreamSession, "collect", boom
+        )
+        with pytest.raises(RuntimeError, match="device fell over"):
+            match_pattern_many_parallel(
+                [RTHK_AUDIO, RTHK_AUDIO], [RTHK_PATTERN],
+                mesh_stream=1, n_slots=2,
+            )
+        assert len(closed) == 2, "both slots' wrappers must close"
