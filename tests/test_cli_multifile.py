@@ -417,3 +417,49 @@ class TestMeshStreamParallel:
                 mesh_stream=1, n_slots=2,
             )
         assert len(closed) == 2, "both slots' wrappers must close"
+
+    def test_mixed_wav_ffmpeg_sources_two_detector_groups(
+        self, tmp_path, monkeypatch, capsys
+    ):
+        """Non-WAV sources drop --height-min (reference contract), so a
+        mixed file list runs TWO parallel sessions (one per detector
+        variant) with interleaved input indices — the emission cursor
+        must still produce the sequential byte stream. ffmpeg is shimmed
+        (absent in this image) with the WAV wrapper, which satisfies the
+        same raw-f32 stream contract."""
+        import shutil
+        from contextlib import contextmanager
+
+        from audio_pattern_detector_tpu import match as m
+
+        fake_mp3 = tmp_path / "rthk_copy.mp3"  # WAV bytes, non-.wav name
+        shutil.copy(RTHK_AUDIO, fake_mp3)
+
+        @contextmanager
+        def fake_ffmpeg(path, target_sample_rate, ac=1):
+            w = m._WavFileStreamWrapper(path, target_sample_rate)
+            try:
+                yield w
+            finally:
+                w.close()
+
+        monkeypatch.setattr(m, "ffmpeg_get_float32_pcm", fake_ffmpeg)
+        files = [str(fake_mp3), RTHK_AUDIO, str(fake_mp3)]
+        cmd_match(
+            _args(list(files), [RTHK_PATTERN], height_min=0.25)
+        )
+        sequential = capsys.readouterr().out
+        cmd_match(
+            _args(
+                list(files), [RTHK_PATTERN],
+                height_min=0.25, mesh_stream=2,
+            )
+        )
+        parallel = capsys.readouterr().out
+        assert parallel == sequential
+        blocks = _blocks(
+            [json.loads(ln) for ln in parallel.splitlines() if ln.strip()]
+        )
+        assert [b[0]["source"] for b in blocks] == files
+        for blk in blocks:
+            assert [e["timestamp_ms"] for e in blk[1:-1]] == [1408, 2420]
