@@ -760,9 +760,13 @@ class PatternBank:
                 row_sharding = NamedSharding(
                     sharding.mesh, PartitionSpec(sharding.spec[0])
                 )
-                payload = _jax.device_put(payload_np, sharding)
-                n_valid_dev = _jax.device_put(
-                    n_valids.astype(np.float32), row_sharding
+                # Multi-host (DCN) meshes: each process places only its
+                # LOCAL rows; the program's global batch is b rows per
+                # process (_place / make_array_from_process_local_data).
+                global_rows = b * _jax.process_count()
+                payload = _place(payload_np, sharding, global_rows)
+                n_valid_dev = _place(
+                    n_valids.astype(np.float32), row_sharding, global_rows
                 )
             else:
                 payload = jnp.asarray(payload_np)
@@ -791,7 +795,9 @@ class PatternBank:
         results: list[dict[str, list[int]]] = [dict() for _ in range(b)]
         for sw, flat, raws, _b in dispatched:
             cls = self.classes[sw]
-            flat_np = np.asarray(flat)  # (B, total), ONE transfer per class
+            # (B, total), ONE transfer per class; on a multi-host mesh
+            # only this process's addressable rows are read (_host_rows).
+            flat_np = _host_rows(flat)
 
             flagged_by_bi: dict[int, list[tuple[int, int, bool]]] = {}
             for gi, (g, packed) in enumerate(
@@ -834,6 +840,50 @@ class PatternBank:
             tone_frequency=g.tone_freqs[ci],
             verification_params=g.verification_params[ci],
         )
+
+
+def _place(
+    local: NDArray[np.float32], sharding: Any, global_rows: int
+) -> Any:
+    """Place a host batch on a row-sharded mesh; multi-host aware.
+
+    Single-process: plain ``device_put``. Multi-process (a mesh spanning
+    hosts over DCN): each process passes only its LOCAL batch rows and
+    they land on its addressable devices
+    (``jax.make_array_from_process_local_data``) — the global array is
+    assembled without any cross-host data movement, which is the whole
+    point of sharding streams across hosts."""
+    if jax.process_count() == 1:
+        return jax.device_put(local, sharding)
+    global_shape = (global_rows,) + local.shape[1:]
+    return jax.make_array_from_process_local_data(sharding, local, global_shape)
+
+
+def _host_rows(arr: Any) -> NDArray[np.float32]:
+    """This process's batch rows of a row-sharded device result.
+
+    Single-process: the whole array. Multi-process: only the addressable
+    shards are read (each host unpacks and post-processes its own rows;
+    rows owned by other hosts never cross DCN). Non-batch dims may
+    themselves be sharded across this host's local devices, so the local
+    block is stitched shard by shard; requires process-contiguous row
+    placement (validated by the multi-host entry surfaces)."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    shards = arr.addressable_shards
+
+    def _bounds(sl, dim):
+        return (sl.start or 0, dim if sl.stop is None else sl.stop)
+
+    row_lo = min(_bounds(s.index[0], arr.shape[0])[0] for s in shards)
+    row_hi = max(_bounds(s.index[0], arr.shape[0])[1] for s in shards)
+    out = np.empty((row_hi - row_lo,) + arr.shape[1:], dtype=arr.dtype)
+    for s in shards:
+        lo, hi = _bounds(s.index[0], arr.shape[0])
+        out[(slice(lo - row_lo, hi - row_lo),) + tuple(s.index[1:])] = (
+            np.asarray(s.data)
+        )
+    return out
 
 
 def _host_prefetch(flat) -> None:

@@ -70,12 +70,55 @@ class MultiStreamSession:
         # per-round semantics. Rounds always batch all n_streams rows
         # (idle slots run zero-length sections), so the row→device
         # assignment is static.
+        #
+        # MULTI-HOST meshes (multi-controller JAX over DCN) work too:
+        # ``n_streams`` then counts THIS process's local slots, each
+        # process feeds only its own rows
+        # (models/bank.py::_place / make_array_from_process_local_data)
+        # and unpacks only its addressable payload shards. Contract: all
+        # processes must call dispatch/collect in LOCKSTEP (every process
+        # launches the same global program each round — the standard
+        # multi-controller execution model; see tests/multihost_worker.py).
         self._sharding = None
         if mesh is not None:
             if "stream" not in mesh.axis_names:
                 raise ValueError("mesh must have a 'stream' axis")
             stream_size = mesh.shape["stream"]
-            if n_streams % stream_size != 0:
+            import jax
+
+            n_procs = jax.process_count()
+            if n_procs > 1:
+                if tuple(mesh.axis_names) != ("stream",):
+                    raise ValueError(
+                        "multi-host MultiStreamSession requires a 1-D "
+                        f"'stream' mesh, got axes {mesh.axis_names}"
+                    )
+                if stream_size % n_procs:
+                    raise ValueError(
+                        f"stream axis ({stream_size}) must be divisible "
+                        f"by the process count ({n_procs})"
+                    )
+                # Local rows stitch back in order only when each
+                # process's devices form ONE contiguous run along the
+                # stream axis (the _host_rows contract).
+                procs_seen: list[int] = []
+                for d in mesh.devices.flat:
+                    p = d.process_index
+                    if not procs_seen or procs_seen[-1] != p:
+                        if p in procs_seen:
+                            raise ValueError(
+                                "multi-host mesh: stream-axis device "
+                                "order must be process-contiguous"
+                            )
+                        procs_seen.append(p)
+                local_devs = stream_size // n_procs
+                if n_streams % local_devs:
+                    raise ValueError(
+                        f"n_streams {n_streams} (local) must be divisible "
+                        f"by this process's stream-axis devices "
+                        f"({local_devs})"
+                    )
+            elif n_streams % stream_size != 0:
                 raise ValueError(
                     f"n_streams {n_streams} must be divisible by the "
                     f"mesh's stream axis ({stream_size})"

@@ -39,6 +39,8 @@ from audio_pattern_detector_tpu.models.bank import (
     PatternBank,
     _class_step,
     _host_prefetch,
+    _host_rows,
+    _place,
     unpack_group,
 )
 from audio_pattern_detector_tpu.models.detector import AudioPatternDetector
@@ -48,51 +50,6 @@ try:  # jax >= 0.4.35 exposes shard_map at top level
     shard_map = jax.shard_map
 except AttributeError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map  # type: ignore
-
-
-def _place(
-    local: NDArray[np.float32], sharding: NamedSharding, global_rows: int
-) -> Any:
-    """Place a host batch on the mesh; multi-host aware.
-
-    Single-process: plain ``device_put``. Multi-process (a mesh spanning
-    hosts over DCN): each process passes only its LOCAL batch rows and
-    they land on its addressable devices
-    (``jax.make_array_from_process_local_data``) — the global array is
-    assembled without any cross-host data movement, which is the whole
-    point of sharding streams across hosts."""
-    if jax.process_count() == 1:
-        return jax.device_put(local, sharding)
-    global_shape = (global_rows,) + local.shape[1:]
-    return jax.make_array_from_process_local_data(sharding, local, global_shape)
-
-
-def _host_rows(arr: Any) -> NDArray[np.float32]:
-    """This process's batch rows of a stream-sharded device result.
-
-    Single-process: the whole array. Multi-process: only the addressable
-    shards are read (each host unpacks and post-processes its own
-    streams; rows owned by other hosts never cross DCN). The non-batch
-    dims (time, bank) may themselves be sharded across this host's local
-    devices, so the local block is stitched shard by shard; local row i
-    is this host's i-th stream (stream placement is
-    process-contiguous — see ShardedDetector multi-host notes)."""
-    if jax.process_count() == 1:
-        return np.asarray(arr)
-    shards = arr.addressable_shards
-
-    def _bounds(sl, dim):
-        return (sl.start or 0, dim if sl.stop is None else sl.stop)
-
-    row_lo = min(_bounds(s.index[0], arr.shape[0])[0] for s in shards)
-    row_hi = max(_bounds(s.index[0], arr.shape[0])[1] for s in shards)
-    out = np.empty((row_hi - row_lo,) + arr.shape[1:], dtype=arr.dtype)
-    for s in shards:
-        lo, hi = _bounds(s.index[0], arr.shape[0])
-        out[(slice(lo - row_lo, hi - row_lo),) + tuple(s.index[1:])] = (
-            np.asarray(s.data)
-        )
-    return out
 
 
 class ShardedDetector:

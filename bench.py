@@ -67,6 +67,30 @@ def _stats(name: str) -> tuple[float, float, float, int]:
     return statistics.median(s), min(s), max(s), len(s)
 
 
+
+def _sample(
+    name: str,
+    fn,
+    base: int = 3,
+    spread_limit: float = 1.8,
+    max_extra: int = 2,
+) -> None:
+    """Record ``base`` samples of ``fn()``; when the spread says a
+    degraded tunnel period polluted them (max/min > spread_limit), take
+    up to ``max_extra`` more so the median re-centres on the healthy
+    majority. Honest statistics: every sample stays recorded and the
+    reported median/spread cover ALL of them — this only adds data where
+    the existing data disagrees with itself (the 2026-08-19 run's
+    chunk120 spread [1165, 2157] is the motivating case)."""
+    for _ in range(base):
+        _rec(name, fn())
+    for _ in range(max_extra):
+        _med, lo, hi, _n = _stats(name)
+        if lo <= 0 or hi / max(lo, 1e-9) <= spread_limit:
+            break
+        _rec(name, fn())
+
+
 def _canary() -> None:
     """Degraded-window probe, escalating to a correlation-shaped program.
 
@@ -231,8 +255,7 @@ def _measure_default_cli(
         # still leaves ~2-3x on the first measured run.
         one_run()
         one_run()
-        for _ in range(3):
-            _rec("default_cli", one_run())
+        _sample("default_cli", one_run)
 
 
 def _measure_serve(clips, bank, chunks, sr: int, chunk_seconds: int) -> None:
@@ -314,8 +337,7 @@ def _measure_serve(clips, bank, chunks, sr: int, chunk_seconds: int) -> None:
 
     try:
         fleet()  # warm (first-connection slot assignment + width-B program)
-        for _ in range(3):
-            _rec(f"serve{width}", fleet())
+        _sample(f"serve{width}", fleet)
     finally:
         server.shutdown()
         thread.join(timeout=30)
@@ -368,15 +390,16 @@ def run_bench() -> dict:
     _persist_partial(quick_x, detections)
 
     # ── Streaming steady state (includes h2d + host-side unpack) ──
-    for _ in range(3):
+    def _streaming_sample() -> float:
+        nonlocal detections
         x, detections = run_streaming(15)
-        _rec("streaming", x)
+        return x
+
+    _sample("streaming", _streaming_sample)
     _persist_partial(_stats("streaming")[0], detections)
 
     # ── Deep pipeline (3 chunks in flight): hides per-launch round trips ──
-    for _ in range(3):
-        x, _ = run_streaming(15, depth=3)
-        _rec("deep_pipeline", x)
+    _sample("deep_pipeline", lambda: run_streaming(15, depth=3)[0])
 
     # ── Device-only: the jitted class step, h2d/unpack excluded ──
     import jax
@@ -405,12 +428,16 @@ def run_bench() -> dict:
 
     jax.block_until_ready(dev_step())  # warm
     n_dev = 15
-    for _ in range(3):
+
+    def _device_sample() -> float:
         t0 = time.perf_counter()
+        outs = None
         for _i in range(n_dev):
             outs = dev_step()
         jax.block_until_ready(outs)
-        _rec("device_only", n_dev * chunk_seconds / (time.perf_counter() - t0))
+        return n_dev * chunk_seconds / (time.perf_counter() - t0)
+
+    _sample("device_only", _device_sample)
 
     # ── Batched offline scan (amortised launches) ──
     from audio_pattern_detector_tpu.models.detector import AudioPatternDetector
@@ -423,10 +450,13 @@ def run_bench() -> dict:
     # state instead of the exposed head/tail of a 2-batch scan.
     long_audio = np.concatenate([chunks[i % n_distinct] for i in range(batch * 8)])
     det.find_clip_in_array(long_audio, batch_size=batch)  # warm the batch program
-    for _ in range(3):
+
+    def _batched_sample() -> float:
         t0 = time.perf_counter()
         det.find_clip_in_array(long_audio, batch_size=batch)
-        _rec("batched", (len(long_audio) / sr) / (time.perf_counter() - t0))
+        return (len(long_audio) / sr) / (time.perf_counter() - t0)
+
+    _sample("batched", _batched_sample)
 
     # ── Scanned offline (one launch per batch, chunks sequential on-device;
     # per-launch overhead amortised — the remote-runtime offline mode) ──
@@ -435,10 +465,15 @@ def run_bench() -> dict:
         [chunks[i % n_distinct] for i in range(scan_batch * 3)]
     )
     det.find_clip_in_array(scan_audio, batch_size=scan_batch, batch_mode="scan")
-    for _ in range(3):
+
+    def _scanned_sample() -> float:
         t0 = time.perf_counter()
-        det.find_clip_in_array(scan_audio, batch_size=scan_batch, batch_mode="scan")
-        _rec("scanned", (len(scan_audio) / sr) / (time.perf_counter() - t0))
+        det.find_clip_in_array(
+            scan_audio, batch_size=scan_batch, batch_mode="scan"
+        )
+        return (len(scan_audio) / sr) / (time.perf_counter() - t0)
+
+    _sample("scanned", _scanned_sample)
 
     # ── Big-chunk configurations (first-class engine configs via
     # --chunk-seconds: larger chunks amortise per-launch round trips and
@@ -480,6 +515,19 @@ def run_bench() -> dict:
                 _rec(f"chunk{big_s}", measure_big_chunk(big_s))
             except Exception as e:  # noqa: BLE001 — secondary metric only
                 print(f"[bench] chunk{big_s} metric failed: {e}", file=sys.stderr)
+    # Adaptive re-sampling where a degraded period polluted a spread
+    # (same policy as _sample, applied to the interleaved-pass layout).
+    for big_s in big_sizes:
+        name = f"chunk{big_s}"
+        for _ in range(2):
+            _med, lo, hi, n = _stats(name)
+            if n == 0 or lo <= 0 or hi / max(lo, 1e-9) <= 1.8:
+                break
+            try:
+                _rec(name, measure_big_chunk(big_s))
+            except Exception as e:  # noqa: BLE001 — secondary metric only
+                print(f"[bench] {name} resample failed: {e}", file=sys.stderr)
+                break
 
     # ── Batched live streaming (--stream-batch N: N chunks per launch in
     # the streaming loop; the launch amortiser for live streams) ──
@@ -522,6 +570,20 @@ def run_bench() -> dict:
         best_mode = max(mode_samples, key=lambda m: statistics.median(mode_samples[m]))
         for s in mode_samples[best_mode]:
             _rec("stream_batch", s)
+        for _ in range(2):
+            _med, lo, hi, _n = _stats("stream_batch")
+            if lo <= 0 or hi / max(lo, 1e-9) <= 1.8:
+                break
+            try:
+                _rec(
+                    "stream_batch",
+                    run_stream_batch(
+                        5 * stream_batch_n, stream_batch_n, best_mode
+                    ),
+                )
+            except Exception as e:  # noqa: BLE001 — secondary metric only
+                print(f"[bench] stream-batch resample failed: {e}", file=sys.stderr)
+                break
 
     # Combo: big chunks x stream-batch (e.g. 4x240 s per launch) — the
     # launch amortisers compose. "cs:sb[:mode]" via APD_BENCH_COMBOS.
@@ -593,12 +655,15 @@ def run_bench() -> dict:
             bank.process_chunk(hit_chunks[i % n_distinct], prev_h)
             prev_h = hit_chunks[i % n_distinct]
 
-        for _ in range(3):
+        def _hit_sample() -> float:
+            nonlocal prev_h, hit_detections
             elapsed, dets, prev_h = _pipelined_loop(
                 bank, lambda i: hit_chunks[i % n_distinct], 15, prev_h, 3
             )
-            _rec("hit_bearing", 15 * chunk_seconds / elapsed)
             hit_detections = dets
+            return 15 * chunk_seconds / elapsed
+
+        _sample("hit_bearing", _hit_sample)
     except Exception as e:  # noqa: BLE001 — secondary metric only
         print(f"[bench] hit-bearing metric failed: {e}", file=sys.stderr)
 
@@ -623,7 +688,8 @@ def run_bench() -> dict:
         sess = MultiStreamSession(det, n_streams=n_ms)
         sess.feed([chunks[i % n_distinct] for i in range(n_ms)])  # warm B=n
         ms_rounds = 8
-        for _ in range(3):
+
+        def _ms_sample() -> float:
             # 3 rounds in flight with eager draining, like every other
             # pipelined loop here (synchronous feed serializes launch +
             # d2h + unpack against device compute).
@@ -641,10 +707,12 @@ def run_bench() -> dict:
                     sess.collect(pend.pop(0))
             while pend:
                 sess.collect(pend.pop(0))
-            _rec(
-                f"multi_stream{n_ms}",
-                n_ms * ms_rounds * chunk_seconds / (time.perf_counter() - t0),
+            return (
+                n_ms * ms_rounds * chunk_seconds
+                / (time.perf_counter() - t0)
             )
+
+        _sample(f"multi_stream{n_ms}", _ms_sample)
     except Exception as e:  # noqa: BLE001 — secondary metric only
         print(f"[bench] multi-stream metric failed: {e}", file=sys.stderr)
 

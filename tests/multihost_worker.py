@@ -69,6 +69,47 @@ def main() -> None:
     assert len(res["c"][0]) >= 2, (proc, res)
     print(f"MULTIHOST-OK {proc} {res['c'][0]}", flush=True)
 
+    # ── Multi-host MultiStreamSession: each process feeds its own 2
+    # local stream slots over a stream(4) mesh spanning both processes
+    # (serve --mesh-stream's DCN scale-out form). Rounds run in lockstep
+    # (both processes dispatch each round); results must equal the
+    # serial engine per local stream. ──
+    from audio_pattern_detector_tpu.models.multistream import (
+        MultiStreamSession,
+    )
+
+    ms_mesh = make_mesh({"stream": 4})
+    session = MultiStreamSession(det, n_streams=2, mesh=ms_mesh)
+    chunk_n = chunk_seconds * sr
+    # Per-process, per-stream audio: embeds at distinct offsets (one in
+    # chunk 0, one straddling into chunk 2's lookback region).
+    streams = []
+    for si in range(2):
+        rng_s = np.random.default_rng(200 + 10 * proc + si)
+        a = (0.01 * rng_s.standard_normal(3 * chunk_n)).astype(np.float32)
+        for off in (0.5 + 0.25 * si + 0.1 * proc, 3.75):
+            o = int(off * sr)
+            a[o : o + sr] += clip.audio
+        streams.append(a)
+
+    got: list[list[float]] = [[], []]
+    for r in range(3):
+        out = session.feed(
+            [s[r * chunk_n : (r + 1) * chunk_n] for s in streams]
+        )
+        for si in range(2):
+            got[si].extend(out[si].get("c", []))
+    for si in range(2):
+        peaks_s, total_s = det.find_clip_in_audio(
+            AudioStream("s", io.BytesIO(streams[si].tobytes()), sr)
+        )
+        assert sorted(got[si]) == sorted(peaks_s["c"]), (
+            proc, si, got[si], peaks_s,
+        )
+        assert len(got[si]) >= 2, (proc, si, got)
+        assert session.total_time(si) == total_s
+    print(f"MULTIHOST-MS-OK {proc}", flush=True)
+
 
 if __name__ == "__main__":
     main()

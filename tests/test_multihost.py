@@ -58,3 +58,4 @@ def test_two_process_sharded_detect_matches_serial():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert f"MULTIHOST-OK {i}" in out, f"process {i} output:\n{out}"
+        assert f"MULTIHOST-MS-OK {i}" in out, f"process {i} output:\n{out}"
