@@ -99,8 +99,14 @@ class EngineOptions:
             raise ValueError(
                 f"pipeline_depth must be >= 1, got {self.pipeline_depth}"
             )
+        if self.stream_batch < 1:
+            raise ValueError(
+                f"stream_batch must be >= 1, got {self.stream_batch}"
+            )
+        if self.mesh_bank < 1:
+            raise ValueError(f"mesh_bank must be >= 1, got {self.mesh_bank}")
         if self.mesh_time is not None:
-            if self.mesh_time < 1 or self.mesh_bank < 1:
+            if self.mesh_time < 1:
                 raise ValueError("mesh axis sizes must be positive")
             incompatible = [
                 name
@@ -1614,6 +1620,13 @@ def _parse_chunk_seconds(args: argparse.Namespace) -> tuple[int | None, bool]:
         sys.exit(1)
 
 
+def _int_or(value: int | None, default: int) -> int:
+    """``default`` only for an absent value (None); 0/negatives pass
+    through so EngineOptions.validate rejects them loudly instead of the
+    old ``or default`` idiom silently mapping 0 to the sequential path."""
+    return default if value is None else int(value)
+
+
 def _collect_pattern_files(args: argparse.Namespace) -> list[str]:
     """Explicit --pattern-file paths plus --pattern-folder globs
     (``*.wav`` + ``*.apd.toml``, announced on stderr)."""
@@ -1641,11 +1654,14 @@ def cmd_match(args: argparse.Namespace) -> None:
         debug_dir=getattr(args, "debug_dir", "./tmp"),
         height_min=getattr(args, "height_min", None),
         pipeline_depth=getattr(args, "pipeline_depth", None),
-        stream_batch=getattr(args, "stream_batch", 1) or 1,
+        # None (flag absent/defaulted) means 1; explicit 0 or negatives
+        # must reach EngineOptions.validate and fail loudly, not be
+        # silently coerced into the sequential path.
+        stream_batch=_int_or(getattr(args, "stream_batch", None), 1),
         stream_batch_mode=getattr(args, "stream_batch_mode", "scan") or "scan",
         mesh_time=getattr(args, "mesh_time", None),
-        mesh_bank=getattr(args, "mesh_bank", 1) or 1,
-        mesh_stream=getattr(args, "mesh_stream", 1) or 1,
+        mesh_bank=_int_or(getattr(args, "mesh_bank", None), 1),
+        mesh_stream=_int_or(getattr(args, "mesh_stream", None), 1),
         checkpoint_file=getattr(args, "checkpoint_file", None),
     )
     timestamp_format: str = getattr(args, "timestamp_format", "both")

@@ -551,8 +551,14 @@ class PatternServer:
             # Measured (scripts/dev/serve_probe.py, width 8, 4 chunks
             # per stream): 11 rounds -> 4-5 full rounds. Live streams at
             # chunk cadence lose at most dispatch_defer_ms of latency.
+            # Only header-complete streams count as stragglers: a
+            # connection that never finished its WAV header (port scan,
+            # health check, stalled client) can't join a round, so
+            # waiting on it would tax every round the full defer window
+            # until the idle reaper fires.
             waiting = any(
                 not c.dead and not c.ended and not c.eof
+                and c.header_done
                 and not self._round_bytes(c)
                 for c in self._conns.values()
             )
@@ -603,13 +609,18 @@ class PatternServer:
         )
 
     def _collect_ready(self, block: bool = False) -> None:
+        # When input is exhausted, block on the OLDEST round only, then
+        # return to the select loop between rounds — otherwise a new
+        # client's accept would stall behind ALL in-flight rounds.
+        exhausted = self._input_exhausted()
         while self._inflight:
             handle, members = self._inflight[0]
             must = (
                 block
                 or len(self._inflight) >= self.pipeline_depth
-                or self._input_exhausted()
+                or exhausted
             )
+            exhausted = False
             if not must and not self.session.round_ready(handle):
                 return
             self._inflight.pop(0)

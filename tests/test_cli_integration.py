@@ -312,6 +312,24 @@ class TestMultiplexedStdin:
         assert r.returncode != 0
         assert b"mesh sharding is incompatible with: stream_batch" in r.stderr
 
+    def test_zero_size_flags_rejected(self):
+        """Explicit --stream-batch 0 / --mesh-bank 0 / --mesh-stream 0
+        must fail loudly; the old ``or default`` coercion silently
+        mapped 0 to the sequential path."""
+        for flag, msg in (
+            ("--stream-batch", b"stream_batch must be >= 1"),
+            ("--mesh-bank", b"mesh_bank must be >= 1"),
+            # mesh-stream != 1 hits the earlier surface check on stdin
+            # modes; the point is 0 is no longer silently accepted.
+            ("--mesh-stream", b"requires file mode"),
+        ):
+            r = run_cli(
+                ["match", "--multiplexed-stdin", flag, "0"],
+                stdin_bytes=struct.pack("<I", 1),
+            )
+            assert r.returncode != 0, flag
+            assert msg in r.stderr, (flag, r.stderr)
+
     def test_multiple_patterns(self):
         sr = 8000
         rng = np.random.default_rng(6)

@@ -267,6 +267,42 @@ class TestPatternServer:
         assert events[-1]["type"] == "error"
         assert "Not a WAV file" in events[-1]["error"]
 
+    def test_headerless_connection_does_not_stall_rounds(self, clips):
+        """A connection that never completes its WAV header (port scan,
+        health check, stalled client) cannot join a round, so the
+        dispatch hold-back must not count it as a straggler — otherwise
+        every round for real clients waits the full defer window."""
+        srv = PatternServer(
+            clips,
+            max_streams=2,
+            seconds_per_chunk=CHUNK_S,
+            dispatch_defer_ms=5000.0,
+        )
+        srv.warmup()
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        zombie = None
+        try:
+            port = srv.address[1]
+            zombie = socket.create_connection(("127.0.0.1", port), timeout=30)
+            zombie.sendall(b"RIFF")  # partial header, then silence
+            time.sleep(0.2)  # let the server register the connection
+            audio = np.zeros(2 * CHUNK_S * SR, dtype=np.float32)
+            t0 = time.monotonic()
+            events = run_client(port, wav_payload(audio))
+            elapsed = time.monotonic() - t0
+            assert events[-1]["type"] == "end"
+            assert events[-1]["total_time_ms"] == round(len(audio) / SR * 1000)
+            # Without the header_done guard, each of this client's >= 2
+            # rounds waits the full 5 s defer window on the headerless
+            # straggler (>= 10 s total). Warmed program: well under 5 s.
+            assert elapsed < 5.0, f"rounds stalled behind headerless conn: {elapsed:.1f}s"
+        finally:
+            if zombie is not None:
+                zombie.close()
+            srv.shutdown()
+            thread.join(timeout=30)
+
     def test_idle_connection_reaped(self, clips):
         srv = PatternServer(
             clips,
