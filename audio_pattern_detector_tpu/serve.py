@@ -78,6 +78,16 @@ _INBOUND_CAP_CHUNKS = 4
 # after ``end``.
 _END_DRAIN_TIMEOUT = 60.0
 
+# A connection without a dispatchable chunk holds dispatch back (see
+# _dispatch_round) only while bytes arrived within this horizon. Active
+# uploads (loopback, LAN, live pipes) deliver continuously at ms
+# granularity, so a genuinely-progressing straggler always qualifies; a
+# silent one (port scan, stalled client) stops taxing rounds after one
+# horizon. Kept above typical WAN jitter; a transient gap only means one
+# partial round (latency-correct, slightly lower occupancy), never
+# wrong results.
+_STRAGGLER_RX_HORIZON = 0.25
+
 
 class _NeedMoreData(Exception):
     """Header parse paused: the buffer doesn't hold the full header yet."""
@@ -123,6 +133,13 @@ class _Conn:
         # Idle-timeout / drain-timeout clock: last time bytes moved in
         # EITHER direction (recv progress or send progress).
         self.last_activity = time.monotonic()
+        # Inbound-only clock for the dispatch hold-back: a conn counts
+        # as a round straggler only while bytes are actively ARRIVING
+        # (connect counts — a fresh conn gets one horizon to deliver
+        # its header + first chunk). Outbound sends must not refresh
+        # this, or a stalled client still draining events would tax
+        # every round.
+        self.last_rx = time.monotonic()
         self.pending = 0  # dispatched rounds not yet collected
         self.samples_fed = 0
         self.ended = False  # end event emitted; close when outbound drains
@@ -466,6 +483,7 @@ class PatternServer:
                     self._update_mask(conn)
                 return
             conn.last_activity = time.monotonic()
+            conn.last_rx = conn.last_activity
             conn.buf += data
             if not conn.header_done:
                 self._try_parse_header(conn)
@@ -517,8 +535,10 @@ class PatternServer:
             self._update_mask(conn)  # backlog drained: resume reads
             # The client may have been blocked on the TCP window the
             # whole paused stretch; restart its idle clock so it isn't
-            # reaped before it gets a chance to send again.
+            # reaped before it gets a chance to send again (and its rx
+            # clock, so the hold-back gives it the same grace).
             conn.last_activity = time.monotonic()
+            conn.last_rx = conn.last_activity
         assert conn.dtype is not None
         if conn.dtype == np.int16:
             # int16 fast path: hand the raw samples through — the batch
@@ -551,18 +571,27 @@ class PatternServer:
             # Measured (scripts/dev/serve_probe.py, width 8, 4 chunks
             # per stream): 11 rounds -> 4-5 full rounds. Live streams at
             # chunk cadence lose at most dispatch_defer_ms of latency.
-            # Only header-complete streams count as stragglers: a
-            # connection that never finished its WAV header (port scan,
-            # health check, stalled client) can't join a round, so
-            # waiting on it would tax every round the full defer window
-            # until the idle reaper fires.
+            # Only streams actively DELIVERING bytes count as
+            # stragglers (last_rx within _STRAGGLER_RX_HORIZON): holding
+            # a round only pays off when the straggler will finish its
+            # chunk within the window, which requires inbound progress.
+            # This excludes connections that never finish their WAV
+            # header (port scans, health checks) and header-complete
+            # clients that stalled mid-chunk — either would otherwise
+            # tax every round the full defer window indefinitely (the
+            # idle reaper is off by default). A header-incomplete but
+            # actively-uploading fresh connection DOES hold the round:
+            # at fleet start all N clients are mid-header/mid-chunk for
+            # a few ms, and dispatching 1-of-N rounds then wastes ~N x
+            # device time (measured: aggregate 1747x -> 316x when a
+            # header_done guard stopped counting them).
+            now = time.monotonic()
             waiting = any(
                 not c.dead and not c.ended and not c.eof
-                and c.header_done
                 and not self._round_bytes(c)
+                and now - c.last_rx <= _STRAGGLER_RX_HORIZON
                 for c in self._conns.values()
             )
-            now = time.monotonic()
             if waiting:
                 if self._defer_start is None:
                     self._defer_start = now

@@ -267,11 +267,21 @@ class TestPatternServer:
         assert events[-1]["type"] == "error"
         assert "Not a WAV file" in events[-1]["error"]
 
-    def test_headerless_connection_does_not_stall_rounds(self, clips):
-        """A connection that never completes its WAV header (port scan,
-        health check, stalled client) cannot join a round, so the
-        dispatch hold-back must not count it as a straggler — otherwise
-        every round for real clients waits the full defer window."""
+    @pytest.mark.parametrize(
+        "zombie_bytes",
+        [
+            pytest.param(b"RIFF", id="headerless"),
+            # Complete header, then silence: header_done alone must not
+            # keep a stalled client counting as a dispatch straggler.
+            pytest.param(wav_payload(np.zeros(0, dtype=np.float32)), id="stalled-after-header"),
+        ],
+    )
+    def test_silent_connection_does_not_stall_rounds(self, clips, zombie_bytes):
+        """A connection that stops delivering bytes (port scan, health
+        check, stalled client) can never complete a chunk, so the
+        dispatch hold-back must stop counting it as a straggler after
+        the rx horizon — otherwise every round for real clients waits
+        the full defer window."""
         srv = PatternServer(
             clips,
             max_streams=2,
@@ -285,18 +295,18 @@ class TestPatternServer:
         try:
             port = srv.address[1]
             zombie = socket.create_connection(("127.0.0.1", port), timeout=30)
-            zombie.sendall(b"RIFF")  # partial header, then silence
-            time.sleep(0.2)  # let the server register the connection
+            zombie.sendall(zombie_bytes)  # then silence
+            time.sleep(0.4)  # exceed the straggler rx horizon
             audio = np.zeros(2 * CHUNK_S * SR, dtype=np.float32)
             t0 = time.monotonic()
             events = run_client(port, wav_payload(audio))
             elapsed = time.monotonic() - t0
             assert events[-1]["type"] == "end"
             assert events[-1]["total_time_ms"] == round(len(audio) / SR * 1000)
-            # Without the header_done guard, each of this client's >= 2
-            # rounds waits the full 5 s defer window on the headerless
+            # Without the rx-horizon guard, each of this client's >= 2
+            # rounds waits the full 5 s defer window on the silent
             # straggler (>= 10 s total). Warmed program: well under 5 s.
-            assert elapsed < 5.0, f"rounds stalled behind headerless conn: {elapsed:.1f}s"
+            assert elapsed < 5.0, f"rounds stalled behind silent conn: {elapsed:.1f}s"
         finally:
             if zombie is not None:
                 zombie.close()
