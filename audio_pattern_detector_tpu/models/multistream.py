@@ -236,9 +236,21 @@ class MultiStreamSession:
         """O(1) resume state for one stream (models/detector.py
         StreamCheckpoint semantics)."""
         tail = self._tails[stream]
+        if tail is not None and tail.dtype == np.int16:
+            # The int16 serving fast path keeps tails raw in-session
+            # (feed decodes mixed-dtype lookback on device), but
+            # StreamCheckpoint's contract — and its to_bytes layout —
+            # is f32 samples. Decode with the bitwise-pinned cast+scale
+            # so a serialized resume reads the same bits the device
+            # unpack would have produced.
+            from audio_pattern_detector_tpu.models.bank import _pcm16_to_f32
+
+            tail = _pcm16_to_f32(tail)
+        elif tail is not None:
+            tail = tail.copy()
         return StreamCheckpoint(
             self._indices[stream],
-            tail if tail is None else tail.copy(),
+            tail,
             self._times[stream],
         )
 

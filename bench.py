@@ -38,6 +38,7 @@ and poisons the process. Strategy:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import statistics
@@ -68,6 +69,35 @@ def _stats(name: str) -> tuple[float, float, float, int]:
 
 
 
+def _resample_if_spread(
+    name: str,
+    fn,
+    spread_limit: float = 1.8,
+    max_extra: int = 2,
+    secondary: bool = False,
+) -> None:
+    """When the recorded spread says a degraded tunnel period polluted a
+    metric (max/min > spread_limit), take up to ``max_extra`` more
+    samples so the median re-centres on the healthy majority. Honest
+    statistics: every sample stays recorded and the reported
+    median/spread cover ALL of them — this only adds data where the
+    existing data disagrees with itself (the 2026-08-19 run's chunk120
+    spread [1165, 2157] is the motivating case). ``secondary`` metrics
+    swallow sampling errors (they must not fail the run)."""
+    for _ in range(max_extra):
+        _med, lo, hi, n = _stats(name)
+        if n == 0 or lo <= 0 or hi / max(lo, 1e-9) <= spread_limit:
+            break
+        if secondary:
+            try:
+                _rec(name, fn())
+            except Exception as e:  # noqa: BLE001 — secondary metric only
+                print(f"[bench] {name} resample failed: {e}", file=sys.stderr)
+                break
+        else:
+            _rec(name, fn())
+
+
 def _sample(
     name: str,
     fn,
@@ -75,20 +105,11 @@ def _sample(
     spread_limit: float = 1.8,
     max_extra: int = 2,
 ) -> None:
-    """Record ``base`` samples of ``fn()``; when the spread says a
-    degraded tunnel period polluted them (max/min > spread_limit), take
-    up to ``max_extra`` more so the median re-centres on the healthy
-    majority. Honest statistics: every sample stays recorded and the
-    reported median/spread cover ALL of them — this only adds data where
-    the existing data disagrees with itself (the 2026-08-19 run's
-    chunk120 spread [1165, 2157] is the motivating case)."""
+    """Record ``base`` samples of ``fn()``, then re-sample on a polluted
+    spread (see _resample_if_spread)."""
     for _ in range(base):
         _rec(name, fn())
-    for _ in range(max_extra):
-        _med, lo, hi, _n = _stats(name)
-        if lo <= 0 or hi / max(lo, 1e-9) <= spread_limit:
-            break
-        _rec(name, fn())
+    _resample_if_spread(name, fn, spread_limit, max_extra)
 
 
 def _canary() -> None:
@@ -518,16 +539,11 @@ def run_bench() -> dict:
     # Adaptive re-sampling where a degraded period polluted a spread
     # (same policy as _sample, applied to the interleaved-pass layout).
     for big_s in big_sizes:
-        name = f"chunk{big_s}"
-        for _ in range(2):
-            _med, lo, hi, n = _stats(name)
-            if n == 0 or lo <= 0 or hi / max(lo, 1e-9) <= 1.8:
-                break
-            try:
-                _rec(name, measure_big_chunk(big_s))
-            except Exception as e:  # noqa: BLE001 — secondary metric only
-                print(f"[bench] {name} resample failed: {e}", file=sys.stderr)
-                break
+        _resample_if_spread(
+            f"chunk{big_s}",
+            functools.partial(measure_big_chunk, big_s),
+            secondary=True,
+        )
 
     # ── Batched live streaming (--stream-batch N: N chunks per launch in
     # the streaming loop; the launch amortiser for live streams) ──
@@ -570,20 +586,13 @@ def run_bench() -> dict:
         best_mode = max(mode_samples, key=lambda m: statistics.median(mode_samples[m]))
         for s in mode_samples[best_mode]:
             _rec("stream_batch", s)
-        for _ in range(2):
-            _med, lo, hi, _n = _stats("stream_batch")
-            if lo <= 0 or hi / max(lo, 1e-9) <= 1.8:
-                break
-            try:
-                _rec(
-                    "stream_batch",
-                    run_stream_batch(
-                        5 * stream_batch_n, stream_batch_n, best_mode
-                    ),
-                )
-            except Exception as e:  # noqa: BLE001 — secondary metric only
-                print(f"[bench] stream-batch resample failed: {e}", file=sys.stderr)
-                break
+        _resample_if_spread(
+            "stream_batch",
+            lambda: run_stream_batch(
+                5 * stream_batch_n, stream_batch_n, best_mode
+            ),
+            secondary=True,
+        )
 
     # Combo: big chunks x stream-batch (e.g. 4x240 s per launch) — the
     # launch amortisers compose. "cs:sb[:mode]" via APD_BENCH_COMBOS.

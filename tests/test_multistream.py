@@ -302,3 +302,46 @@ class TestMultiStreamSession:
         assert sorted(resumed) == sorted(
             t for ts in serial_peaks.values() for t in ts
         )
+
+    def test_int16_checkpoint_serializes_as_f32(self, clips, stream_audios):
+        """The int16 serving fast path keeps lookback tails raw
+        in-session; checkpoint() must hand out the bitwise-pinned f32
+        decode so StreamCheckpoint.to_bytes round-trips correctly (a raw
+        astype would serialize PCM integers as if they were samples,
+        ~32768x amplified)."""
+        from audio_pattern_detector_tpu.models.detector import StreamCheckpoint
+
+        audio = stream_audios[1]
+        q = np.clip(np.round(audio * 32768.0), -32768, 32767).astype(np.int16)
+        dq = (q.astype(np.float32) * np.float32(1.0 / 32768.0)).astype(
+            np.float32
+        )
+        det_i = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=CHUNK_S)
+        det_f = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=CHUNK_S)
+        sess_i = MultiStreamSession(det_i, n_streams=1)
+        sess_f = MultiStreamSession(det_f, n_streams=1)
+        cut = 4
+        for r in range(cut):
+            res_i = sess_i.feed([_chunked(q)[r]])[0]
+            res_f = sess_f.feed([_chunked(dq)[r]])[0]
+            assert res_i == res_f
+        ck_i, ck_f = sess_i.checkpoint(0), sess_f.checkpoint(0)
+        assert ck_i.previous_tail is not None
+        assert ck_i.previous_tail.dtype == np.float32
+        assert ck_i.to_bytes() == ck_f.to_bytes()
+
+        # The serialized checkpoint resumes a fresh serial engine to the
+        # same remaining detections as the f32-fed stream.
+        ck = StreamCheckpoint.from_bytes(ck_i.to_bytes())
+        rest = np.concatenate(_chunked(dq)[cut:])
+        det2 = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=CHUNK_S)
+        peaks, _ = det2.find_clip_in_audio(
+            AudioStream("r", io.BytesIO(rest.tobytes()), SR),
+            checkpoint=ck,
+        )
+        det3 = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=CHUNK_S)
+        peaks_f, _ = det3.find_clip_in_audio(
+            AudioStream("r", io.BytesIO(rest.tobytes()), SR),
+            checkpoint=ck_f,
+        )
+        assert peaks == peaks_f
