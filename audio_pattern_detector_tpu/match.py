@@ -56,7 +56,7 @@ class EngineOptions:
     profile: bool = False
     trace_dir: str | None = None
     offline_batch: int | None = None
-    offline_batch_mode: str = "vmap"
+    offline_batch_mode: str = "scan"
     # None = auto: 3 chunks in flight. Results are collected eagerly in
     # order (emission is NOT deferred by depth), so the deep default is
     # latency-free and hides the per-launch round trip + host decode.
@@ -788,7 +788,7 @@ def match_pattern(
     profile: bool = False,
     trace_dir: str | None = None,
     offline_batch: int | None = None,
-    offline_batch_mode: str = "vmap",
+    offline_batch_mode: str = "scan",
     pipeline_depth: int | None = None,
     stream_batch: int = 1,
     stream_batch_mode: str = "scan",
@@ -867,7 +867,7 @@ def match_pattern_many(
     profile: bool = False,
     trace_dir: str | None = None,
     offline_batch: int | None = None,
-    offline_batch_mode: str = "vmap",
+    offline_batch_mode: str = "scan",
     pipeline_depth: int | None = None,
     stream_batch: int = 1,
     stream_batch_mode: str = "scan",
@@ -1747,7 +1747,7 @@ def cmd_match(args: argparse.Namespace) -> None:
         _run_match_with_output(args, pattern_files, None, opts, from_stdin=True)
     elif audio_files:
         opts.offline_batch = getattr(args, "offline_batch", None)
-        opts.offline_batch_mode = getattr(args, "offline_batch_mode", "vmap")
+        opts.offline_batch_mode = getattr(args, "offline_batch_mode", "scan")
         if opts.mesh_stream != 1 and len(audio_files) == 1:
             print(
                 "Error: --mesh-stream parallelises across MULTIPLE audio "

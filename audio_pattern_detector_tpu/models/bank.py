@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from numpy.typing import NDArray
 
+from audio_pattern_detector_tpu import native
 from audio_pattern_detector_tpu.models import hostpath
 from audio_pattern_detector_tpu.ops.correlate import (
     CorrelationBankConsts,
@@ -661,13 +662,23 @@ class PatternBank:
         (models/multistream.py) batches one chunk from each of N live
         streams into this one launch.
 
+        ``mode`` is purely an execution schedule — sections (including
+        each row's lookback) are assembled on the host either way, and
+        the scan body carries no state across rows, so both modes work
+        for consecutive chunks AND independent streams with identical
+        results. "scan" measures ~21.5 ms/chunk on TPU vs ~26-27 for
+        vmap/single at every B (better buffer reuse; the launch
+        amortiser and the fastest formulation overall,
+        scripts/dev/batch_inflation_ab.py); "vmap" is the parallel-axis
+        form GSPMD can shard.
+
         ``sharding`` (a ``NamedSharding`` whose first dim partitions the
         batch axis, e.g. ``P("stream", None)``) places the batch across a
         device mesh: the vmapped program is embarrassingly parallel on B,
         so GSPMD runs each device's rows locally with no collectives —
         data parallelism over streams for the multi-chip serving path.
-        Requires ``mode="vmap"`` (scan's sequential lookback chain is one
-        device's work by construction) and B divisible by the partition."""
+        Requires ``mode="vmap"`` (a sequential scan cannot be partitioned
+        along the batch axis) and B divisible by the partition."""
         if mode not in ("vmap", "scan"):
             raise ValueError(f"mode must be 'vmap' or 'scan', got {mode!r}")
         if sharding is not None and mode != "vmap":
@@ -705,16 +716,29 @@ class PatternBank:
             # is off the PCM16 grid (ffmpeg floats, resampled streams).
             packed_rows: NDArray[np.float32] | None = None
             sections: NDArray[np.float32] | None = None
-            if (
-                self._packed_upload
-                and S % 2 == 0
-                and all(r.dtype == np.int16 for r in raws if len(r))
-            ):
-                rows_i16 = np.zeros((b, S), dtype=np.int16)
+            if self._packed_upload and S % 2 == 0:
+                # One (b, S) int16 buffer filled row by row: int16 rows
+                # (the serving fast path) copy straight in; f32 rows
+                # quantise+check in a single C++ pass directly from the
+                # raw section (native.pack_pcm16_into — no intermediate
+                # f32 (b, S) array, no np.stack). Any off-grid row (or
+                # no native library) abandons packing for the whole
+                # batch — the f32 fallback below reproduces the exact
+                # old path, so results are identical either way.
+                rows_i16 = np.empty((b, S), dtype=np.int16)
+                ok_all = True
                 for bi, raw in enumerate(raws):
-                    rows_i16[bi, : len(raw)] = raw
-                packed_rows = rows_i16.view(np.float32)
-            else:
+                    if raw.dtype == np.int16:
+                        rows_i16[bi, : len(raw)] = raw
+                        rows_i16[bi, len(raw):] = 0
+                    else:
+                        ok = native.pack_pcm16_into(raw, rows_i16[bi])
+                        if not ok:  # None (no native .so) or lossy row
+                            ok_all = False
+                            break
+                if ok_all:
+                    packed_rows = rows_i16.view(np.float32)
+            if packed_rows is None:
                 # np.empty + per-row tail zeroing: full rows (the steady
                 # serving/offline case) skip the zero pass np.zeros
                 # would pay every round.

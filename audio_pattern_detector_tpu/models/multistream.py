@@ -47,9 +47,26 @@ class MultiStreamSession:
         detector: AudioPatternDetector,
         n_streams: int,
         mesh: Any = None,
+        batch_mode: str | None = None,
     ) -> None:
         if n_streams < 1:
             raise ValueError(f"n_streams must be >= 1, got {n_streams}")
+        if batch_mode not in (None, "scan", "vmap"):
+            raise ValueError(
+                f"batch_mode must be 'scan' or 'vmap', got {batch_mode!r}"
+            )
+        # Rows are independent in BOTH programs (the scan body carries no
+        # state across rows — each is a complete fused step), so the mode
+        # is purely an execution schedule. Default: "scan" single-device
+        # (measured ~21.5 vs ~26 ms/chunk for vmap on TPU,
+        # scripts/dev/batch_inflation_ab.py); "vmap" when a mesh shards
+        # the rows (GSPMD needs the parallel batch axis).
+        if batch_mode == "scan" and mesh is not None:
+            raise ValueError(
+                "batch_mode='scan' cannot shard rows across a mesh; "
+                "use 'vmap' (or omit batch_mode) with a mesh"
+            )
+        self._batch_mode = batch_mode or ("vmap" if mesh is not None else "scan")
         self.detector = detector
         self.n_streams = n_streams
         self._bank = detector._ensure_bank()
@@ -193,7 +210,7 @@ class MultiStreamSession:
                 tails.append(self._tails[i])
 
         dispatched = self._bank.dispatch_chunks_batch(
-            batch, None, mode="vmap", prev_tails=tails,
+            batch, None, mode=self._batch_mode, prev_tails=tails,
             sharding=self._sharding,
         )
         # (stream_active, index, had_prev) snapshot for collect-time

@@ -33,6 +33,8 @@ __all__ = [
     "simpson",
     "integrated_loudness",
     "loudness_normalize",
+    "biquad_f64",
+    "pack_pcm16_into",
     "pearson_correlation",
     "pcm16_to_f32_mono",
     "pcm32_to_f32_mono",
@@ -109,6 +111,19 @@ def _load() -> "ctypes.CDLL | None":
     lib.apd_pcm32_to_f32_mono.argtypes = [
         _c_i32p, ctypes.c_int64, ctypes.c_int, _c_f32p,
     ]
+    # apd_biquad_f64 / apd_pack_pcm16 are later additions within ABI 1 —
+    # a stale .so simply lacks the symbols, in which case the scipy /
+    # numpy paths take over (same bits).
+    if hasattr(lib, "apd_biquad_f64"):
+        lib.apd_biquad_f64.restype = None
+        lib.apd_biquad_f64.argtypes = [
+            _c_f64p, _c_f64p, _c_f64p, ctypes.c_int64, _c_f64p,
+        ]
+    if hasattr(lib, "apd_pack_pcm16"):
+        lib.apd_pack_pcm16.restype = ctypes.c_int
+        lib.apd_pack_pcm16.argtypes = [
+            _c_f32p, ctypes.c_int64, ctypes.c_int64, _c_i16p,
+        ]
     _lib = lib
     return _lib
 
@@ -210,6 +225,62 @@ def loudness_normalize(
         out.ctypes.data_as(_c_f32p),
     )
     return out
+
+
+def biquad_f64(
+    b: NDArray[np.float64], a: NDArray[np.float64], x: NDArray[np.float64]
+) -> "NDArray[np.float64] | None":
+    """Order-2 lfilter (zero state), bit-identical to scipy's DF2T.
+
+    Returns None when the native library (or the symbol, on a stale
+    build) is unavailable — callers fall back to scipy / pure python.
+    Exists so the CLI's per-clip BS.1770 preparation (models/detector.py
+    init) never pays the ~2 s scipy.signal import at cold start.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "apd_biquad_f64"):
+        return None
+    bv = np.ascontiguousarray(b, dtype=np.float64)
+    av = np.ascontiguousarray(a, dtype=np.float64)
+    xv = np.ascontiguousarray(x, dtype=np.float64)
+    if len(bv) != 3 or len(av) != 3 or av[0] != 1.0:
+        return None
+    out = np.empty_like(xv)
+    lib.apd_biquad_f64(
+        bv.ctypes.data_as(_c_f64p),
+        av.ctypes.data_as(_c_f64p),
+        xv.ctypes.data_as(_c_f64p),
+        len(xv),
+        out.ctypes.data_as(_c_f64p),
+    )
+    return out
+
+
+def pack_pcm16_into(
+    x: NDArray[np.float32], out: NDArray[np.int16]
+) -> "bool | None":
+    """Quantise f32 samples onto the int16/32768 grid into ``out``
+    (zero-filling the tail past ``len(x)``), single C++ pass.
+
+    Returns True/False for exact/lossy, or None when the native library
+    (or symbol) is unavailable — callers use the numpy path then.
+    Semantics match ops/packing.py::try_pack_pcm16 exactly.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "apd_pack_pcm16"):
+        return None
+    if x.dtype != np.float32 or not x.flags.c_contiguous:
+        x = np.ascontiguousarray(x, dtype=np.float32)
+    assert out.dtype == np.int16 and out.flags.c_contiguous
+    assert len(x) <= len(out)
+    return bool(
+        lib.apd_pack_pcm16(
+            x.ctypes.data_as(_c_f32p),
+            len(x),
+            len(out),
+            out.ctypes.data_as(_c_i16p),
+        )
+    )
 
 
 def pearson_correlation(x: NDArray[Any], y: NDArray[Any]) -> float:

