@@ -326,6 +326,18 @@ def main() -> None:
         ),
     )
     serve_parser.add_argument(
+        "--tile",
+        metavar="n",
+        type=int,
+        default=None,
+        help=(
+            "rows per device launch for wide servers: each round's "
+            "max-streams rows dispatch as fixed-size tiles of one "
+            "compiled program, bounding compile time and device memory "
+            "(default: 16 when max-streams > 16, full-width otherwise)"
+        ),
+    )
+    serve_parser.add_argument(
         "--target-sample-rate",
         metavar="rate",
         type=int,

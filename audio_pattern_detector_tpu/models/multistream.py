@@ -48,9 +48,17 @@ class MultiStreamSession:
         n_streams: int,
         mesh: Any = None,
         batch_mode: str | None = None,
+        tile: int | None = None,
     ) -> None:
         if n_streams < 1:
             raise ValueError(f"n_streams must be >= 1, got {n_streams}")
+        if tile is not None and tile < 1:
+            raise ValueError(f"tile must be >= 1, got {tile}")
+        if tile is not None and mesh is not None:
+            raise ValueError(
+                "tile and mesh are mutually exclusive (a sharded round "
+                "must batch all rows for the static row→device layout)"
+            )
         if batch_mode not in (None, "scan", "vmap"):
             raise ValueError(
                 f"batch_mode must be 'scan' or 'vmap', got {batch_mode!r}"
@@ -67,6 +75,14 @@ class MultiStreamSession:
                 "use 'vmap' (or omit batch_mode) with a mesh"
             )
         self._batch_mode = batch_mode or ("vmap" if mesh is not None else "scan")
+        # Serving-capacity tiling: one round's N rows dispatch as
+        # ceil(N/tile) launches of ONE compiled tile-row program (the
+        # last tile padded with idle rows). Compile time and device
+        # working memory are bounded by the tile, not the slot count —
+        # a 256-slot server runs the same B=16 program sixteen times per
+        # round instead of compiling a (huge, fully-unrolled) B=256
+        # executable. None = a single full-width launch per round.
+        self._tile = min(tile, n_streams) if tile is not None else None
         self.detector = detector
         self.n_streams = n_streams
         self._bank = detector._ensure_bank()
@@ -209,10 +225,32 @@ class MultiStreamSession:
                 batch.append(chunk)
                 tails.append(self._tails[i])
 
-        dispatched = self._bank.dispatch_chunks_batch(
-            batch, None, mode=self._batch_mode, prev_tails=tails,
-            sharding=self._sharding,
-        )
+        if self._tile is None:
+            dispatched = [
+                self._bank.dispatch_chunks_batch(
+                    batch, None, mode=self._batch_mode, prev_tails=tails,
+                    sharding=self._sharding,
+                )
+            ]
+        else:
+            # Tiled round: fixed-width launches over the slot rows; the
+            # final tile pads with idle rows (zero-length sections) so
+            # every launch reuses the ONE compiled tile-row program.
+            t = self._tile
+            dispatched = []
+            for lo in range(0, self.n_streams, t):
+                rows = batch[lo : lo + t]
+                row_tails = tails[lo : lo + t]
+                pad = t - len(rows)
+                if pad:
+                    rows = rows + [self._empty] * pad
+                    row_tails = row_tails + [None] * pad
+                dispatched.append(
+                    self._bank.dispatch_chunks_batch(
+                        rows, None, mode=self._batch_mode,
+                        prev_tails=row_tails,
+                    )
+                )
         # (stream_active, index, had_prev) snapshot for collect-time
         # timestamp conversion; then advance state for the next round.
         meta = []
@@ -229,7 +267,10 @@ class MultiStreamSession:
     def collect(self, handle: Any) -> list[dict[str, list[float]]]:
         """Block on a dispatched round; per-stream detection times."""
         dispatched, meta = handle
-        results = self._bank.collect_chunks_batch(dispatched)
+        results: list[dict[str, list[int]]] = []
+        for d in dispatched:
+            results.extend(self._bank.collect_chunks_batch(d))
+        results = results[: self.n_streams]  # drop final-tile padding rows
         out: list[dict[str, list[float]]] = []
         for i, m in enumerate(meta):
             if m is None:
@@ -247,7 +288,7 @@ class MultiStreamSession:
             _dispatched_ready,
         )
 
-        return _dispatched_ready(handle[0])
+        return all(_dispatched_ready(d) for d in handle[0])
 
     def checkpoint(self, stream: int) -> StreamCheckpoint:
         """O(1) resume state for one stream (models/detector.py

@@ -185,6 +185,7 @@ class PatternServer:
         mesh: Any = None,
         stats_interval: float | None = None,
         dispatch_defer_ms: float = 50.0,
+        tile: int | None = None,
     ) -> None:
         if max_streams < 1:
             raise ValueError(f"max_streams must be >= 1, got {max_streams}")
@@ -230,8 +231,16 @@ class PatternServer:
         # With a mesh (a "stream" axis), each serving round's batch rows
         # are partitioned across devices: N chips serve N× the streams at
         # identical per-stream semantics (models/multistream.py).
+        #
+        # ``tile``: for wide servers (max_streams ≳ 32), a round's rows
+        # dispatch as fixed-width tiles of ONE compiled program rather
+        # than one huge batch — compile time and device memory are
+        # bounded by the tile (models/multistream.py). Default: 16-row
+        # tiles once the slot count exceeds 16, full-width below that.
+        if tile is None and mesh is None and max_streams > 16:
+            tile = 16
         self.session = MultiStreamSession(
-            self.detector, max_streams, mesh=mesh
+            self.detector, max_streams, mesh=mesh, tile=tile
         )
 
         self._sel = selectors.DefaultSelector()
@@ -903,6 +912,7 @@ def cmd_serve(args: Any) -> None:
             mesh=mesh,
             stats_interval=getattr(args, "stats_interval", 0) or None,
             dispatch_defer_ms=getattr(args, "dispatch_defer_ms", 50.0),
+            tile=getattr(args, "tile", None),
         )
     except ValueError as e:
         # Config errors (negative timeouts, zero streams/depth,

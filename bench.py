@@ -364,6 +364,170 @@ def _measure_serve(clips, bank, chunks, sr: int, chunk_seconds: int) -> None:
         thread.join(timeout=30)
 
 
+def _measure_serve_capacity(
+    clips, bank, chunks, sr: int, chunk_seconds: int
+) -> "int | None":
+    """Serving-capacity ladder (VERDICT r3 #3): N = 32/64/128 loopback
+    clients through the TCP stack (auto-tiled rounds: 16-row launches of
+    one compiled program). Records serve{N}_x_realtime per rung and
+    returns the capacity figure: the largest N that sustained >= 1x
+    realtime per stream (aggregate >= N) with every client completing."""
+    import socket
+    import struct
+    import threading
+
+    import numpy as np
+
+    from audio_pattern_detector_tpu.models.detector import AudioPatternDetector
+    from audio_pattern_detector_tpu.serve import PatternServer
+
+    steps = [
+        int(s)
+        for s in os.environ.get("APD_BENCH_CAPACITY_STEPS", "32,64,128").split(",")
+        if s
+    ]
+    stream_seconds = 2 * chunk_seconds
+    audio = np.concatenate(
+        [chunks[i % len(chunks)] for i in range(stream_seconds // chunk_seconds)]
+    )
+    data = (
+        np.clip(np.round(audio * 32768.0), -32768, 32767).astype("<i2").tobytes()
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+    capacity: "int | None" = None
+    for width in steps:
+        det = AudioPatternDetector(
+            audio_clips=clips, seconds_per_chunk=chunk_seconds
+        )
+        det._bank = bank
+        server = PatternServer(
+            detector=det, max_streams=width, timestamp_format="ms",
+            pipeline_depth=2,
+        )
+        server.warmup()
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        port = server.address[1]
+
+        def client(out: list, i: int) -> None:
+            sock = socket.create_connection(("127.0.0.1", port), timeout=300)
+            sock.sendall(payload)
+            sock.shutdown(socket.SHUT_WR)
+            sock.settimeout(900)
+            buf = b""
+            while True:
+                d = sock.recv(1 << 16)
+                if not d:
+                    break
+                buf += d
+            sock.close()
+            events = [json.loads(line) for line in buf.decode().splitlines()]
+            assert events[-1]["type"] == "end", events[-1]
+            assert events[-1]["total_time_ms"] == stream_seconds * 1000
+            out[i] = True
+
+        def fleet() -> float:
+            results: list = [None] * width
+            threads = [
+                threading.Thread(target=client, args=(results, i))
+                for i in range(width)
+            ]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=1200)
+                assert not t.is_alive()
+            wall = time.perf_counter() - t0
+            assert all(results)
+            return width * stream_seconds / wall
+
+        try:
+            fleet()  # warm (first-connection slot assignment)
+            _sample(f"serve{width}", fleet, base=2)
+            agg = _stats(f"serve{width}")[0]
+            if agg >= width:
+                capacity = width
+        except Exception as e:  # noqa: BLE001 — ladder rung is secondary
+            print(f"[bench] serve{width} rung failed: {e}", file=sys.stderr)
+            break
+        finally:
+            server.shutdown()
+            thread.join(timeout=30)
+    return capacity
+
+
+def _measure_cold_start() -> "tuple[float, float]":
+    """(first_run_s, warm_run_s) wall for a fresh-process one-pattern
+    `match` over 120 s of WAV audio — the CLI deployment cold-start
+    figure (reference anchor: docs/native-helper.md's ~1 s cold-start
+    rationale). Each run is a separate interpreter; the persistent XLA
+    cache makes the second run the steady-state number."""
+    import tempfile
+    import wave as wave_mod
+
+    import numpy as np
+
+    script = (
+        "import sys, time\n"
+        "t0 = time.perf_counter()\n"
+        "from audio_pattern_detector_tpu.utils.compile_cache import "
+        "enable_persistent_cache\n"
+        "enable_persistent_cache()\n"
+        "from audio_pattern_detector_tpu.match import match_pattern\n"
+        "match_pattern(sys.argv[1], [sys.argv[2]], accumulate_results=False)\n"
+        "print('WALL', time.perf_counter() - t0)\n"
+    )
+    with tempfile.TemporaryDirectory(prefix="apd_cold_") as td:
+        rng = np.random.default_rng(0)
+        sr = 8000
+        paths = {}
+        for name, seconds, amp in (("a.wav", 120, 0.05), ("p.wav", 1, 0.3)):
+            arr = (amp * rng.standard_normal(seconds * sr)).astype(np.float32)
+            path = os.path.join(td, name)
+            with wave_mod.open(path, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(sr)
+                w.writeframes(
+                    np.clip(np.round(arr * 32768), -32768, 32767)
+                    .astype("<i2")
+                    .tobytes()
+                )
+            paths[name] = path
+
+        walls = []
+        for _ in range(2):
+            r = subprocess.run(
+                [sys.executable, "-c", script, paths["a.wav"], paths["p.wav"]],
+                capture_output=True,
+                text=True,
+                timeout=900,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = next(
+                (
+                    ln
+                    for ln in r.stdout.splitlines()
+                    if ln.startswith("WALL")
+                ),
+                None,
+            )
+            if r.returncode != 0 or line is None:
+                raise RuntimeError(
+                    f"cold-start child failed rc={r.returncode}: "
+                    f"{r.stderr[-300:]}"
+                )
+            walls.append(float(line.split()[1]))
+    return walls[0], walls[1]
+
+
 def run_bench() -> dict:
     import numpy as np
 
@@ -734,6 +898,26 @@ def run_bench() -> dict:
     except Exception as e:  # noqa: BLE001 — secondary metric only
         print(f"[bench] serve metric failed: {e}", file=sys.stderr)
 
+    # ── Serving-capacity ladder (VERDICT r3 #3): N = 32/64/128 clients;
+    # capacity = largest N sustaining >= 1x realtime per stream. ──
+    serve_capacity: "int | None" = None
+    try:
+        serve_capacity = _measure_serve_capacity(
+            clips, bank, chunks, sr, chunk_seconds
+        )
+    except Exception as e:  # noqa: BLE001 — secondary metric only
+        print(f"[bench] serve capacity ladder failed: {e}", file=sys.stderr)
+
+    # ── CLI cold start (VERDICT r3 #2): wall time of a fresh-process
+    # one-pattern `match` on 120 s of audio, persistent compile cache
+    # warm (the deployment-relevant figure; the first run also warms any
+    # cold cache entries and is reported separately). ──
+    cold_first = cold_warm = None
+    try:
+        cold_first, cold_warm = _measure_cold_start()
+    except Exception as e:  # noqa: BLE001 — secondary metric only
+        print(f"[bench] cold-start metric failed: {e}", file=sys.stderr)
+
     # Final streaming sample (after the big compiles; widens the window
     # coverage of the headline path's spread).
     x, _ = run_streaming(15)
@@ -765,6 +949,11 @@ def run_bench() -> dict:
         "detections": detections,
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
+    if serve_capacity is not None:
+        result["serve_capacity_streams"] = serve_capacity
+    if cold_warm is not None:
+        result["cold_start_seconds"] = round(cold_warm, 2)
+        result["cold_start_first_seconds"] = round(cold_first, 2)
     for name in sorted(_SAMPLES):
         med, lo, hi, n = _stats(name)
         result[f"{name}_x_realtime"] = round(med, 1)
@@ -850,7 +1039,17 @@ def _report(result: dict) -> None:
         if (
             k.endswith("_x_realtime")
             or k.endswith("_x_realtime_spread")
-            or k in ("stats", "hit_bearing_detections", "platform", "measured_at", "cached")
+            or k
+            in (
+                "stats",
+                "hit_bearing_detections",
+                "platform",
+                "measured_at",
+                "cached",
+                "serve_capacity_streams",
+                "cold_start_seconds",
+                "cold_start_first_seconds",
+            )
         ):
             line[k] = result[k]
     print(json.dumps(line), flush=True)

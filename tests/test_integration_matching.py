@@ -52,19 +52,53 @@ class TestGoldenTimestamps:
         _assert_timestamps(peaks["天空下的彩虹intro"], AM1430_EXPECTED, 1.0)
 
 
+_881_PATTERN = os.path.join(SAMPLE_AUDIOS, "clips", "881_beep.apd.toml")
+_881_B64_PATTERN = os.path.join(SAMPLE_AUDIOS, "clips", "881_beep_base64.apd.toml")
+_903_PATTERN = os.path.join(SAMPLE_AUDIOS, "clips", "903_beep.apd.toml")
+DADA_16K_PATTERN = os.path.join(
+    SAMPLE_AUDIOS, "test_16khz", "clips", "cbs_news_dada_16k.wav"
+)
+
+# The FULL false-positive cross product (reference:
+# test_integration_matching.py:302-384 plus the 16 kHz rungs at
+# :500-678): every shipped pattern against every primary-section audio —
+# 8 kHz AND 16 kHz variants — minus the true-positive pairs. Notably the
+# three stations' marker tones sit within ~2% of each other
+# (1040.19 / 1058.87 / 1061.98 Hz), inside the verifier's ±5% frequency
+# gate, so these pairs exercise the purity thresholds, not the gate.
+_ALL_SIX = [
+    RTHK_PATTERN,
+    CBS_PATTERN,
+    AM1430_PATTERN,
+    _881_PATTERN,
+    _881_B64_PATTERN,
+    _903_PATTERN,
+]
+_TRUE_PAIRS = {
+    (RTHK_PATTERN, RTHK_AUDIO),
+    (CBS_PATTERN, CBS_AUDIO),
+    (AM1430_PATTERN, AM1430_AUDIO),
+    (RTHK_PATTERN, RTHK_AUDIO_16K),
+    (CBS_PATTERN, CBS_AUDIO_16K),
+}
+FP_MATRIX = [
+    (p, a)
+    for p in _ALL_SIX
+    for a in (RTHK_AUDIO, CBS_AUDIO, AM1430_AUDIO, RTHK_AUDIO_16K, CBS_AUDIO_16K)
+    if (p, a) not in _TRUE_PAIRS
+] + [(DADA_16K_PATTERN, RTHK_AUDIO), (DADA_16K_PATTERN, RTHK_AUDIO_16K)]
+
+
 class TestCrossPatternFalsePositives:
     """Every pattern against every non-matching audio yields nothing
-    (reference: test_integration_matching.py:302-384)."""
+    (reference: test_integration_matching.py:302-384,500-678)."""
 
     @pytest.mark.parametrize(
         "pattern,audio",
-        [
-            (RTHK_PATTERN, CBS_AUDIO),
-            (RTHK_PATTERN, AM1430_AUDIO),
-            (CBS_PATTERN, RTHK_AUDIO),
-            (CBS_PATTERN, AM1430_AUDIO),
-            (AM1430_PATTERN, RTHK_AUDIO),
-            (AM1430_PATTERN, CBS_AUDIO),
+        FP_MATRIX,
+        ids=[
+            f"{os.path.basename(p).split('.')[0]}-vs-{os.path.basename(a).split('.')[0]}"
+            for p, a in FP_MATRIX
         ],
     )
     def test_no_false_positive(self, pattern, audio):
@@ -178,6 +212,44 @@ class TestResampling16k:
             RTHK_AUDIO_16K, [RTHK_PATTERN], target_sample_rate=16000
         )
         _assert_timestamps(peaks["rthk_beep"], RTHK_EXPECTED, 0.05)
+
+    def test_16k_wav_pattern_resampled(self):
+        """A 16 kHz WAV pattern is resampled to the 8 kHz target and still
+        finds its cue in the 16 kHz audio (reference:
+        test_integration_matching.py: the 16 kHz clip variants)."""
+        pattern_16k = os.path.join(
+            SAMPLE_AUDIOS, "test_16khz", "clips", "cbs_news_16k.wav"
+        )
+        peaks, _ = match_pattern(CBS_AUDIO_16K, [pattern_16k])
+        _assert_timestamps(peaks["cbs_news_16k"], CBS_EXPECTED, 0.05)
+
+    def test_mixed_format_patterns_16k_audio(self):
+        """A .wav pattern and an .apd.toml pattern in one bank against
+        16 kHz audio: exactly [0, 1] match counts (reference:
+        test_integration_matching.py:565-609)."""
+        pattern_16k = os.path.join(
+            SAMPLE_AUDIOS, "test_16khz", "clips", "cbs_news_16k.wav"
+        )
+        peaks, _ = match_pattern(CBS_AUDIO_16K, [pattern_16k, RTHK_PATTERN])
+        assert len(peaks) == 2
+        assert sorted(len(t) for t in peaks.values()) == [0, 1], peaks
+
+    def test_sample_rate_preservation(self):
+        """8 kHz and 16 kHz versions of the same capture yield the same
+        match count with timestamps within 0.1 s — resampling preserves
+        the original timeline (reference:
+        test_integration_matching.py:652-678)."""
+        r8, _ = match_pattern(RTHK_AUDIO, [RTHK_PATTERN])
+        r16, _ = match_pattern(RTHK_AUDIO_16K, [RTHK_PATTERN])
+        assert len(r8["rthk_beep"]) == len(r16["rthk_beep"])
+        for t8, t16 in zip(sorted(r8["rthk_beep"]), sorted(r16["rthk_beep"])):
+            assert abs(t8 - t16) < 0.1, (t8, t16)
+
+    def test_dada_cue_16k(self):
+        """The secondary CBS cue clip (16 kHz corpus asset) detects once
+        in the CBS 16 kHz section."""
+        peaks, _ = match_pattern(CBS_AUDIO_16K, [DADA_16K_PATTERN])
+        assert len(peaks["cbs_news_dada_16k"]) == 1, peaks
 
 
 class TestMultiPattern:

@@ -151,6 +151,40 @@ class TestMultiStreamSession:
             ]
             assert sess_s.feed(feed) == sess_v.feed(list(feed))
 
+    def test_tiled_rounds_identical(self, clips, stream_audios):
+        """tile=2 over 5 slots (3 launches/round, padded final tile)
+        equals the untiled full-width round, including idle (None)
+        slots, checkpoints, and total_time — the serving-capacity
+        mechanism must be invisible to results."""
+        det_t = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=CHUNK_S)
+        det_u = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=CHUNK_S)
+        sess_t = MultiStreamSession(det_t, n_streams=5, tile=2)
+        sess_u = MultiStreamSession(det_u, n_streams=5)
+
+        src = [
+            stream_audios[0],
+            stream_audios[1],
+            stream_audios[2],
+            stream_audios[0],
+            stream_audios[1],
+        ]
+        per_stream_chunks = [_chunked(a) for a in src]
+        rounds = max(len(c) for c in per_stream_chunks)
+        for r in range(rounds):
+            feed = [
+                chunks[r] if r < len(chunks) and (r + i) % 7 != 3 else None
+                for i, chunks in enumerate(per_stream_chunks)
+            ]
+            assert sess_t.feed(list(feed)) == sess_u.feed(list(feed)), f"round {r}"
+        for i in range(5):
+            assert sess_t.total_time(i) == sess_u.total_time(i)
+            assert sess_t.checkpoint(i).to_bytes() == sess_u.checkpoint(i).to_bytes()
+
+    def test_tile_validation(self, clips):
+        det = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=CHUNK_S)
+        with pytest.raises(ValueError, match="tile"):
+            MultiStreamSession(det, n_streams=2, tile=0)
+
     def test_scan_mode_rejects_mesh(self, clips):
         import jax
         from jax.sharding import Mesh

@@ -177,6 +177,117 @@ class TestMatchDiff:
         )
 
 
+def _wav_header(
+    audio_format=1,
+    channels=1,
+    rate=8000,
+    bits=16,
+    riff=b"RIFF",
+    wave=b"WAVE",
+    extra_chunks=b"",
+    fmt_payload=None,
+    tail=b"",
+):
+    """Assemble a (possibly malformed) WAV byte stream for stdin."""
+    import struct
+
+    if fmt_payload is None:
+        fmt_payload = struct.pack(
+            "<HHIIHH",
+            audio_format,
+            channels,
+            rate,
+            rate * channels * bits // 8,
+            channels * bits // 8,
+            bits,
+        )
+    body = (
+        wave
+        + extra_chunks
+        + b"fmt "
+        + struct.pack("<I", len(fmt_payload))
+        + fmt_payload
+        + tail
+    )
+    return riff + struct.pack("<I", len(body)) + body
+
+
+def _data_chunk(n_bytes=1600):
+    import struct
+
+    return b"data" + struct.pack("<I", n_bytes) + b"\x00" * n_bytes
+
+
+# The reference's WAV-walker rejection cases (reference: match.py:215-283)
+# — each malformed stream must fail BOTH CLIs with the identical
+# ValueError message (VERDICT r3 weak #5: the accept paths were byte-diff
+# covered, the rejection strings were not). All skipped chunks here are
+# even-sized so the pad-byte divergence (our documented superset,
+# docs/reference-parity.md) never engages.
+REJECTION_CASES = [
+    pytest.param(b"JUNKJUNKJUNK", "Not a WAV file: expected RIFF, got b'JUNK'",
+                 id="not-riff"),
+    pytest.param(_wav_header(wave=b"XAVE") + _data_chunk(),
+                 "Not a WAV file: expected WAVE, got b'XAVE'", id="not-wave"),
+    pytest.param(b"RIFF\x24\x00\x00\x00WAVE",
+                 "WAV file missing fmt chunk", id="missing-fmt"),
+    pytest.param(
+        b"RIFF\x28\x00\x00\x00WAVE" + b"LIST\x10\x00\x00\x00" + b"\x00" * 4,
+        "WAV file truncated while skipping chunk", id="truncated-skip"),
+    pytest.param(
+        _wav_header(fmt_payload=b"\x01\x00\x01\x00"),
+        "WAV fmt chunk too short", id="fmt-too-short"),
+    pytest.param(_wav_header(bits=8) + _data_chunk(),
+                 "Expected 16-bit or 32-bit PCM, got 8", id="pcm-8bit"),
+    pytest.param(_wav_header(audio_format=3, bits=64) + _data_chunk(),
+                 "Expected 32-bit float, got 64", id="float-64bit"),
+    pytest.param(_wav_header(audio_format=2) + _data_chunk(),
+                 "Expected PCM (1) or IEEE float (3) format, got 2",
+                 id="bad-format"),
+    pytest.param(_wav_header(channels=2) + _data_chunk(),
+                 "Expected mono (1 channel), got 2", id="stereo"),
+    pytest.param(_wav_header(rate=44100) + _data_chunk(),
+                 "Expected 8000 Hz, got 44100", id="wrong-rate"),
+    pytest.param(_wav_header(), "WAV file missing data chunk",
+                 id="missing-data"),
+    pytest.param(_wav_header(tail=b"dataXY"), "WAV file truncated",
+                 id="truncated-size"),
+]
+
+
+@needs_reference
+class TestWavWalkerRejectionParity:
+    """Two-way parity on the stdin WAV walker's REJECTION paths."""
+
+    @pytest.mark.parametrize("wav_bytes,expected_msg", REJECTION_CASES)
+    def test_rejection_error_strings_match(self, wav_bytes, expected_msg):
+        args = [
+            "match",
+            "--pattern-file",
+            p("clips", "rthk_beep.apd.toml"),
+            "--stdin",
+        ]
+        ref = run_reference(args, stdin_bytes=wav_bytes)
+        ours = run_ours(args, stdin_bytes=wav_bytes)
+        assert ref.returncode != 0 and ours.returncode != 0, (
+            ref.returncode,
+            ours.returncode,
+        )
+
+        def last_error(res):
+            lines = [
+                ln
+                for ln in res.stderr.decode(errors="replace").splitlines()
+                if ln.startswith("ValueError:")
+            ]
+            assert lines, res.stderr.decode(errors="replace")[-800:]
+            return lines[-1]
+
+        ref_err, our_err = last_error(ref), last_error(ours)
+        assert ref_err == our_err, f"{ref_err!r} != {our_err!r}"
+        assert ref_err == f"ValueError: {expected_msg}"
+
+
 @needs_reference
 class TestShowConfigDiff:
     def test_single_pattern(self):

@@ -536,6 +536,69 @@ class TestPatternServer:
             srv.shutdown()
             thread.join(timeout=30)
 
+    def test_serve_64_streams_tiled(self, clips):
+        """Serving capacity rung (VERDICT r3 #3): 64 concurrent client
+        streams through one server. max_streams=64 auto-tiles rounds
+        into 16-row launches of one compiled program; every client must
+        receive its full, correct event stream."""
+        rng = np.random.default_rng(5)
+        noise = (0.05 * rng.standard_normal(2 * CHUNK_S * SR)).astype(np.float32)
+        beep_audio = load_wave_file(corpus("rthk_section_with_beep.wav"), SR)
+
+        srv = PatternServer(
+            clips,
+            host="127.0.0.1",
+            port=0,
+            max_streams=64,
+            seconds_per_chunk=CHUNK_S,
+            pipeline_depth=2,
+        )
+        assert srv.session._tile == 16
+        srv.warmup()
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        try:
+            port = srv.address[1]
+            payloads = [
+                wav_payload(beep_audio if i % 2 == 0 else noise, "i16")
+                for i in range(64)
+            ]
+            results: list = [None] * 64
+            quantised = {
+                i: (
+                    np.round(
+                        (beep_audio if i % 2 == 0 else noise) * 32768.0
+                    ).clip(-32768, 32767)
+                    / np.float32(32768.0)
+                ).astype(np.float32)
+                for i in range(2)
+            }
+            expected_q = [
+                serial_events_ms(clips, quantised[0]),
+                serial_events_ms(clips, quantised[1]),
+            ]
+
+            def client(i):
+                results[i] = run_client(port, payloads[i])
+
+            threads = [
+                threading.Thread(target=client, args=(i,)) for i in range(64)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=600)
+                assert not t.is_alive()
+            for i, events in enumerate(results):
+                assert events is not None, f"client {i} got nothing"
+                assert events[-1]["type"] == "end", events[-1]
+                got = events_by_clip(events)
+                assert got == expected_q[i % 2], f"client {i}: {got}"
+        finally:
+            srv.shutdown()
+            thread.join(timeout=30)
+            assert not thread.is_alive()
+
     def test_wrong_sample_rate_rejected(self, server):
         port = server.address[1]
         bad = bytearray(wav_payload(np.zeros(16, dtype=np.float32)))
