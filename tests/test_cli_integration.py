@@ -18,6 +18,10 @@ import pytest
 
 from tests.conftest import REPO_ROOT, SAMPLE_AUDIOS
 
+# Full-lane suite: excluded from the default fast lane (pyproject addopts -m 'not slow');
+# run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
+
 RTHK_AUDIO = os.path.join(SAMPLE_AUDIOS, "rthk_section_with_beep.wav")
 RTHK_PATTERN = os.path.join(SAMPLE_AUDIOS, "clips", "rthk_beep.apd.toml")
 

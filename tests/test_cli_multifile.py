@@ -20,6 +20,10 @@ from audio_pattern_detector_tpu.match import (
     match_pattern_many,
 )
 
+# Full-lane suite: excluded from the default fast lane (pyproject addopts -m 'not slow');
+# run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
+
 RTHK_AUDIO = "sample_audios/rthk_section_with_beep.wav"
 CBS_AUDIO = "sample_audios/cbs_news_audio_section.wav"
 RTHK_PATTERN = "sample_audios/clips/rthk_beep.apd.toml"

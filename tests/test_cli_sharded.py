@@ -12,8 +12,14 @@ import os
 
 import numpy as np
 
+import pytest
+
 from tests.conftest import SAMPLE_AUDIOS
 from tests.test_cli_integration import parse_jsonl, run_cli, wav_bytes_int16
+
+# Full-lane suite: excluded from the default fast lane (pyproject addopts -m 'not slow');
+# run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
 
 RTHK_AUDIO = os.path.join(SAMPLE_AUDIOS, "rthk_section_with_beep.wav")
 RTHK_PATTERN = os.path.join(SAMPLE_AUDIOS, "clips", "rthk_beep.apd.toml")

@@ -16,7 +16,13 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 from tests.conftest import REPO_ROOT
+
+# Full-lane suite: excluded from the default fast lane (pyproject addopts -m 'not slow');
+# run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
 
 
 def _free_port() -> int:

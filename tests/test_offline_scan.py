@@ -3,8 +3,13 @@
 import io
 
 import numpy as np
+import pytest
 
 from audio_pattern_detector_tpu import AudioClip, AudioPatternDetector, AudioStream
+
+# Full-lane suite: excluded from the default fast lane (pyproject addopts -m 'not slow');
+# run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
 
 SR = 8000
 

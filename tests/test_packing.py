@@ -12,6 +12,10 @@ from audio_pattern_detector_tpu.ops.packing import (
     unpack_pcm16,
 )
 
+# Full-lane suite: excluded from the default fast lane (pyproject addopts -m 'not slow');
+# run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
+
 SR = 8000
 
 

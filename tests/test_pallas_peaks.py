@@ -19,6 +19,10 @@ from audio_pattern_detector_tpu.ops.peaks import (
     short_run_local_maxima_mask,
 )
 
+# Full-lane suite: excluded from the default fast lane (pyproject addopts -m 'not slow');
+# run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
+
 SR = 8000
 
 

@@ -20,9 +20,13 @@ from audio_pattern_detector_tpu.parallel import (
 
 SR = 8000
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
-)
+# Full-lane suite (pyproject addopts -m 'not slow'); run with pytest -m "".
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+    ),
+]
 
 
 def make_clip(name="c", seed=42):

@@ -23,6 +23,10 @@ import pytest
 
 from tests.conftest import REPO_ROOT, SAMPLE_AUDIOS
 
+# Full-lane suite: excluded from the default fast lane (pyproject addopts -m 'not slow');
+# run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
+
 REFERENCE_DIR = os.environ.get("APD_REFERENCE_DIR", "/root/reference")
 
 needs_reference = pytest.mark.skipif(

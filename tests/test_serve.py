@@ -28,6 +28,10 @@ from audio_pattern_detector_tpu import (
 from audio_pattern_detector_tpu.serve import PatternServer
 from audio_pattern_detector_tpu.utils.audio_io import load_wave_file
 
+# Full-lane suite: excluded from the default fast lane (pyproject addopts -m 'not slow');
+# run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
+
 SR = 8000
 CHUNK_S = 2
 

@@ -13,6 +13,10 @@ import pytest
 from audio_pattern_detector_tpu import AudioClip, AudioPatternDetector
 from audio_pattern_detector_tpu.models import hostpath
 
+# Full-lane suite: excluded from the default fast lane (pyproject addopts -m 'not slow');
+# run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
+
 SR = 8000
 
 
