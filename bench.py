@@ -986,11 +986,26 @@ def _inner() -> None:
     except Exception:
         pass
 
+    # A degraded window can make the canary HANG (first d2h never
+    # completes) rather than fail — observed 2026-08-20: 30+ min of
+    # silence. SIGALRM turns a hung canary into the same fast
+    # degraded-window exit the parent already understands.
+    import signal
+
+    def _canary_timeout(_sig, _frm):
+        print("[bench] canary timed out (hung d2h)", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(CANARY_FAILED_RC)
+
+    signal.signal(signal.SIGALRM, _canary_timeout)
+    signal.alarm(int(os.environ.get("APD_BENCH_CANARY_TIMEOUT_S", "240")))
     try:
         _canary()
     except Exception as e:  # degraded window: signal the parent to wait
         print(f"[bench] canary failed: {type(e).__name__}: {e}", file=sys.stderr)
         sys.exit(CANARY_FAILED_RC)
+    finally:
+        signal.alarm(0)
 
     result = run_bench()
     if result.get("platform") != "cpu":
@@ -1070,31 +1085,48 @@ def main() -> None:
         remaining = deadline - time.monotonic()
         if remaining <= 0:
             break
+        # Cap each attempt well below the whole budget: a window that
+        # degrades MID-RUN (after the canary) would otherwise hang one
+        # child for the entire budget with nothing persisted.
+        attempt_cap = float(os.environ.get("APD_BENCH_ATTEMPT_CAP_S", "2700"))
+        timed_out = False
+        r = None
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
                 capture_output=True,
                 text=True,
-                timeout=max(120.0, remaining),
+                timeout=max(120.0, min(attempt_cap, remaining)),
             )
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as te:
+            timed_out = True
             print(f"[bench] attempt {attempt} timed out", file=sys.stderr)
-            break
-        sys.stderr.write(r.stderr)
-        line = next((ln for ln in r.stdout.splitlines() if ln.startswith("{")), None)
-        if r.returncode == 0 and line:
-            _report(json.loads(line))
-            return
+            if te.stderr:
+                err = te.stderr
+                if isinstance(err, bytes):
+                    err = err.decode(errors="replace")
+                sys.stderr.write(err[-2000:])
+        if r is not None:
+            sys.stderr.write(r.stderr)
+            line = next(
+                (ln for ln in r.stdout.splitlines() if ln.startswith("{")), None
+            )
+            if r.returncode == 0 and line:
+                _report(json.loads(line))
+                return
         # rc==CANARY_FAILED_RC: window degraded before any real work.
-        # Any other nonzero rc: the canary passed but the flagship program
-        # still died — the window is degraded for large programs, so back
-        # off on the same escalating schedule rather than churning.
-        degraded = r.returncode != 0
+        # Any other nonzero rc (or a mid-run hang): the canary passed but
+        # the flagship program still died/hung — the window is degraded
+        # for large programs, so back off on the same escalating schedule
+        # rather than churning.
+        degraded = timed_out or r.returncode != 0
         sleep = sleep_degraded if degraded else sleep_healthy
         sleep_degraded = min(sleep_degraded * 1.5, 900.0)
         kind = (
-            "degraded window (canary)"
+            "mid-run hang (attempt cap)"
+            if timed_out
+            else "degraded window (canary)"
             if r.returncode == CANARY_FAILED_RC
             else f"rc={r.returncode}"
         )
