@@ -728,7 +728,12 @@ class PatternBank:
                 rows_i16 = np.empty((b, S), dtype=np.int16)
                 ok_all = True
                 for bi, raw in enumerate(raws):
-                    if raw.dtype == np.int16:
+                    if raw.dtype == np.int16 or len(raw) == 0:
+                        # int16 rows AND zero-length rows (idle serving
+                        # slots — always f32-typed) fill directly; the
+                        # empty case must not reach the native packer so
+                        # a no-native install keeps the all-int16 batch
+                        # on the bit-pack path.
                         rows_i16[bi, : len(raw)] = raw
                         rows_i16[bi, len(raw):] = 0
                     else:
@@ -1605,6 +1610,15 @@ _class_step_batch_packed_jit = jax.jit(
 )
 
 
+# Widest batch the scan variants inline as straight-line code. Below the
+# cap the program is fully unrolled (zero sequential-construct overhead —
+# the measured-fastest schedule, scripts/dev/batch_inflation_ab.py); above
+# it a short outer lax.scan of cap-wide unrolled steps bounds compile time
+# and program size for wide servers / large --offline-batch values while
+# amortising the per-iteration cost over the cap's rows.
+_SCAN_UNROLL_CAP = 32
+
+
 def _class_step_scan_packed(
     packed_sections, n_valids, loud, group_consts, *, metas, height_min,
     pallas=False, blocked=False,
@@ -1622,7 +1636,10 @@ def _class_step_scan_packed(
     # in-graph right where it is consumed, keeping live memory at one
     # chunk's footprint.
     _, packs = jax.lax.scan(
-        body, 0, (packed_sections, n_valids), unroll=packed_sections.shape[0]
+        body,
+        0,
+        (packed_sections, n_valids),
+        unroll=min(packed_sections.shape[0], _SCAN_UNROLL_CAP),
     )
     return packs
 
@@ -1650,12 +1667,20 @@ def _class_step_scan(
         )
         return carry, flat
 
-    # Fully unrolled: sequential constructs (scan/while iterations) carry a
-    # large per-step cost on the tunnel runtime, so the B chunk steps inline
-    # into one straight-line program — XLA still reuses buffers across the
-    # inlined steps, keeping memory near one chunk's footprint.
+    # Unrolled up to _SCAN_UNROLL_CAP: sequential constructs (scan/while
+    # iterations) carry a large per-step cost on the tunnel runtime, so
+    # the chunk steps inline into straight-line code — XLA still reuses
+    # buffers across the inlined steps, keeping memory near one chunk's
+    # footprint. Past the cap the program would grow without bound (a
+    # B=128 --offline-batch or untiled wide MultiStreamSession would
+    # compile a 128x-unrolled executable: minutes of compile, compiler
+    # memory blowup), so wide batches run a short outer scan whose
+    # per-iteration cost amortises over the cap's rows.
     _, packs = jax.lax.scan(
-        body, 0, (sections, n_valids), unroll=sections.shape[0]
+        body,
+        0,
+        (sections, n_valids),
+        unroll=min(sections.shape[0], _SCAN_UNROLL_CAP),
     )
     return packs  # (B, total)
 

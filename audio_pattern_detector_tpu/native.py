@@ -271,8 +271,13 @@ def pack_pcm16_into(
         return None
     if x.dtype != np.float32 or not x.flags.c_contiguous:
         x = np.ascontiguousarray(x, dtype=np.float32)
-    assert out.dtype == np.int16 and out.flags.c_contiguous
-    assert len(x) <= len(out)
+    # Real checks (not assert): these guard a raw C write — under
+    # python -O an undersized/wrong-dtype out buffer would corrupt the
+    # heap (the C++ side zero-fills out[n:total]).
+    if out.dtype != np.int16 or not out.flags.c_contiguous:
+        raise ValueError("out must be a C-contiguous int16 array")
+    if len(x) > len(out):
+        raise ValueError(f"len(x)={len(x)} exceeds len(out)={len(out)}")
     return bool(
         lib.apd_pack_pcm16(
             x.ctypes.data_as(_c_f32p),

@@ -55,6 +55,41 @@ CANARY_FAILED_RC = 3
 _SAMPLES: dict[str, list[float]] = {}
 
 
+def _pcm16_bytes(arr) -> bytes:
+    """f32 samples -> little-endian int16 PCM bytes, the engine's x32768
+    quantisation convention (ops/packing.py PCM_SCALE). The ONE place the
+    bench quantises — every WAV the bench writes or streams goes through
+    here so all metrics measure the same input convention."""
+    import numpy as np
+
+    return np.clip(np.round(arr * 32768.0), -32768, 32767).astype("<i2").tobytes()
+
+
+def _wav_write(path: str, arr, sr: int) -> None:
+    """Write f32 samples as a 16-bit mono WAV file."""
+    import wave as wave_mod
+
+    with wave_mod.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(_pcm16_bytes(arr))
+
+
+def _wav_payload(arr, sr: int) -> bytes:
+    """f32 samples -> complete in-memory 16-bit mono RIFF/WAVE bytes (the
+    stdin/serve wire format)."""
+    import struct
+
+    data = _pcm16_bytes(arr)
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def _rec(name: str, value: float) -> None:
     if value > 0:
         _SAMPLES.setdefault(name, []).append(value)
@@ -208,7 +243,6 @@ def _measure_default_cli(
     pattern files loaded from disk exactly as `audio-pattern-detector-tpu
     match file.wav --pattern-file ...` would."""
     import tempfile
-    import wave as wave_mod
 
     import numpy as np
 
@@ -219,30 +253,14 @@ def _measure_default_cli(
 
     with tempfile.TemporaryDirectory(prefix="apd_bench_") as td:
         audio_path = os.path.join(td, "stream.wav")
-        with wave_mod.open(audio_path, "wb") as w:
-            w.setnchannels(1)
-            w.setsampwidth(2)
-            w.setframerate(sr)
-            w.writeframes(
-                np.round(audio * 32768).clip(-32768, 32767).astype("<i2").tobytes()
-            )
+        _wav_write(audio_path, audio, sr)
         pattern_files = []
         for i, clip in enumerate(clips[:32]):  # normal clips as WAVs
             p = os.path.join(td, f"normal_{i}.wav")
-            with wave_mod.open(p, "wb") as w:
-                w.setnchannels(1)
-                w.setsampwidth(2)
-                w.setframerate(sr)
-                # Same x32768 quantisation as the stream WAV above (and the
-                # engine's own int16 convention, ops/packing.py PCM_SCALE),
-                # so the patterns loaded back are bit-identical to the hits
-                # summed into the stream.
-                w.writeframes(
-                    np.round(clip.audio * 32768)
-                    .clip(-32768, 32767)
-                    .astype("<i2")
-                    .tobytes()
-                )
+            # Shared _pcm16_bytes quantisation (the engine's int16
+            # convention) keeps the patterns loaded back bit-identical
+            # to the hits summed into the stream.
+            _wav_write(p, clip.audio, sr)
             pattern_files.append(p)
         for i in range(32):  # marker tones as .apd.toml sine patterns
             p = os.path.join(td, f"marker_{i}.apd.toml")
@@ -287,7 +305,6 @@ def _measure_serve(clips, bank, chunks, sr: int, chunk_seconds: int) -> None:
     drives MultiStreamSession directly), this prices socket ingest, the
     WAV header walk, int16 decode, slot scheduling, and event emission."""
     import socket
-    import struct
     import threading
 
     import numpy as np
@@ -313,15 +330,7 @@ def _measure_serve(clips, bank, chunks, sr: int, chunk_seconds: int) -> None:
     audio = np.concatenate(
         [chunks[i % len(chunks)] for i in range(stream_seconds // chunk_seconds)]
     )
-    data = (
-        np.clip(np.round(audio * 32768.0), -32768, 32767).astype("<i2").tobytes()
-    )
-    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
-    payload = (
-        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-        + b"fmt " + struct.pack("<I", 16) + fmt
-        + b"data" + struct.pack("<I", len(data)) + data
-    )
+    payload = _wav_payload(audio, sr)
 
     def client(out: list, i: int) -> None:
         sock = socket.create_connection(("127.0.0.1", port), timeout=120)
@@ -373,7 +382,6 @@ def _measure_serve_capacity(
     returns the capacity figure: the largest N that sustained >= 1x
     realtime per stream (aggregate >= N) with every client completing."""
     import socket
-    import struct
     import threading
 
     import numpy as np
@@ -390,15 +398,7 @@ def _measure_serve_capacity(
     audio = np.concatenate(
         [chunks[i % len(chunks)] for i in range(stream_seconds // chunk_seconds)]
     )
-    data = (
-        np.clip(np.round(audio * 32768.0), -32768, 32767).astype("<i2").tobytes()
-    )
-    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
-    payload = (
-        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-        + b"fmt " + struct.pack("<I", 16) + fmt
-        + b"data" + struct.pack("<I", len(data)) + data
-    )
+    payload = _wav_payload(audio, sr)
 
     capacity: "int | None" = None
     for width in steps:
@@ -491,15 +491,7 @@ def _measure_cold_start() -> "tuple[float, float]":
         for name, seconds, amp in (("a.wav", 120, 0.05), ("p.wav", 1, 0.3)):
             arr = (amp * rng.standard_normal(seconds * sr)).astype(np.float32)
             path = os.path.join(td, name)
-            with wave_mod.open(path, "wb") as w:
-                w.setnchannels(1)
-                w.setsampwidth(2)
-                w.setframerate(sr)
-                w.writeframes(
-                    np.clip(np.round(arr * 32768), -32768, 32767)
-                    .astype("<i2")
-                    .tobytes()
-                )
+            _wav_write(path, arr, sr)
             paths[name] = path
 
         walls = []

@@ -178,6 +178,36 @@ def test_scan_mode_matches_vmap_and_streaming():
     assert t0 == t1 == t2
 
 
+def test_scan_unroll_cap_wide_batch_identical(monkeypatch):
+    """Past _SCAN_UNROLL_CAP the scan program switches from straight-line
+    unrolling to a short outer lax.scan of cap-wide unrolled steps (a
+    B=128 batch must not compile a 128x-unrolled executable). Capped at
+    4 with B=10 (remainder 2), results must equal streaming exactly."""
+    from audio_pattern_detector_tpu.models import bank as bank_mod
+
+    monkeypatch.setattr(bank_mod, "_SCAN_UNROLL_CAP", 4)
+
+    rng = np.random.default_rng(17)
+    clip = AudioClip(
+        name="c", audio=(0.4 * rng.standard_normal(SR)).astype(np.float32),
+        sample_rate=SR,
+    )
+    audio = (0.01 * rng.standard_normal(47 * SR)).astype(np.float32)
+    for off in [3.0, 12.5, 29.0, 41.25]:
+        o = int(off * SR)
+        audio[o : o + SR] += clip.audio
+
+    det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=5)
+    streamed, t0 = det.find_clip_in_audio(
+        AudioStream("s", io.BytesIO(audio.tobytes()), SR)
+    )
+    det_s = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=5)
+    scanned, t1 = det_s.find_clip_in_array(audio, batch_size=10, batch_mode="scan")
+    assert scanned == streamed
+    assert t0 == t1
+    assert len(set(streamed["c"])) == 4
+
+
 def test_invalid_batch_mode_rejected():
     import pytest
 
