@@ -339,18 +339,29 @@ def _decode_samples(
 
 
 class _WavStdinStreamWrapper:
-    """Stream float32 PCM from a WAV on stdin (header-validated)."""
+    """Stream PCM from a WAV on stdin (header-validated).
+
+    16-bit sources stream their raw int16 bytes (``output_dtype`` int16 —
+    the engine's passthrough fast path: no host f32 decode, no packed-
+    upload re-quantise, bit-identical results); other codecs decode to
+    float32 as before."""
 
     def __init__(self, target_sample_rate: int) -> None:
         audio_format, bits = _validate_wav_header(
             sys.stdin.buffer, target_sample_rate
         )
         self._dtype, self._scale = _SAMPLE_CODECS[(audio_format, bits)]
+        self.output_dtype = (
+            np.int16 if self._dtype == np.int16 else np.float32
+        )
         fmt_name = "float32" if audio_format == 3 else f"int{bits}"
         print(f"WAV stdin: {target_sample_rate}Hz, mono, {fmt_name}", file=sys.stderr)
 
     def read(self, size: int, /) -> bytes:
-        target_samples = size // 4  # output float32
+        # ``size`` is in bytes of the OUTPUT dtype (int16 passthrough: 2
+        # bytes/sample; decoded float32: 4).
+        out_itemsize = 2 if self.output_dtype == np.int16 else 4
+        target_samples = size // out_itemsize
         data = sys.stdin.buffer.read(target_samples * self._dtype.itemsize)
         if not data:
             return b""
@@ -366,15 +377,22 @@ class _WavStdinStreamWrapper:
             data = data[: len(data) - partial]
             if not data:
                 return b""
+        if self.output_dtype == np.int16:
+            return data
         return _decode_samples(data, self._dtype, self._scale).tobytes()
 
 
 class _WavFileStreamWrapper:
-    """Stream float32 PCM from a WAV file, resampling incrementally."""
+    """Stream PCM from a WAV file, resampling incrementally.
+
+    The dominant case — 16-bit mono at the target rate — streams raw
+    int16 bytes (``output_dtype`` int16, the engine's passthrough fast
+    path: no host f32 decode, no packed-upload re-quantise, bit-identical
+    results). Anything needing mixdown, widening, or resample decodes to
+    float32 as before."""
 
     def __init__(self, file_path: str, target_sample_rate: int) -> None:
         self.target_sample_rate = target_sample_rate
-        self._bytes_per_sample = 4
         self._validated = False
         self._file_path = file_path
         try:
@@ -385,31 +403,48 @@ class _WavFileStreamWrapper:
         self._channels = self._wav.getnchannels()
         self._sampwidth = self._wav.getsampwidth()
         self.needs_resample = self.input_sample_rate != target_sample_rate
+        self.output_dtype = (
+            np.int16
+            if (
+                self._sampwidth == 2
+                and self._channels == 1
+                and not self.needs_resample
+            )
+            else np.float32
+        )
+        self._bytes_per_sample = 2 if self.output_dtype == np.int16 else 4
         if self._channels != 1:
             print(
                 f"Warning: WAV has {self._channels} channels, will be mixed to mono",
                 file=sys.stderr,
             )
 
-    def _validate_first_chunk(self, audio: NDArray[np.float32]) -> None:
-        """Warn (stderr) about NaN/Inf/over-range/all-zero first chunks."""
+    def _validate_first_chunk(self, audio: NDArray[Any]) -> None:
+        """Warn (stderr) about NaN/Inf/over-range/all-zero first chunks.
+
+        int16 passthrough chunks can only ever trip the all-zeros check
+        (decoded int16 is never NaN/Inf and never exceeds ±1), so the
+        float-only checks are skipped — identical warnings either way."""
         if self._validated or len(audio) == 0:
             return
         self._validated = True
         warnings: list[str] = []
-        if np.any(np.isnan(audio)):
-            warnings.append("Audio contains NaN values - data may be corrupt")
-        if np.any(np.isinf(audio)):
-            warnings.append("Audio contains Inf values - data may be corrupt")
-        max_abs = np.max(np.abs(audio))
-        if max_abs > 1.5:
-            warnings.append(f"Audio values exceed expected range (max: {max_abs:.2f})")
+        if audio.dtype != np.int16:
+            if np.any(np.isnan(audio)):
+                warnings.append("Audio contains NaN values - data may be corrupt")
+            if np.any(np.isinf(audio)):
+                warnings.append("Audio contains Inf values - data may be corrupt")
+            max_abs = np.max(np.abs(audio))
+            if max_abs > 1.5:
+                warnings.append(f"Audio values exceed expected range (max: {max_abs:.2f})")
         if np.all(audio == 0):
             warnings.append("First chunk is all zeros - verify input is correct")
         for warning in warnings:
             print(f"Warning: {warning}", file=sys.stderr)
 
     def read(self, size: int, /) -> bytes:
+        # ``size`` is in bytes of the OUTPUT dtype (int16 passthrough: 2
+        # bytes/sample; decoded float32: 4).
         target_samples = size // self._bytes_per_sample
         if self.needs_resample:
             input_samples = int(
@@ -421,6 +456,13 @@ class _WavFileStreamWrapper:
         raw_data = self._wav.readframes(input_samples)
         if not raw_data:
             return b""
+
+        if self.output_dtype == np.int16:
+            if not self._validated:
+                self._validate_first_chunk(
+                    np.frombuffer(raw_data, dtype=np.int16)
+                )
+            return raw_data
 
         if self._sampwidth == 2:
             audio = _decode_samples(raw_data, *(_SAMPLE_CODECS[(1, 16)]))
@@ -471,6 +513,9 @@ def _scan(
             return _scan_sharded(
                 detector, stream, opts, on_pattern_detected, accumulate_results
             )
+    # The engine's per-chunk read size in bytes of the STREAM's dtype
+    # (int16 passthrough sources stream 2 bytes/sample, f32 sources 4).
+    chunk_bytes = (detector._chunk_size // 4) * stream.resolved_dtype().itemsize
     with device_trace(opts.trace_dir):
         if opts.offline_batch is None:
             resume: StreamCheckpoint | None = None
@@ -481,7 +526,7 @@ def _scan(
                     _skip_stream_samples(
                         stream,
                         round(resume.total_time * detector.target_sample_rate),
-                        detector._chunk_size,
+                        chunk_bytes,
                     )
                 on_checkpoint = _checkpoint_writer(opts.checkpoint_file)
             result = detector.find_clip_in_audio(
@@ -508,7 +553,7 @@ def _scan(
                 except FileNotFoundError:
                     pass
         else:
-            audio = _drain_stream(stream, detector._chunk_size)
+            audio = _drain_stream(stream, chunk_bytes)
             peak_times, total_time = detector.find_clip_in_array(
                 audio,
                 batch_size=opts.offline_batch,
@@ -569,13 +614,14 @@ def _skip_stream_samples(
     (e.g. 4 MiB = 131.072 s) would drift the position on long resumes
     and silently shift post-resume waveforms and detections.
     """
-    target = n_samples * 4
+    bps = stream.resolved_dtype().itemsize
+    target = n_samples * bps
     skipped = 0
     while skipped < target:
         data = stream.audio_stream.read(chunk_bytes)
         if not data:
             raise ValueError(
-                f"stream ended {(target - skipped) // 4} samples before "
+                f"stream ended {(target - skipped) // bps} samples before "
                 "the checkpoint position — is this the same source the "
                 "checkpoint came from?"
             )
@@ -583,7 +629,7 @@ def _skip_stream_samples(
     if skipped > target:
         raise ValueError(
             "stream read past the checkpoint position (chunk reads "
-            f"overshot by {(skipped - target) // 4} samples) — was the "
+            f"overshot by {(skipped - target) // bps} samples) — was the "
             "interrupted run using a different --chunk-seconds?"
         )
 
@@ -617,7 +663,9 @@ def _drain_stream(stream: AudioStream, chunk_bytes: int) -> NDArray[np.float32]:
         if not b:
             break
         bufs.append(b)
-    return np.frombuffer(b"".join(bufs), dtype=np.float32)
+    # int16 passthrough sources drain to an int16 array, which
+    # find_clip_in_array feeds straight to the bit-pack upload.
+    return np.frombuffer(b"".join(bufs), dtype=stream.resolved_dtype())
 
 
 def _read_full(raw_stream: Any, n_bytes: int) -> bytes:
@@ -677,8 +725,13 @@ def _scan_sharded(
         )
         detector._sharded_scan_cache = (key, sd)
     sess = sd.session()
-    slab_bytes = sd.slab_samples * 4
-    chunk_bytes = sd.chunk_samples * 4
+    # The sharded session consumes f32 slabs; an int16 passthrough source
+    # decodes at the slab boundary with the pinned cast (the sharded path
+    # keeps today's f32 feed — passthrough's pack savings only apply to
+    # the serial/batch dispatch paths).
+    stream_dtype = stream.resolved_dtype()
+    slab_bytes = sd.slab_samples * stream_dtype.itemsize
+    chunk_bytes = sd.chunk_samples * stream_dtype.itemsize
     accumulated: dict[str, list[float]] | None = (
         {name: [] for cls in sd.bank.classes.values() for g in cls["groups"] for name in g.names}
         if accumulate_results
@@ -701,7 +754,11 @@ def _scan_sharded(
         if not parts:
             break
         buf = b"".join(parts)
-        slab = np.frombuffer(buf, dtype=np.float32)
+        slab = np.frombuffer(buf, dtype=stream_dtype)
+        if slab.dtype == np.int16:
+            from audio_pattern_detector_tpu.models.bank import _pcm16_to_f32
+
+            slab = _pcm16_to_f32(slab)
         part = sess.feed(slab)
         total_samples += len(slab)
         events = sorted(
@@ -1116,10 +1173,19 @@ def _scan_group_parallel(
                         )
                     )
                 session.reset(s)
+                # Per-slot dtype: an int16 passthrough WAV streams raw
+                # 16-bit PCM (2 bytes/sample) while an ffmpeg/resampled
+                # neighbour streams f32 — MultiStreamSession batches
+                # mixed-dtype rows bit-identically.
+                dtype = np.dtype(
+                    getattr(stream, "output_dtype", np.float32)
+                )
                 slot[s] = {
                     "idx": idx,
                     "src": src,
                     "stream": stream,
+                    "dtype": dtype,
+                    "chunk_bytes": (chunk_bytes // 4) * dtype.itemsize,
                     "stack": stack,
                     "eof": False,
                     "pending": 0,
@@ -1177,13 +1243,13 @@ def _scan_group_parallel(
                 st = slot[s]
                 if st is None or st["eof"]:
                     continue
-                data = st["stream"].read(chunk_bytes)
+                data = st["stream"].read(st["chunk_bytes"])
                 if not data:
                     st["eof"] = True
                     if st["pending"] == 0:
                         finalize(s)
                     continue
-                chunks[s] = np.frombuffer(data, dtype="float32")
+                chunks[s] = np.frombuffer(data, dtype=st["dtype"])
                 fed.append(s)
             if fed:
                 handle = session.dispatch(chunks)

@@ -300,7 +300,19 @@ class PatternBank:
         apply to both."""
         raw_section = self._raw_section(sw, chunk, previous_chunk)
         n_valid = len(raw_section)
-        section = np.zeros(self.classes[sw]["section_len"], dtype=np.float32)
+        if raw_section.dtype == np.int16:
+            # int16 passthrough (file/stdin wrappers streaming raw 16-bit
+            # PCM): pad in int16 — _dispatch_section bit-packs the padded
+            # buffer into upload lanes with a zero-cost view (no host f32
+            # decode, no re-quantise; int16 zeros decode to 0.0f exactly,
+            # so padding matches the f32 path bit-for-bit).
+            section = np.zeros(
+                self.classes[sw]["section_len"], dtype=np.int16
+            )
+        else:
+            section = np.zeros(
+                self.classes[sw]["section_len"], dtype=np.float32
+            )
         section[:n_valid] = raw_section
         return section, n_valid, raw_section
 
@@ -348,7 +360,17 @@ class PatternBank:
             group_consts = tuple((g.corr, g.verify) for g in cls["groups"])
         if pallas is None:
             pallas = self._pallas
-        packed = try_pack_pcm16(section) if self._packed_upload else None
+        if section.dtype == np.int16:
+            # Passthrough rows are already on the PCM16 grid: bit-pack
+            # with a view (guaranteed exact, no quantise/check pass), or
+            # decode when packing is unavailable on this runtime.
+            if self._packed_upload and len(section) % 2 == 0:
+                packed = section.view(np.float32)
+            else:
+                packed = None
+                section = _pcm16_to_f32(section)
+        else:
+            packed = try_pack_pcm16(section) if self._packed_upload else None
         if packed is not None:
             flat = _class_step_fused_packed_jit(
                 jnp.asarray(packed),
@@ -414,6 +436,10 @@ class PatternBank:
                     else:
                         results[name] = [int(p) for p in pos[ci][sel[ci]]]
             if flagged:
+                if raw_section.dtype == np.int16:
+                    # Passthrough rows stay int16 until a flagged cell
+                    # actually needs the exact host/rerun path (rare).
+                    raw_section = _pcm16_to_f32(raw_section)
                 resolved = self.resolve_flagged_rows(sw, flagged, raw_section)
                 for (gi, ci), hits in resolved.items():
                     results[cls["groups"][gi].names[ci]] = hits

@@ -421,6 +421,23 @@ class AudioPatternDetector:
             (cd["sliding_window"] for cd in self._clip_datas.values()), default=1
         )
 
+        # int16 passthrough: a stream of raw 16-bit PCM bytes skips the
+        # host f32 decode AND the packed upload's re-quantise — the device
+        # unpack IS the (bitwise-pinned) decode. Chunk arrays then carry
+        # int16 through dispatch; only checkpoint tails (whose to_bytes
+        # contract is f32 samples) decode on the host.
+        sample_dtype = (
+            audio_stream.resolved_dtype()
+            if hasattr(audio_stream, "resolved_dtype")
+            else np.dtype(np.float32)
+        )
+        read_bytes = (self._chunk_size // 4) * sample_dtype.itemsize
+
+        def _tail_f32(tail: "NDArray[Any]") -> "NDArray[np.float32]":
+            from audio_pattern_detector_tpu.models.bank import _pcm16_to_f32
+
+            return _pcm16_to_f32(tail) if tail.dtype == np.int16 else tail
+
         from audio_pattern_detector_tpu.utils.profiling import RunStats, Stopwatch
 
         stats = RunStats()
@@ -451,7 +468,7 @@ class AudioPatternDetector:
         # cum_time). Up to ``pipeline_depth`` chunks stay in flight.
         from collections import deque
 
-        pending: "deque[tuple[int, bool, Any, NDArray[np.float32], float]]" = deque()
+        pending: "deque[tuple[int, bool, Any, NDArray[np.float32] | None, float]]" = deque()
 
         def drain_one() -> None:
             p_i, p_prev, p_disp, p_tail, p_time = pending.popleft()
@@ -484,7 +501,7 @@ class AudioPatternDetector:
                     on_checkpoint(
                         StreamCheckpoint(
                             base_i + k + 1,
-                            chunk_k[int(-max_sw * sr):].copy(),
+                            _tail_f32(chunk_k[int(-max_sw * sr):]).copy(),
                             time_k,
                         )
                     )
@@ -517,16 +534,18 @@ class AudioPatternDetector:
 
         while True:
             with watch.segment("read"):
-                in_bytes = stdout.read(self._chunk_size)
+                in_bytes = stdout.read(read_bytes)
             if not in_bytes:
                 break
-            chunk = np.frombuffer(in_bytes, dtype="float32")
+            chunk = np.frombuffer(in_bytes, dtype=sample_dtype)
             total_time += len(chunk) / sr
             stats.chunks += 1
             stats.audio_seconds += len(chunk) / sr
 
             if self.debug_mode:
-                # Debug runs the exact host path serially (full artifacts).
+                # Debug runs the exact host path serially (full artifacts,
+                # f32 — decode passthrough chunks with the pinned cast).
+                chunk = _tail_f32(chunk)
                 emit(i, previous_chunk is not None, self._process_chunk_debug(chunk, previous_chunk, i))
                 previous_chunk = chunk
             elif stream_batch > 1:
@@ -544,7 +563,13 @@ class AudioPatternDetector:
                         i,
                         previous_chunk is not None,
                         dispatched,
-                        chunk[int(-max_sw * sr):].copy(),
+                        # Tails exist solely for checkpoint emission; the
+                        # StreamCheckpoint contract is f32 samples.
+                        (
+                            _tail_f32(chunk[int(-max_sw * sr):]).copy()
+                            if on_checkpoint is not None
+                            else None
+                        ),
                         total_time,
                     )
                 )
@@ -596,7 +621,13 @@ class AudioPatternDetector:
         bank = self._ensure_bank()
         sr = self.target_sample_rate
         chunk_samples = int(self.seconds_per_chunk * sr)
-        audio = np.ascontiguousarray(audio, dtype=np.float32)
+        if np.asarray(audio).dtype == np.int16:
+            # int16 passthrough (raw 16-bit PCM sources): rows bit-pack
+            # into upload lanes without a host f32 decode — bit-identical
+            # (the device unpack IS the pinned decode).
+            audio = np.ascontiguousarray(audio)
+        else:
+            audio = np.ascontiguousarray(audio, dtype=np.float32)
 
         chunks = [
             audio[o : o + chunk_samples]

@@ -102,6 +102,28 @@ class AudioClip:
 
 @dataclass(frozen=True)
 class AudioStream:
+    """A named readable byte stream of mono PCM at ``sample_rate``.
+
+    Bytes are float32 samples by default. A source that yields raw 16-bit
+    PCM can stream int16 bytes instead (``sample_dtype`` int16, or an
+    ``output_dtype`` attribute on the wrapped reader): the engine then
+    skips the host f32 decode AND the f32→int16 re-quantise of the packed
+    upload — the int16 passthrough fast path, bit-identical results (the
+    device unpack IS the pinned int16→f32 decode; ops/packing.py)."""
+
     name: str
-    audio_stream: ReadableStream  # raw float32 mono PCM bytes at sample_rate
+    audio_stream: ReadableStream  # raw mono PCM bytes at sample_rate
     sample_rate: int
+    # None = auto: the wrapped reader's ``output_dtype`` attribute if
+    # present, else float32.
+    sample_dtype: "Any" = None
+
+    def resolved_dtype(self) -> np.dtype:
+        """The dtype of the bytes ``audio_stream.read`` yields."""
+        d = self.sample_dtype
+        if d is None:
+            d = getattr(self.audio_stream, "output_dtype", np.float32)
+        d = np.dtype(d)
+        if d not in (np.dtype(np.float32), np.dtype(np.int16)):
+            raise ValueError(f"unsupported stream sample dtype {d}")
+        return d

@@ -545,19 +545,26 @@ def run_bench() -> dict:
         ).astype(np.float32)
         for _ in range(n_distinct)
     ]
+    # Raw int16 views of the same samples: what the WAV/stdin wrappers
+    # now actually hand the engine (int16 passthrough — no host decode,
+    # no re-quantise; bit-identical results). Streaming/batch metrics
+    # feed these; exact since the f32 chunks sit on the PCM16 grid.
+    chunks_i16 = [
+        (c * np.float32(32768.0)).astype(np.int16) for c in chunks
+    ]
 
     # Warmup: compile + first execution.
     prev = None
     for i in range(2):
-        bank.process_chunk(chunks[i % n_distinct], prev)
-        prev = chunks[i % n_distinct]
+        bank.process_chunk(chunks_i16[i % n_distinct], prev)
+        prev = chunks_i16[i % n_distinct]
 
     def run_streaming(n_iters: int, depth: int = 1) -> tuple[float, int]:
         """The production streaming pattern (_pipelined_loop): up to
         ``depth`` chunks in flight with eager in-order collection."""
         nonlocal prev
         elapsed, detections, prev = _pipelined_loop(
-            bank, lambda i: chunks[i % n_distinct], n_iters, prev, depth
+            bank, lambda i: chunks_i16[i % n_distinct], n_iters, prev, depth
         )
         return n_iters * chunk_seconds / elapsed, detections
 
@@ -627,7 +634,9 @@ def run_bench() -> dict:
     # state instead of the exposed head/tail of a 2-batch scan.
     # batch_mode defaults to "scan" since round 4 (same-window A/B:
     # ~21.7 ms/chunk vs ~27 for vmap — scripts/dev/batch_inflation_ab.py).
-    long_audio = np.concatenate([chunks[i % n_distinct] for i in range(batch * 8)])
+    long_audio = np.concatenate(
+        [chunks_i16[i % n_distinct] for i in range(batch * 8)]
+    )
     det.find_clip_in_array(long_audio, batch_size=batch)  # warm the batch program
 
     def _batched_sample() -> float:
@@ -641,7 +650,7 @@ def run_bench() -> dict:
     # per-launch overhead amortised — the remote-runtime offline mode) ──
     scan_batch = int(os.environ.get("APD_BENCH_SCAN_BATCH", "16"))
     scan_audio = np.concatenate(
-        [chunks[i % n_distinct] for i in range(scan_batch * 3)]
+        [chunks_i16[i % n_distinct] for i in range(scan_batch * 3)]
     )
     det.find_clip_in_array(scan_audio, batch_size=scan_batch, batch_mode="scan")
 
@@ -667,7 +676,7 @@ def run_bench() -> dict:
             mult = big_s // chunk_seconds
             cbig = [
                 np.concatenate(
-                    [chunks[(i + j) % n_distinct] for j in range(mult)]
+                    [chunks_i16[(i + j) % n_distinct] for j in range(mult)]
                 )
                 for i in range(n_distinct)
             ]
@@ -710,11 +719,16 @@ def run_bench() -> dict:
     from audio_pattern_detector_tpu.utils.clip import AudioStream
 
     def run_stream_batch(n_iters: int, sb: int, mode: str) -> float:
+        # int16 bytes + sample_dtype=int16: the stdin passthrough wire
+        # format (what _WavStdinStreamWrapper now yields for 16-bit WAV).
         raw = b"".join(
-            chunks[i % n_distinct].tobytes() for i in range(n_iters)
+            chunks_i16[i % n_distinct].tobytes() for i in range(n_iters)
         )
         stream = AudioStream(
-            name="bench", audio_stream=io.BytesIO(raw), sample_rate=sr
+            name="bench",
+            audio_stream=io.BytesIO(raw),
+            sample_rate=sr,
+            sample_dtype=np.int16,
         )
         t0 = time.perf_counter()
         det.find_clip_in_audio(
@@ -766,11 +780,14 @@ def run_bench() -> dict:
             )
             n_iters = 2 * sb
             raw = b"".join(
-                chunks[i % n_distinct].tobytes()
+                chunks_i16[i % n_distinct].tobytes()
                 for i in range(n_iters * (cs // chunk_seconds))
             )
             stream = AudioStream(
-                name="combo", audio_stream=io.BytesIO(raw), sample_rate=sr
+                name="combo",
+                audio_stream=io.BytesIO(raw),
+                sample_rate=sr,
+                sample_dtype=np.int16,
             )
             det_c.find_clip_in_audio(
                 stream,
@@ -785,6 +802,7 @@ def run_bench() -> dict:
                     name="combo",
                     audio_stream=io.BytesIO(raw),
                     sample_rate=sr,
+                    sample_dtype=np.int16,
                 )
                 t0 = time.perf_counter()
                 det_c.find_clip_in_audio(
@@ -810,9 +828,8 @@ def run_bench() -> dict:
         marker_clip = clips[32].audio  # 0.25 s tone (900 Hz)
         c[10 * sr : 10 * sr + len(normal_clip)] += 0.8 * normal_clip
         c[30 * sr : 30 * sr + len(marker_clip)] += 0.7 * marker_clip
-        return (
-            np.clip(np.round(c * 32768), -32768, 32767) / np.float32(32768.0)
-        ).astype(np.float32)
+        # Raw int16, like the passthrough streaming metric it pairs with.
+        return np.clip(np.round(c * 32768), -32768, 32767).astype(np.int16)
 
     hit_chunks = [make_hit_chunk(c) for c in chunks]
     hit_detections = 0
@@ -853,7 +870,8 @@ def run_bench() -> dict:
         )
 
         sess = MultiStreamSession(det, n_streams=n_ms)
-        sess.feed([chunks[i % n_distinct] for i in range(n_ms)])  # warm B=n
+        # int16 rows: the serve ingest wire format (passthrough).
+        sess.feed([chunks_i16[i % n_distinct] for i in range(n_ms)])  # warm B=n
         ms_rounds = 8
 
         def _ms_sample() -> float:
@@ -865,7 +883,7 @@ def run_bench() -> dict:
             for r in range(ms_rounds):
                 pend.append(
                     sess.dispatch(
-                        [chunks[(r + i) % n_distinct] for i in range(n_ms)]
+                        [chunks_i16[(r + i) % n_distinct] for i in range(n_ms)]
                     )
                 )
                 while len(pend) > 1 and sess.round_ready(pend[0]):

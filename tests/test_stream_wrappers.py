@@ -34,15 +34,21 @@ def write_wav(path, audio, sr, sampwidth=2, channels=1):
 
 
 class TestWavFileStreamWrapper:
-    def test_reads_float32_at_target_rate(self, tmp_path):
+    def test_reads_int16_passthrough_at_target_rate(self, tmp_path):
+        """A 16-bit mono file at the target rate streams RAW int16 bytes
+        (output_dtype int16 — the engine passthrough fast path); decoded
+        they match the source samples."""
         t = np.arange(2 * SR) / SR
         audio = 0.5 * np.sin(2 * np.pi * 440 * t)
         p = tmp_path / "a.wav"
         write_wav(p, audio, SR)
         w = _WavFileStreamWrapper(str(p), SR)
-        out = np.frombuffer(w.read(2 * SR * 4), dtype=np.float32)
+        assert w.output_dtype == np.int16
+        out = np.frombuffer(w.read(2 * SR * 2), dtype=np.int16)
         w.close()
-        np.testing.assert_allclose(out, audio, atol=1e-3)
+        np.testing.assert_allclose(
+            out.astype(np.float32) / 32768.0, audio, atol=1e-3
+        )
 
     def test_incremental_resample_16k_to_8k(self, tmp_path):
         t = np.arange(2 * 16000) / 16000
@@ -206,8 +212,11 @@ class TestStdinHeaderValidation:
             _sys, "stdin", types.SimpleNamespace(buffer=io.BytesIO(raw))
         )
         w = _WavStdinStreamWrapper(SR)
-        out = np.frombuffer(w.read(1 << 20), dtype=np.float32)
-        np.testing.assert_allclose(out, [100 / 32768.0, -200 / 32768.0])
+        # 16-bit stdin streams raw int16 (passthrough); the partial
+        # trailing byte is still dropped with the warning.
+        assert w.output_dtype == np.int16
+        out = np.frombuffer(w.read(1 << 20), dtype=np.int16)
+        np.testing.assert_allclose(out, [100, -200])
         assert w.read(1 << 20) == b""
         assert "truncated mid-sample" in capsys.readouterr().err
 
