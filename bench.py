@@ -53,6 +53,8 @@ CANARY_FAILED_RC = 3
 
 # metric name -> list of samples (x realtime), accumulated through the run
 _SAMPLES: dict[str, list[float]] = {}
+# non-realtime auxiliary metrics (reported verbatim, e.g. p99 seconds)
+_EXTRA: dict[str, float] = {}
 
 
 def _pcm16_bytes(arr) -> bytes:
@@ -415,7 +417,7 @@ def _measure_serve_capacity(
         thread.start()
         port = server.address[1]
 
-        def client(out: list, i: int) -> None:
+        def client(out: list, i: int, t0: float) -> None:
             sock = socket.create_connection(("127.0.0.1", port), timeout=300)
             sock.sendall(payload)
             sock.shutdown(socket.SHUT_WR)
@@ -426,32 +428,46 @@ def _measure_serve_capacity(
                 if not d:
                     break
                 buf += d
+            done = time.perf_counter() - t0
             sock.close()
             events = [json.loads(line) for line in buf.decode().splitlines()]
             assert events[-1]["type"] == "end", events[-1]
             assert events[-1]["total_time_ms"] == stream_seconds * 1000
-            out[i] = True
+            out[i] = done
+
+        p99s: list[float] = []
 
         def fleet() -> float:
             results: list = [None] * width
+            t0 = time.perf_counter()
             threads = [
-                threading.Thread(target=client, args=(results, i))
+                threading.Thread(target=client, args=(results, i, t0))
                 for i in range(width)
             ]
-            t0 = time.perf_counter()
             for t in threads:
                 t.start()
             for t in threads:
                 t.join(timeout=1200)
                 assert not t.is_alive()
             wall = time.perf_counter() - t0
-            assert all(results)
+            assert all(r is not None for r in results)
+            # p99 client completion: the straggler bound — how long the
+            # worst-served station waits for its full result set (the
+            # per-event latency bound under the offline drain: every
+            # event a client will ever get has arrived by this time).
+            p99s.append(
+                sorted(results)[max(0, int(0.99 * (width - 1)))]
+            )
             return width * stream_seconds / wall
 
         try:
             fleet()  # warm (first-connection slot assignment)
             _sample(f"serve{width}", fleet, base=2)
             agg = _stats(f"serve{width}")[0]
+            if p99s:
+                _EXTRA[f"serve{width}_p99_wall_s"] = round(
+                    statistics.median(p99s[1:] or p99s), 2
+                )
             if agg >= width:
                 capacity = width
         except Exception as e:  # noqa: BLE001 — ladder rung is secondary
@@ -961,6 +977,7 @@ def run_bench() -> dict:
     }
     if serve_capacity is not None:
         result["serve_capacity_streams"] = serve_capacity
+    result.update(_EXTRA)
     if cold_warm is not None:
         result["cold_start_seconds"] = round(cold_warm, 2)
         result["cold_start_first_seconds"] = round(cold_first, 2)
@@ -1064,6 +1081,7 @@ def _report(result: dict) -> None:
         if (
             k.endswith("_x_realtime")
             or k.endswith("_x_realtime_spread")
+            or k.endswith("_p99_wall_s")
             or k
             in (
                 "stats",
