@@ -152,10 +152,25 @@ class PatternBank:
             _os.environ.get("APD_PACKED_UPLOAD", "1") != "0"
             and packed_upload_supported()
         )
-        # Single-pass Pallas candidate scan for the lean tier (opt-in
-        # until measured faster on the target backend; see
-        # ops/pallas_peaks.py).
-        self._pallas = _os.environ.get("APD_PALLAS") == "1"
+        # Single-pass Pallas candidate scan for the lean tier
+        # (ops/pallas_peaks.py). Two defaults, both measured:
+        #   * STREAMING (single-chunk launches): OFF — the step win does
+        #     not surface e2e (round-3 order-alternating A/B: ~-1.5%).
+        #   * BATCH/SCAN dispatch on TPU: ON — with launches amortised
+        #     and batch-loop host time additive, the kernel's mask-stage
+        #     win lands e2e (+5.2% scan-batch B=16, round-4 A/B:
+        #     scripts/dev/pallas_scanbatch_ab.py, results asserted
+        #     identical).
+        # APD_PALLAS=1 forces on everywhere, =0 forces off everywhere.
+        _pallas_env = _os.environ.get("APD_PALLAS")
+        self._pallas = _pallas_env == "1"
+        try:
+            _on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:  # backend init failure → conservative default
+            _on_tpu = False
+        self._pallas_batch = (
+            _pallas_env == "1" or (_pallas_env != "0" and _on_tpu)
+        )
         # Block-summary lean tier (ops/peaks.py::greedy_survivors_rederive):
         # bitwise-identical survivors with no (G, L) scored/mask buffers —
         # the XLA analogue of the Pallas scan's structure. Opt-in until
@@ -833,7 +848,9 @@ class PatternBank:
                 group_consts,
                 metas=self._metas[sw],
                 height_min=self.height_min,
-                pallas=self._pallas,
+                # Batch default (measured, see __init__); forced off under
+                # GSPMD sharding — the kernel has no partitioning rule.
+                pallas=(self._pallas_batch if sharding is None else False),
                 blocked=self._blocked,
             )
             _host_prefetch(flat)

@@ -6,9 +6,11 @@ stage) but measured ~-1.5% end-to-end, so it stayed opt-in. Round 4's
 ablations changed the frame: batch modes are now the throughput path,
 their host time is fully additive, and scan-batch amortises launches —
 so a step win SHOULD surface e2e here if the round-3 loss was per-launch
-overhead. This probe A/Bs find_clip_in_array (scan, B=16) with
-bank._pallas toggled between alternating windows (the pallas flag is a
-static jit arg — both variants compile once, results asserted equal).
+overhead. Measured +5.2% (2026-08-21), which made pallas the BATCH
+dispatch default on TPU; this probe A/Bs find_clip_in_array (scan,
+B=16) with bank._pallas_batch toggled between alternating windows (the
+pallas flag is a static jit arg — both variants compile once, results
+asserted equal).
 
 Run on TPU: python scripts/dev/pallas_scanbatch_ab.py
 """
@@ -61,10 +63,10 @@ def main() -> None:
     audio = np.concatenate([ci16[i % 4] for i in range(SCAN_B * 2)])
 
     # Warm + correctness gate for both variants.
-    bank._pallas = False
+    bank._pallas_batch = False
     r_base = det.find_clip_in_array(audio, batch_size=SCAN_B)
     try:
-        bank._pallas = True
+        bank._pallas_batch = True
         r_pallas = det.find_clip_in_array(audio, batch_size=SCAN_B)
     except Exception as e:  # noqa: BLE001 — report, don't crash the probe
         print(json.dumps({"error": f"pallas scan-batch failed: {e!r}"}))
@@ -72,7 +74,7 @@ def main() -> None:
     assert r_pallas == r_base, "pallas scan-batch results diverge"
 
     def window(pallas: bool) -> float:
-        bank._pallas = pallas
+        bank._pallas_batch = pallas
         t0 = time.perf_counter()
         det.find_clip_in_array(audio, batch_size=SCAN_B)
         return (len(audio) / SR) / (time.perf_counter() - t0)
