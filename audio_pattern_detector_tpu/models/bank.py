@@ -848,9 +848,21 @@ class PatternBank:
                 group_consts,
                 metas=self._metas[sw],
                 height_min=self.height_min,
-                # Batch default (measured, see __init__); forced off under
-                # GSPMD sharding — the kernel has no partitioning rule.
-                pallas=(self._pallas_batch if sharding is None else False),
+                # Batch default (measured, see __init__) applies to the
+                # SCAN schedule only — the +5.2% A/B covered scan; the
+                # vmapped program would run the kernel under jax.vmap's
+                # batching rule, unmeasured on TPU, so vmap keeps the
+                # explicit opt-in. Forced off under GSPMD sharding — the
+                # kernel has no partitioning rule.
+                pallas=(
+                    False
+                    if sharding is not None
+                    else (
+                        self._pallas_batch
+                        if mode == "scan"
+                        else self._pallas
+                    )
+                ),
                 blocked=self._blocked,
             )
             _host_prefetch(flat)
