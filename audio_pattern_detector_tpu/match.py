@@ -647,8 +647,10 @@ def _checkpoint_writer(path: str) -> "Callable[[StreamCheckpoint], None]":
     return write
 
 
-def _drain_stream(stream: AudioStream, chunk_bytes: int) -> NDArray[np.float32]:
-    """Read a float32 AudioStream to exhaustion (offline scan input).
+def _drain_stream(stream: AudioStream, chunk_bytes: int) -> NDArray[Any]:
+    """Read an AudioStream to exhaustion (offline scan input) — float32,
+    or raw int16 for passthrough sources (find_clip_in_array feeds int16
+    straight to the bit-pack upload).
 
     Reads MUST request ``chunk_bytes`` — the engine's per-chunk read
     size — not an arbitrary block size: a resampling source
@@ -1177,9 +1179,11 @@ def _scan_group_parallel(
                 # 16-bit PCM (2 bytes/sample) while an ffmpeg/resampled
                 # neighbour streams f32 — MultiStreamSession batches
                 # mixed-dtype rows bit-identically.
-                dtype = np.dtype(
-                    getattr(stream, "output_dtype", np.float32)
+                from audio_pattern_detector_tpu.utils.clip import (
+                    resolve_reader_dtype,
                 )
+
+                dtype = resolve_reader_dtype(stream)
                 slot[s] = {
                     "idx": idx,
                     "src": src,

@@ -434,9 +434,15 @@ class AudioPatternDetector:
         read_bytes = (self._chunk_size // 4) * sample_dtype.itemsize
 
         def _tail_f32(tail: "NDArray[Any]") -> "NDArray[np.float32]":
+            # Returns an OWNED f32 array either way (decode already
+            # allocates; f32 views copy once) — no caller-side .copy().
             from audio_pattern_detector_tpu.models.bank import _pcm16_to_f32
 
-            return _pcm16_to_f32(tail) if tail.dtype == np.int16 else tail
+            return (
+                _pcm16_to_f32(tail)
+                if tail.dtype == np.int16
+                else tail.copy()
+            )
 
         from audio_pattern_detector_tpu.utils.profiling import RunStats, Stopwatch
 
@@ -501,7 +507,7 @@ class AudioPatternDetector:
                     on_checkpoint(
                         StreamCheckpoint(
                             base_i + k + 1,
-                            _tail_f32(chunk_k[int(-max_sw * sr):]).copy(),
+                            _tail_f32(chunk_k[int(-max_sw * sr):]),
                             time_k,
                         )
                     )
@@ -545,7 +551,12 @@ class AudioPatternDetector:
             if self.debug_mode:
                 # Debug runs the exact host path serially (full artifacts,
                 # f32 — decode passthrough chunks with the pinned cast).
-                chunk = _tail_f32(chunk)
+                if chunk.dtype == np.int16:
+                    from audio_pattern_detector_tpu.models.bank import (
+                        _pcm16_to_f32,
+                    )
+
+                    chunk = _pcm16_to_f32(chunk)
                 emit(i, previous_chunk is not None, self._process_chunk_debug(chunk, previous_chunk, i))
                 previous_chunk = chunk
             elif stream_batch > 1:
@@ -566,7 +577,7 @@ class AudioPatternDetector:
                         # Tails exist solely for checkpoint emission; the
                         # StreamCheckpoint contract is f32 samples.
                         (
-                            _tail_f32(chunk[int(-max_sw * sr):]).copy()
+                            _tail_f32(chunk[int(-max_sw * sr):])
                             if on_checkpoint is not None
                             else None
                         ),

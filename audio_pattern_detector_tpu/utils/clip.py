@@ -120,10 +120,22 @@ class AudioStream:
 
     def resolved_dtype(self) -> np.dtype:
         """The dtype of the bytes ``audio_stream.read`` yields."""
-        d = self.sample_dtype
-        if d is None:
-            d = getattr(self.audio_stream, "output_dtype", np.float32)
-        d = np.dtype(d)
-        if d not in (np.dtype(np.float32), np.dtype(np.int16)):
-            raise ValueError(f"unsupported stream sample dtype {d}")
-        return d
+        if self.sample_dtype is not None:
+            return _validate_stream_dtype(self.sample_dtype)
+        return resolve_reader_dtype(self.audio_stream)
+
+
+def _validate_stream_dtype(d: Any) -> np.dtype:
+    d = np.dtype(d)
+    if d not in (np.dtype(np.float32), np.dtype(np.int16)):
+        raise ValueError(f"unsupported stream sample dtype {d}")
+    return d
+
+
+def resolve_reader_dtype(reader: Any) -> np.dtype:
+    """Sample dtype a raw reader yields (its ``output_dtype`` attribute,
+    default float32) — the ONE validated resolver every engine path uses
+    (AudioStream.resolved_dtype and the parallel multi-file scan)."""
+    return _validate_stream_dtype(
+        getattr(reader, "output_dtype", np.float32)
+    )

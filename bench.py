@@ -455,8 +455,14 @@ def _measure_serve_capacity(
             # worst-served station waits for its full result set (the
             # per-event latency bound under the offline drain: every
             # event a client will ever get has arrived by this time).
+            # Nearest-rank p99: ceil(0.99 n) — at n <= 100 this IS the
+            # max, which is the point (a single straggler must show).
+            import math
+
             p99s.append(
-                sorted(results)[max(0, int(0.99 * (width - 1)))]
+                sorted(results)[
+                    min(width - 1, math.ceil(0.99 * width) - 1)
+                ]
             )
             return width * stream_seconds / wall
 

@@ -5,13 +5,19 @@ The round-4 ablations showed the batch loop's upload timer costs
 occupancy. If `jnp.asarray` blocks the host until the payload lands but
 `jax.device_put` merely enqueues, switching the dispatch upload would
 hide the host-blocking portion behind the next batch's section
-assembly. This probe times, for a production-size payload (960 KB,
-one 60 s int16-packed chunk) and a B=16 batch (15 MB):
+assembly. This probe times, for a production-size payload (960 KB —
+one 60 s chunk of int16-packed samples, 480000 int16) and a B=16 batch
+(15 MB):
 
   asarray_call    - jnp.asarray() call-return time
   asarray_block   - ...then .block_until_ready() (total landing time)
   device_put_call - jax.device_put() call-return time
   device_put_block- ...then block (total)
+
+Every timed call uploads a FRESH random payload never sent before (the
+tunnel runtime memoises by input values, docs/scaling.md rule 10 —
+reusing buffers across the four measurement series would time cache
+hits); payload generation happens up front, outside the timers.
 
 If *_call << *_block for either API, the upload is async at the call
 site and the dispatch path can exploit it; if call ≈ block, the h2d RPC
@@ -31,44 +37,43 @@ import numpy as np
 
 import jax
 
+N_TIMED = 20
+SAMPLES_PER_CHUNK = 480000  # 60 s at 8 kHz, int16 (960 KB)
 
-def timeit(fn, n=20):
+
+def timeit(fn, payloads):
     samples = []
-    for _ in range(n):
+    for buf in payloads:
         t0 = time.perf_counter()
-        fn()
+        fn(buf)
         samples.append(1e3 * (time.perf_counter() - t0))
     return round(statistics.median(samples[2:]), 2)
 
 
 def main() -> None:
+    rng = np.random.default_rng(0)
+
+    def fresh(rows: int) -> list:
+        # One distinct payload per timed call per measurement series.
+        return [
+            rng.integers(-1000, 1000, (rows, SAMPLES_PER_CHUNK), dtype=np.int16)
+            .view(np.float32)
+            for _ in range(N_TIMED)
+        ]
+
     out = {"platform": jax.devices()[0].platform}
     for label, rows in (("chunk", 1), ("batch16", 16)):
-        # Fresh random payloads each call defeat any transfer memoisation
-        # (docs/scaling.md rule 10); generation cost is measured and
-        # subtracted via the gen-only baseline.
-        rng = np.random.default_rng(0)
-        bufs = [
-            rng.integers(-1000, 1000, (rows, 240000), dtype=np.int16)
-            .view(np.float32)
-            for _ in range(25)
-        ]
-        it = iter(bufs * 2)
-
         out[f"{label}_asarray_call_ms"] = timeit(
-            lambda: jax.numpy.asarray(next(it))
+            lambda b: jax.numpy.asarray(b), fresh(rows)
         )
-        it = iter(bufs * 2)
         out[f"{label}_asarray_block_ms"] = timeit(
-            lambda: jax.numpy.asarray(next(it)).block_until_ready()
+            lambda b: jax.numpy.asarray(b).block_until_ready(), fresh(rows)
         )
-        it = iter(bufs * 2)
         out[f"{label}_device_put_call_ms"] = timeit(
-            lambda: jax.device_put(next(it))
+            lambda b: jax.device_put(b), fresh(rows)
         )
-        it = iter(bufs * 2)
         out[f"{label}_device_put_block_ms"] = timeit(
-            lambda: jax.device_put(next(it)).block_until_ready()
+            lambda b: jax.device_put(b).block_until_ready(), fresh(rows)
         )
         print(f"{label}: {out}", file=sys.stderr)
     print(json.dumps(out))
