@@ -519,9 +519,13 @@ class AudioPatternDetector:
             chunks = [c for c, _, _ in batch_buf]
             n_real = len(chunks)
             # Zero-pad a short final batch so every flush reuses the ONE
-            # compiled scan program; padding results are discarded.
+            # compiled scan program; padding results are discarded. Pad in
+            # the stream's dtype: an f32 padding row in an otherwise-int16
+            # batch would force the dispatch off the int16 bit-pack path
+            # on installs without the native packer (results identical,
+            # but every real row would pay the host f32 decode).
             chunks += [
-                np.zeros(chunk_samples, dtype=np.float32)
+                np.zeros(chunk_samples, dtype=chunks[-1].dtype)
                 for _ in range(stream_batch - n_real)
             ]
             with watch.segment("dispatch"):
@@ -678,8 +682,11 @@ class AudioPatternDetector:
             # batch of a different size would compile (and cache) a whole
             # second executable, like flush_batch in find_clip_in_audio.
             n_real = len(batch)
+            # Padding rows take the stream's dtype so an all-int16 batch
+            # stays on the bit-pack path even without the native packer
+            # (see flush_batch in find_clip_in_audio).
             padded = batch + [
-                np.zeros(chunk_samples, dtype=np.float32)
+                np.zeros(chunk_samples, dtype=batch[-1].dtype)
                 for _ in range(batch_size - n_real)
             ]
             pending.append(

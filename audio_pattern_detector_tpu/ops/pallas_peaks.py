@@ -1,14 +1,29 @@
 """Single-pass Pallas candidate scan for the lean detection tier.
 
-MEASURED RESULT (v5e via the tunnel runtime): bit-exact payload parity
-with the XLA lean path, but ~2x slower in the fused step (46.8 ms vs
-25.3 ms same-window head-to-head) — the (G, L) → (G, 8, W) layout copy
-Mosaic's tiling requires, plus losing XLA's fusion of the mask chain
-into the irfft consumer, outweigh the pass-merging win. XLA's fusion of
-this elementwise chain is already near-optimal, so the kernel ships
-OPT-IN (``APD_PALLAS=1``) as the custom-kernel escape hatch for
-backends where the trade-off inverts, with full differential tests
-(tests/test_pallas_peaks.py).
+SHIPPING STATUS (measured on v5e via the tunnel runtime; defaults set
+in models/bank.py::__init__):
+
+* **BATCH/SCAN dispatch on TPU: DEFAULT ON.** Under the scan schedule
+  launches are amortised and the batch loop's host time is additive,
+  so the kernel's mask-stage win surfaces end-to-end: +5.2% on
+  scan-batch B=16 (round-4 order-alternating A/B,
+  scripts/dev/pallas_scanbatch_ab.py, results asserted identical —
+  the probe audio embeds real clip hits so the verify/greedy-survivor
+  path is covered, not just noise rows).
+* **Streaming (single-chunk launches): OFF.** The per-step win does
+  not surface e2e (round-3 A/B ~-1.5%): the (G, L) → (G, 8, W) layout
+  copy Mosaic's tiling requires, plus losing XLA's fusion of the mask
+  chain into the irfft consumer, eat the pass-merging win at depth-1
+  launch cadence. 46.8 ms vs 25.3 ms in the isolated fused step.
+
+``APD_PALLAS=1`` forces the kernel on everywhere (including streaming
+and vmap batches), ``=0`` forces it off everywhere. Payload parity with
+the XLA lean path is bit-exact in all modes (tests/test_pallas_peaks.py
+differential suite, including a hit-bearing batched-dispatch identity
+test that forces the TPU default on under interpret mode). The kernel
+additionally guards rounding-edge near-ties in-kernel: candidates
+within 8 ulp of a neighbouring plateau value flag the row to the exact
+full-tier path (same escape the XLA formulation takes).
 
 The lean tier's pre-top-k work — valid-length masking, plateau-midpoint
 local-maxima mask, height filter, per-row candidate count, ≥4-plateau

@@ -48,23 +48,28 @@ def main() -> None:
     det._bank = bank
 
     rng = np.random.default_rng(7)
-    cf32 = [
-        (
-            np.clip(
-                np.round(0.05 * rng.standard_normal(CHUNK_S * SR) * 32768),
-                -32768,
-                32767,
-            )
-            / np.float32(32768.0)
-        ).astype(np.float32)
-        for _ in range(4)
+    raw = [0.05 * rng.standard_normal(CHUNK_S * SR) for _ in range(4)]
+    # Embed real hits (a normal clip and a marker tone) so the identity
+    # assertion covers the verify/greedy-survivor path under the kernel,
+    # not just noise-only candidate counting (advisor round 4).
+    normal = clips[0].audio
+    marker = clips[-1].audio
+    raw[0][3 * SR : 3 * SR + len(normal)] += normal
+    raw[1][11 * SR : 11 * SR + len(marker)] += 0.8 * marker
+    raw[2][40 * SR : 40 * SR + len(normal)] += normal
+    ci16 = [
+        np.clip(np.round(np.asarray(c) * 32768), -32768, 32767).astype(
+            np.int16
+        )
+        for c in raw
     ]
-    ci16 = [(c * np.float32(32768.0)).astype(np.int16) for c in cf32]
     audio = np.concatenate([ci16[i % 4] for i in range(SCAN_B * 2)])
 
     # Warm + correctness gate for both variants.
     bank._pallas_batch = False
     r_base = det.find_clip_in_array(audio, batch_size=SCAN_B)
+    n_hits = sum(len(v) for v in r_base[0].values())
+    assert n_hits > 0, "probe audio must carry real detections"
     try:
         bank._pallas_batch = True
         r_pallas = det.find_clip_in_array(audio, batch_size=SCAN_B)
@@ -72,6 +77,7 @@ def main() -> None:
         print(json.dumps({"error": f"pallas scan-batch failed: {e!r}"}))
         return
     assert r_pallas == r_base, "pallas scan-batch results diverge"
+    print(f"identity gate: {n_hits} detections, equal", file=sys.stderr)
 
     def window(pallas: bool) -> float:
         bank._pallas_batch = pallas

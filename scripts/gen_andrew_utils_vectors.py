@@ -62,7 +62,42 @@ EDGE_VALUES = [
     360000.5,
     360000.9,
     1e7,
+    # Adversarial edges (round 5): exact-half-ms points where Python's
+    # banker's rounding and decimal-string rounding can disagree (the
+    # nearest float64 to x.xxx5 sits on either side of the true half),
+    # sub-ms dust, float-representation boundaries just under a carry,
+    # and the no-decimals truncation edge at every field boundary.
+    0.0015,
+    0.0025,  # float64(0.0025) is just below the true half → down?
+    0.0035,
+    0.1235,
+    0.6665,
+    1.9995,
+    2.0005,
+    59.0005,
+    59.4995,
+    59.5005,
+    1e-9,
+    1e-4,
+    4.9999999999999,  # nearest float64 below 5.0
+    59.99999999999999,
+    3599.9999999999995,
+    0.9989999999999999,
+    119.999,
+    7199.9995,
+    35999.9995,  # 10 h field carry
+    215999.9995,  # 60 h
+    1234567.891,  # >300 h regime
+    86399.49949999,
+    86400.5,
+    90000.0005,
 ]
+
+# Values whose BEHAVIOUR (string vs exception) is unknown offline: the
+# reference never passes negatives, and this repo's reimplementation
+# rejects them (ValueError). Recorded separately so a pinning test can
+# compare outcome kinds without guessing.
+BEHAVIOR_VALUES = [-1.0, -0.0005, -0.0, float("nan"), float("inf")]
 
 
 def build_values() -> list[float]:
@@ -103,7 +138,24 @@ def main() -> int:
             }
         )
 
+    behaviors = []
+    for v in BEHAVIOR_VALUES:
+        rec: dict = {"seconds": repr(v)}
+        for key, kwargs in (
+            ("with_decimals", {}),
+            ("no_decimals", {"include_decimals": False}),
+        ):
+            try:
+                rec[key] = {
+                    "kind": "str",
+                    "value": andrew_utils.seconds_to_time(v, **kwargs),
+                }
+            except Exception as e:  # noqa: BLE001 — the outcome IS the data
+                rec[key] = {"kind": type(e).__name__, "value": str(e)}
+        behaviors.append(rec)
+
     out = {
+        "behaviors": behaviors,
         "provenance": {
             "package": "andrew-utils",
             "version": version,

@@ -184,8 +184,24 @@ def test_scan_unroll_cap_wide_batch_identical(monkeypatch):
     B=128 batch must not compile a 128x-unrolled executable). Capped at
     4 with B=10 (remainder 2), results must equal streaming exactly."""
     from audio_pattern_detector_tpu.models import bank as bank_mod
+    import jax
 
     monkeypatch.setattr(bank_mod, "_SCAN_UNROLL_CAP", 4)
+    # The cap is read at TRACE time and is not part of the jit cache
+    # key: if an identically-shaped scan program were already compiled
+    # in this process, the cached cap-32 executable would be silently
+    # reused and the capped schedule would go untested. Clear the jit
+    # cache so the trace must happen here, and spy on lax.scan's unroll
+    # argument to PROVE the capped schedule was actually traced.
+    jax.clear_caches()
+    real_scan = jax.lax.scan
+    seen_unrolls: list = []
+
+    def spy_scan(*args, **kwargs):
+        seen_unrolls.append(kwargs.get("unroll"))
+        return real_scan(*args, **kwargs)
+
+    monkeypatch.setattr(jax.lax, "scan", spy_scan)
 
     rng = np.random.default_rng(17)
     clip = AudioClip(
@@ -206,6 +222,9 @@ def test_scan_unroll_cap_wide_batch_identical(monkeypatch):
     assert scanned == streamed
     assert t0 == t1
     assert len(set(streamed["c"])) == 4
+    # Proof the capped outer-scan schedule ran: the batch program's
+    # lax.scan traced with unroll=min(B=10, cap=4)=4.
+    assert 4 in seen_unrolls, seen_unrolls
 
 
 def test_invalid_batch_mode_rejected():

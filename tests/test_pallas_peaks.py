@@ -328,3 +328,63 @@ class TestPallasGreedyHitPath:
         r_plain, _ = run()
         assert r_pallas == r_plain
         assert r_pallas is not None and len(r_pallas["c"]) == 2
+
+
+class TestPallasBatchDispatchDefault:
+    """Round 4 made the kernel the DEFAULT for scan-batch dispatch on
+    TPU (models/bank.py::__init__, bank._pallas_batch). CI runs on CPU
+    where that default resolves to off, so this suite forces the flag
+    and exercises the exact production combination — the kernel inside
+    the batched scan program — in interpret mode, on audio that carries
+    real normal-clip and marker hits (advisor round 4: the noise-only
+    probe never drove the verify/greedy path under the new default)."""
+
+    def test_scan_batch_hit_bearing_identity(self):
+        from audio_pattern_detector_tpu.models.detector import (
+            MARKER_TONE_STRATEGY,
+            AudioPatternDetector,
+        )
+        from audio_pattern_detector_tpu.utils.clip import AudioClip
+
+        rng = np.random.default_rng(23)
+        t = np.arange(int(0.6 * SR)) / SR
+        clip = (
+            0.5 * np.sin(2 * np.pi * 640.0 * t) * np.hanning(len(t))
+        ).astype(np.float32)
+        freq = 941.0
+        tm = np.arange(int(0.25 * SR)) / SR
+        marker = np.sin(2 * np.pi * freq * tm).astype(np.float32)
+        clips = [
+            AudioClip(name="c", audio=clip, sample_rate=SR),
+            AudioClip(
+                name="m",
+                audio=marker,
+                sample_rate=SR,
+                strategy=MARKER_TONE_STRATEGY,
+                strategy_params={"dominant_frequency_hz": freq},
+            ),
+        ]
+
+        audio = 0.01 * rng.standard_normal(40 * SR)
+        audio[4 * SR : 4 * SR + len(clip)] += clip
+        audio[17 * SR : 17 * SR + len(marker)] += 0.8 * marker
+        audio[33 * SR : 33 * SR + len(clip)] += clip
+        # int16 grid: the scan-batch path bit-packs int16 rows — the
+        # production upload shape for WAV/stdin sources.
+        audio_i16 = np.clip(
+            np.round(audio * 32768), -32768, 32767
+        ).astype(np.int16)
+
+        def run(pallas_batch: bool):
+            det = AudioPatternDetector(clips, seconds_per_chunk=10)
+            bank = det._ensure_bank()
+            bank._pallas_batch = pallas_batch
+            return det.find_clip_in_array(
+                audio_i16, batch_size=2, batch_mode="scan"
+            )
+
+        r_pallas, t_pallas = run(True)
+        r_plain, t_plain = run(False)
+        assert t_pallas == t_plain
+        assert r_pallas == r_plain
+        assert len(r_pallas["c"]) == 2 and len(r_pallas["m"]) == 1

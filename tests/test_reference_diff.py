@@ -11,8 +11,14 @@ the reference's own emitters (reference: match.py:524-565, tests pinned at
 reference tests/test_cli_integration.py:19-49). Caveat recorded in
 docs/reference-parity.md: `andrew_utils.seconds_to_time` is unobtainable
 offline, so both sides format timestamps with this repo's reimplementation;
-the formatted fields therefore verify the shared formatter's placement, not
-the third-party package itself.
+the formatted fields therefore verify the shared formatter's placement.
+The formatter itself is pinned against the four REAL andrew_utils outputs
+recorded in the reference repo's own docs/tests
+(tests/test_utils_misc.py::test_observable_contract_vectors — field
+layout, padding, ms digits, no-decimals form), with half-ms rounding
+edges covered only by the vendorable edge-vector matrix
+(scripts/gen_andrew_utils_vectors.py; permanent residual for this
+environment, docs/reference-parity.md).
 """
 
 import os

@@ -63,6 +63,42 @@ class TestSecondsToTime:
         with pytest.raises(ValueError, match="non-negative"):
             seconds_to_time(-0.5)
 
+    @pytest.mark.parametrize(
+        "seconds,include_decimals,expected,provenance",
+        [
+            # Real outputs of the REAL andrew_utils package, recorded in
+            # the reference repo by its author — the only offline ground
+            # truth that does NOT route through this repo's formatter:
+            (5.5, True, "00:00:05.500",
+             "reference README.md:91 / docs/stdin-modes.md:146 (JSONL "
+             "pattern_detected example, timestamp_formatted)"),
+            (60.0, True, "00:01:00.000",
+             "reference README.md:92 / docs/stdin-modes.md:147 (JSONL "
+             "end example, total_time_formatted)"),
+            (0.0, False, "00:00:00",
+             "reference tests/test_marker_tone_verification.py:73 "
+             "(section_ts for index 0, audio_pattern_detector.py:496)"),
+            (2340.0, False, "00:39:00",
+             "reference docs/development.md:97 (debug artifact name "
+             "rthk_beep_39_00:39:00_*: section 39 x 60 s chunks, "
+             "audio_pattern_detector.py:496)"),
+        ],
+    )
+    def test_observable_contract_vectors(
+        self, seconds, include_decimals, expected, provenance
+    ):
+        """Pin the reimplementation against andrew_utils outputs that are
+        externally recorded in the reference repo itself (docs examples,
+        test constants, a committed debug-artifact filename). Unlike the
+        reference-diff harness — which shims both sides with this repo's
+        formatter — these four strings were produced by the real package,
+        so they break the circularity for the values they cover
+        (docs/reference-parity.md records the residual risk)."""
+        assert (
+            seconds_to_time(seconds, include_decimals=include_decimals)
+            == expected
+        ), provenance
+
     def test_matches_real_andrew_utils_when_installed(self):
         """Cross-check against the real third-party formatter.
 
