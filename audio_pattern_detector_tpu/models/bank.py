@@ -19,6 +19,7 @@ reuses the same executable via dynamic ``n_valid`` masking.
 from __future__ import annotations
 
 import os as _os
+import time as _time
 from dataclasses import dataclass
 from typing import Any
 
@@ -67,6 +68,46 @@ from audio_pattern_detector_tpu.ops.verify import (
 )
 
 _BIG = np.int32(2**30)
+
+_UPLOAD_COPIES: "bool | None" = None
+
+
+def upload_copies_host_buffer() -> bool:
+    """One-per-process probe: does ``jnp.asarray`` COPY a host numpy
+    buffer at the call site (vs aliasing it)? Staging-buffer reuse
+    (PatternBank._payload_pool) is only sound under copy semantics — an
+    aliasing backend would read recycled bytes from an in-flight
+    program's input. The tunnel/TPU path always copies (synchronous h2d
+    RPC, docs/scaling.md); CPU backends have copied in every tested
+    version, but this is configuration-dependent, so probe instead of
+    assuming. Failure of the probe (backend init error) disables
+    pooling — plain per-round allocation is always correct."""
+    global _UPLOAD_COPIES
+    if _UPLOAD_COPIES is None:
+        try:
+            probe = np.full(256 * 1024, 1.0, dtype=np.float32)  # 1 MB
+            dev = jnp.asarray(probe)
+            probe[0] = 2.0
+            _UPLOAD_COPIES = float(np.asarray(dev)[0]) == 1.0
+        except Exception:
+            _UPLOAD_COPIES = False
+    return _UPLOAD_COPIES
+
+
+# Cumulative wall seconds per dispatch_chunks_batch host stage, process-
+# wide (same cheap monotonic bookkeeping as PatternServer.phase_seconds;
+# ~100 ns/round of timer overhead). Read/reset by perf probes
+# (scripts/dev/serve_probe.py) to attribute where a serving round's
+# enqueue time goes: section assembly, int16 pack, h2d upload
+# (synchronous on the tunnel runtime — docs/scaling.md), launch RPC, or
+# the d2h prefetch enqueue.
+dispatch_phase_seconds: dict[str, float] = {
+    "sections": 0.0,
+    "pack": 0.0,
+    "upload": 0.0,
+    "launch": 0.0,
+    "prefetch": 0.0,
+}
 
 
 def _pcm16_to_f32(raw: NDArray[np.int16]) -> NDArray[np.float32]:
@@ -171,6 +212,22 @@ class PatternBank:
         self._pallas_batch = (
             _pallas_env == "1" or (_pallas_env != "0" and _on_tpu)
         )
+        # Batch payload-buffer pool: dispatch_chunks_batch fills a
+        # (b, S) host staging array every round; allocating it fresh
+        # each time hits glibc's mmap threshold for multi-MB sizes, so
+        # EVERY round pays the full first-touch page-fault cost
+        # (measured 40-130 ms for a 15 MB buffer vs 1-2 ms warm — the
+        # dominant term of a serving round's host time, round-5
+        # serve_probe decomposition). Buffers are keyed by
+        # (kind, b, S) and recycled at COLLECT time, when the program
+        # has provably consumed its input. Reuse is only sound when the
+        # upload COPIES the numpy buffer (a backend that aliases it —
+        # some CPU zero-copy configurations — would read recycled
+        # bytes), so it is gated on a one-per-process aliasing probe,
+        # same pattern as packed_upload_supported.
+        self._payload_pool: dict[tuple, list] = {}
+        self._pool_uploads = upload_copies_host_buffer()
+
         # Block-summary lean tier (ops/peaks.py::greedy_survivors_rederive):
         # bitwise-identical survivors with no (G, L) scored/mask buffers —
         # the XLA analogue of the Pallas scan's structure. Opt-in until
@@ -682,6 +739,25 @@ class PatternBank:
             self.dispatch_chunks_batch(chunks, previous_tail, mode)
         )
 
+    def _pool_get(
+        self, key: tuple, shape: tuple, dtype: Any
+    ) -> NDArray[Any]:
+        """A recycled (page-warm) staging buffer for ``key``, or a fresh
+        allocation. Pooling is disabled on the CPU backend (see
+        _payload_pool in __init__), where this is plain np.empty."""
+        if self._pool_uploads:
+            lst = self._payload_pool.get(key)
+            if lst:
+                return lst.pop()
+        return np.empty(shape, dtype=dtype)
+
+    def _pool_put(self, key: tuple, buf: NDArray[Any]) -> None:
+        if not self._pool_uploads:
+            return
+        lst = self._payload_pool.setdefault(key, [])
+        if len(lst) < 4:  # bound: pipeline depth + margin per size class
+            lst.append(buf)
+
     def dispatch_chunks_batch(
         self,
         chunks: list[NDArray[np.float32]],
@@ -735,6 +811,7 @@ class PatternBank:
             return []
         b = len(chunks)
         dispatched = []
+        _t0 = _time.perf_counter()
         for sw, cls in self.classes.items():
             S = cls["section_len"]
             n_valids = np.zeros(b, dtype=np.int32)
@@ -747,6 +824,8 @@ class PatternBank:
                 raw = self._raw_section(sw, chunk, prev)
                 raws.append(raw)
                 n_valids[bi] = len(raw)
+            _t1 = _time.perf_counter()
+            dispatch_phase_seconds["sections"] += _t1 - _t0
 
             group_consts = tuple((g.corr, g.verify) for g in cls["groups"])
             # Packed upload (half the h2d bytes) when every row is 16-bit
@@ -757,6 +836,7 @@ class PatternBank:
             # is off the PCM16 grid (ffmpeg floats, resampled streams).
             packed_rows: NDArray[np.float32] | None = None
             sections: NDArray[np.float32] | None = None
+            pool_rec: "tuple[tuple, NDArray] | None" = None
             if self._packed_upload and S % 2 == 0:
                 # One (b, S) int16 buffer filled row by row: int16 rows
                 # (the serving fast path) copy straight in; f32 rows
@@ -766,7 +846,7 @@ class PatternBank:
                 # no native library) abandons packing for the whole
                 # batch — the f32 fallback below reproduces the exact
                 # old path, so results are identical either way.
-                rows_i16 = np.empty((b, S), dtype=np.int16)
+                rows_i16 = self._pool_get(("i16", b, S), (b, S), np.int16)
                 ok_all = True
                 for bi, raw in enumerate(raws):
                     if raw.dtype == np.int16 or len(raw) == 0:
@@ -784,11 +864,16 @@ class PatternBank:
                             break
                 if ok_all:
                     packed_rows = rows_i16.view(np.float32)
+                    pool_rec = (("i16", b, S), rows_i16)
+                else:
+                    # Abandoned pack: the buffer was never dispatched —
+                    # recycle it immediately.
+                    self._pool_put(("i16", b, S), rows_i16)
             if packed_rows is None:
                 # np.empty + per-row tail zeroing: full rows (the steady
                 # serving/offline case) skip the zero pass np.zeros
                 # would pay every round.
-                sections = np.empty((b, S), dtype=np.float32)
+                sections = self._pool_get(("f32", b, S), (b, S), np.float32)
                 for bi, raw in enumerate(raws):
                     if raw.dtype == np.int16:
                         raw = _pcm16_to_f32(raw)
@@ -802,7 +887,17 @@ class PatternBank:
                     # cast chain (same-process A/B: 11.3 vs 14.7 ms, B=8).
                     packs = [try_pack_pcm16(sections[bi]) for bi in range(b)]
                     if all(p is not None for p in packs):
-                        packed_rows = np.stack(packs)  # type: ignore[arg-type]
+                        packed_rows = self._pool_get(
+                            ("pk", b, S // 2), (b, S // 2), np.float32
+                        )
+                        np.stack(packs, out=packed_rows)  # type: ignore[arg-type]
+                        pool_rec = (("pk", b, S // 2), packed_rows)
+                        # The f32 staging buffer was packed away, not
+                        # dispatched — recycle it now.
+                        self._pool_put(("f32", b, S), sections)
+                        sections = None
+            _t2 = _time.perf_counter()
+            dispatch_phase_seconds["pack"] += _t2 - _t1
             if packed_rows is not None:
                 step_jit = (
                     _class_step_scan_packed_jit
@@ -818,6 +913,7 @@ class PatternBank:
                 )
                 assert sections is not None  # float fallback built above
                 payload_np = sections
+                pool_rec = (("f32", b, S), sections)
             if sharding is not None:
                 # Mesh placement: rows land on their owning devices at
                 # upload; the jitted program compiles against the sharded
@@ -841,6 +937,8 @@ class PatternBank:
             else:
                 payload = jnp.asarray(payload_np)
                 n_valid_dev = jnp.asarray(n_valids.astype(np.float32))
+            _t3 = _time.perf_counter()
+            dispatch_phase_seconds["upload"] += _t3 - _t2
             flat = step_jit(
                 payload,
                 n_valid_dev,
@@ -865,8 +963,12 @@ class PatternBank:
                 ),
                 blocked=self._blocked,
             )
+            _t4 = _time.perf_counter()
+            dispatch_phase_seconds["launch"] += _t4 - _t3
             _host_prefetch(flat)
-            dispatched.append((sw, flat, raws, b))
+            dispatched.append((sw, flat, raws, b, pool_rec))
+            _t0 = _time.perf_counter()
+            dispatch_phase_seconds["prefetch"] += _t0 - _t4
         return dispatched
 
     def collect_chunks_batch(
@@ -877,11 +979,16 @@ class PatternBank:
             return []
         b = dispatched[0][3]
         results: list[dict[str, list[int]]] = [dict() for _ in range(b)]
-        for sw, flat, raws, _b in dispatched:
+        for sw, flat, raws, _b, pool_rec in dispatched:
             cls = self.classes[sw]
             # (B, total), ONE transfer per class; on a multi-host mesh
             # only this process's addressable rows are read (_host_rows).
             flat_np = _host_rows(flat)
+            if pool_rec is not None:
+                # The program's results are on the host, so its input
+                # upload is long consumed: recycle the staging buffer
+                # for a later dispatch (see _payload_pool).
+                self._pool_put(*pool_rec)
 
             flagged_by_bi: dict[int, list[tuple[int, int, bool]]] = {}
             for gi, (g, packed) in enumerate(

@@ -83,6 +83,26 @@ class MultiStreamSession:
         # round instead of compiling a (huge, fully-unrolled) B=256
         # executable. None = a single full-width launch per round.
         self._tile = min(tile, n_streams) if tile is not None else None
+        # Tiled rounds COMPACT: only active rows dispatch, gathered into
+        # a greedy decomposition over this width ladder (the tile plus
+        # every power of two below it — binary decomposition, so a
+        # partial round never pads). Width ladders make device time and
+        # upload bytes proportional to ACTIVE rows instead of slot
+        # count: without them, a 64-slot server at low round occupancy
+        # (fleet arrival transients, live paced stations) burns a full
+        # 64 rows of FFT work and payload upload to advance 2-3 real
+        # chunks (measured: serve64 aggregate 129x while device-only
+        # held ~2800x, scripts/dev/serve_probe.py round 5). Each width
+        # is one compiled program, shape-keyed; PatternServer.warmup
+        # pre-compiles the ladder so no width compiles mid-service.
+        self._tile_widths: list[int] | None = None
+        if self._tile is not None:
+            widths = {self._tile}
+            w = 1
+            while w < self._tile:
+                widths.add(w)
+                w *= 2
+            self._tile_widths = sorted(widths, reverse=True)
         self.detector = detector
         self.n_streams = n_streams
         self._bank = detector._ensure_bank()
@@ -232,23 +252,35 @@ class MultiStreamSession:
                     sharding=self._sharding,
                 )
             ]
+            active = None
         else:
-            # Tiled round: fixed-width launches over the slot rows; the
-            # final tile pads with idle rows (zero-length sections) so
-            # every launch reuses the ONE compiled tile-row program.
-            t = self._tile
+            # Compacted tiled round: gather the ACTIVE rows (slot order
+            # preserved) and dispatch them as a greedy width-ladder
+            # decomposition — largest tile width that fits the remaining
+            # rows each step. The ladder contains every power of two up
+            # to the tile, so the decomposition is exact: no idle-row
+            # padding, device time and h2d bytes scale with the round's
+            # real occupancy. collect() scatters rows back to slots via
+            # the recorded gather order.
+            active = [
+                i for i in range(self.n_streams) if rounds[i] is not None
+            ]
+            assert self._tile_widths is not None
             dispatched = []
-            for lo in range(0, self.n_streams, t):
-                rows = batch[lo : lo + t]
-                row_tails = tails[lo : lo + t]
-                pad = t - len(rows)
-                if pad:
-                    rows = rows + [self._empty] * pad
-                    row_tails = row_tails + [None] * pad
+            k = 0
+            while k < len(active):
+                rem = len(active) - k
+                w = next(
+                    width for width in self._tile_widths if width <= rem
+                )
+                slots = active[k : k + w]
+                k += w
                 dispatched.append(
                     self._bank.dispatch_chunks_batch(
-                        rows, None, mode=self._batch_mode,
-                        prev_tails=row_tails,
+                        [batch[i] for i in slots],
+                        None,
+                        mode=self._batch_mode,
+                        prev_tails=[tails[i] for i in slots],
                     )
                 )
         # (stream_active, index, had_prev) snapshot for collect-time
@@ -262,15 +294,22 @@ class MultiStreamSession:
             self._tails[i] = batch[i][int(-self._max_sw * self._sr):].copy()
             self._indices[i] += 1
             self._times[i] += len(batch[i]) / self._sr
-        return (dispatched, meta)
+        return (dispatched, meta, active)
 
     def collect(self, handle: Any) -> list[dict[str, list[float]]]:
         """Block on a dispatched round; per-stream detection times."""
-        dispatched, meta = handle
-        results: list[dict[str, list[int]]] = []
+        dispatched, meta, active = handle
+        rows: list[dict[str, list[int]]] = []
         for d in dispatched:
-            results.extend(self._bank.collect_chunks_batch(d))
-        results = results[: self.n_streams]  # drop final-tile padding rows
+            rows.extend(self._bank.collect_chunks_batch(d))
+        if active is None:
+            results = rows[: self.n_streams]
+        else:
+            # Scatter the compacted rows back to their slots (idle slots
+            # never dispatched a row).
+            results = [dict() for _ in range(self.n_streams)]
+            for pos, slot in enumerate(active):
+                results[slot] = rows[pos]
         out: list[dict[str, list[float]]] = []
         for i, m in enumerate(meta):
             if m is None:

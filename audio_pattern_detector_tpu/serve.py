@@ -285,6 +285,10 @@ class PatternServer:
             "dispatch": 0.0,
             "finish": 0.0,
         }
+        # Cumulative dispatched round count / active-row count — read by
+        # probes to attribute round occupancy (rows/round vs slots).
+        self.rounds_dispatched = 0
+        self.rows_dispatched = 0
 
     @property
     def address(self) -> tuple[str, int]:
@@ -296,28 +300,41 @@ class PatternServer:
 
         First-launch compilation can take tens of seconds on a cold
         cache; running throwaway rounds up front keeps the first
-        client's latency at chunk cadence instead. Two rounds: zeros
-        sit on the 16-bit PCM grid and compile the packed-upload
-        program; an off-grid round compiles the float fallback the
-        dispatch path switches to whenever ANY stream in a round
-        carries non-PCM16-exact samples (e.g. an IEEE-float WAV client)
-        — without it, that client's first round would stall every
-        connected stream on a mid-service compile.
+        client's latency at chunk cadence instead. For each program
+        WIDTH the session can dispatch (the full tile width ladder on a
+        tiled server — compacted rounds pick the widths matching their
+        occupancy; just the slot width otherwise), two rounds: zeros on
+        the 16-bit PCM grid compile the packed-upload program; an
+        off-grid round compiles the float fallback the dispatch path
+        switches to whenever ANY stream in a round carries
+        non-PCM16-exact samples (e.g. an IEEE-float WAV client) —
+        without these, a first round at a new occupancy (or that
+        client's first round) would stall every connected stream on a
+        mid-service compile.
         """
         # Fill values are salted with wall time so no two processes ever
         # issue value-identical warmup rounds: the runtime memoises
         # executions server-side by (program, inputs), and a process
         # killed mid-warmup would leave a poisoned entry every later
         # warmup hangs on (docs/scaling.md rule 10). The salt keeps the
-        # on-grid round 16-bit-PCM-exact (k/32768) and the second round
-        # off-grid.
+        # on-grid rounds 16-bit-PCM-exact (k/32768) and the off-grid
+        # rounds off-grid; each round's rows get distinct values.
+        widths = self.session._tile_widths or [self.max_streams]
         k = float(time.time_ns() % 20000 + 1)
-        for fill in (k / 32768.0, 1e-4 + k * 1e-9):
-            self.session.feed(
-                [np.full(self.chunk_samples, fill, dtype=np.float32)]
-                + [None] * (self.max_streams - 1)
-            )
-            self.session.reset(0)
+        for w in widths:
+            for on_grid in (True, False):
+                chunks: list[Any] = [None] * self.max_streams
+                for r in range(w):
+                    v = k + r + (1 if on_grid else 0)
+                    fill = (
+                        v / 32768.0 if on_grid else 1e-4 + v * 1e-9
+                    )
+                    chunks[r] = np.full(
+                        self.chunk_samples, fill, dtype=np.float32
+                    )
+                self.session.feed(chunks)
+                for r in range(w):
+                    self.session.reset(r)
 
     def shutdown(self) -> None:
         """Stop ``serve_forever`` from any thread (idempotent)."""
@@ -631,6 +648,8 @@ class PatternServer:
             conn.pending += 1
         self._inflight.append((handle, members))
         self._stat_rounds += 1
+        self.rounds_dispatched += 1
+        self.rows_dispatched += len(members)
         self._stat_samples += sum(
             len(c) for c in chunks if c is not None
         )

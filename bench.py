@@ -28,7 +28,7 @@ and poisons the process. Strategy:
   * the child first runs a tiny canary program + device->host transfer —
     if even that fails the window is degraded and the child exits fast
     with a distinct code so the parent sleeps longer before retrying;
-  * attempts spread over a time budget (APD_BENCH_BUDGET_S, default 75 min)
+  * attempts spread over a time budget (APD_BENCH_BUDGET_S, default 90 min)
     with escalating sleeps instead of a fixed 4x180 s;
   * every successful measurement is persisted to
     bench_results/tpu_measurement.json; if all live attempts fail but a
@@ -172,6 +172,98 @@ def _canary() -> None:
     out = np.asarray(jax.jit(lambda a: jnp.fft.irfft(jnp.fft.rfft(a), n))(sig))
     assert out.shape == (n,)
     assert np.allclose(out[:64], np.asarray(sig[:64]), atol=1e-3)
+
+
+# ── Per-family window hygiene (VERDICT r4 #3) ──────────────────────────
+# One bench run spans multiple ~20-40 min tunnel windows, so a start-only
+# canary lets later metric families record degraded-window numbers that
+# read as real. Each family is bracketed by a TRIPWIRE — a salted
+# ~1M-point FFT + full d2h round trip (the same shape of work the
+# flagship chunk step does) — and tagged healthy only when both the
+# before and after tripwires were fast. A family whose pre-tripwire is
+# degraded WAITS (bounded, shared budget) for the window to heal before
+# measuring.
+_HEALTH: dict = {}
+_TRIPWIRE: dict = {"fn": None, "salt": int(time.time_ns() % 100000) * 1000}
+_TRIPWIRE_THRESH_MS = float(os.environ.get("APD_BENCH_TRIPWIRE_MS", "2000"))
+_HEAL_BUDGET = {"s": float(os.environ.get("APD_BENCH_HEAL_BUDGET_S", "360"))}
+
+
+def _tripwire_ms() -> float:
+    """Time one salted FFT+d2h round trip (ms). Salting matters: the
+    tunnel runtime memoises executions by (program, inputs), so a
+    repeated identical probe would time a cache hit even in a degraded
+    window (docs/scaling.md rule 10)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = 1 << 20
+    if _TRIPWIRE["fn"] is None:
+        _TRIPWIRE["fn"] = jax.jit(
+            lambda a: jnp.fft.irfft(jnp.fft.rfft(a), n)
+        )
+        _TRIPWIRE["salt"] += 1
+        sig = jnp.asarray(
+            np.random.default_rng(_TRIPWIRE["salt"])
+            .standard_normal(n)
+            .astype(np.float32)
+        )
+        np.asarray(_TRIPWIRE["fn"](sig))  # compile outside the timer
+    _TRIPWIRE["salt"] += 1
+    sig = jnp.asarray(
+        np.random.default_rng(_TRIPWIRE["salt"])
+        .standard_normal(n)
+        .astype(np.float32)
+    )
+    t0 = time.perf_counter()
+    np.asarray(_TRIPWIRE["fn"](sig))
+    return 1e3 * (time.perf_counter() - t0)
+
+
+_FAM_STATE: dict = {}
+
+
+def _fam_begin(name: str) -> None:
+    """Open a metric family: probe the window; if degraded, wait (30 s
+    steps, bounded by the run's shared heal budget) for it to recover
+    before measuring."""
+    try:
+        tw = _tripwire_ms()
+        while tw >= _TRIPWIRE_THRESH_MS and _HEAL_BUDGET["s"] > 0:
+            print(
+                f"[bench] {name}: window degraded (tripwire "
+                f"{tw:.0f} ms) — waiting 30 s "
+                f"({_HEAL_BUDGET['s']:.0f} s heal budget left)",
+                file=sys.stderr,
+            )
+            sys.stderr.flush()
+            time.sleep(30)
+            _HEAL_BUDGET["s"] -= 30
+            tw = _tripwire_ms()
+        _FAM_STATE[name] = tw
+    except Exception as e:  # noqa: BLE001 — the guard must never kill a run
+        print(f"[bench] {name}: tripwire failed: {e}", file=sys.stderr)
+        _FAM_STATE[name] = float("inf")
+
+
+def _fam_end(name: str) -> None:
+    """Close a metric family: probe again and tag it healthy only if
+    BOTH brackets were fast — a window that flipped mid-family shows up
+    as healthy=false in window_health, never as a silently polluted
+    number."""
+    try:
+        after = _tripwire_ms()
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] {name}: tripwire failed: {e}", file=sys.stderr)
+        after = float("inf")
+    before = _FAM_STATE.pop(name, float("inf"))
+    _HEALTH[name] = {
+        "healthy": bool(
+            before < _TRIPWIRE_THRESH_MS and after < _TRIPWIRE_THRESH_MS
+        ),
+        "tripwire_ms": [round(min(before, 1e9), 1), round(min(after, 1e9), 1)],
+    }
 
 
 def _persist_partial(streaming_x: float, detections: int) -> None:
@@ -485,6 +577,180 @@ def _measure_serve_capacity(
     return capacity
 
 
+def _measure_serve_live(
+    clips, bank, hit_chunks, sr: int, chunk_seconds: int
+) -> "int | None":
+    """Paced-realtime serving (VERDICT r4 #2): N clients stream at 1×
+    — sleep-paced 2 s writes, like live stations feeding at capture
+    cadence — with REAL detections in every chunk (one normal + one
+    marker hit), unlike the offline-drain capacity ladder. Measures the
+    product claim directly: per-event latency from the moment an
+    event's chunk finished uploading to the moment the client read the
+    JSONL line, and whether every station held cadence. Records
+    serve_live{N}_p99_event_latency_s / _events / _slip_s in _EXTRA and
+    returns serve_capacity_live_streams: the largest N where every
+    client completed, no client slipped more than one chunk past the
+    ideal wall, and p99 event latency stayed under one chunk period.
+
+    Wall cost: each rung runs one stream-length at 1× (two chunks =
+    2×chunk_seconds) — this is inherent to a paced measurement.
+    """
+    import math
+    import socket
+    import threading
+
+    import numpy as np
+
+    from audio_pattern_detector_tpu.models.detector import AudioPatternDetector
+    from audio_pattern_detector_tpu.serve import PatternServer
+
+    steps = [
+        int(s)
+        for s in os.environ.get("APD_BENCH_LIVE_STEPS", "64,128").split(",")
+        if s
+    ]
+    import struct
+
+    n_chunks = 2
+    stream_s = n_chunks * chunk_seconds
+    audio = np.concatenate([hit_chunks[i % len(hit_chunks)] for i in range(n_chunks)])
+    body = audio.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(body))
+    )
+    chunk_bytes = chunk_seconds * sr * 2
+    block_s = 2.0
+    block_bytes = int(block_s * sr) * 2
+
+    capacity: "int | None" = None
+    for width in steps:
+        det = AudioPatternDetector(
+            audio_clips=clips, seconds_per_chunk=chunk_seconds
+        )
+        det._bank = bank
+        server = PatternServer(
+            detector=det, max_streams=width, timestamp_format="ms",
+            pipeline_depth=2,
+        )
+        server.warmup()
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        port = server.address[1]
+
+        latencies: list = []
+        walls: list = [None] * width
+        lat_lock = threading.Lock()
+
+        def client(i: int) -> None:
+            # Random-ish phase offset so stations are desynchronised
+            # like real capture cadences (also spreads round sizes).
+            time.sleep((i % 16) * (block_s / 16.0))
+            sock = socket.create_connection(("127.0.0.1", port), timeout=300)
+            chunk_done: dict[int, float] = {}
+            my_lat: list = []
+            end_seen = threading.Event()
+
+            def receiver() -> None:
+                buf = b""
+                sock.settimeout(stream_s + 300)
+                while True:
+                    try:
+                        d = sock.recv(1 << 16)
+                    except OSError:
+                        break
+                    if not d:
+                        break
+                    buf += d
+                    while b"\n" in buf:
+                        line, buf = buf.split(b"\n", 1)
+                        ev = json.loads(line)
+                        if ev["type"] == "pattern_detected":
+                            t = time.perf_counter()
+                            k = ev["timestamp_ms"] // (chunk_seconds * 1000)
+                            done = chunk_done.get(k)
+                            if done is not None:
+                                my_lat.append(t - done)
+                        elif ev["type"] == "end":
+                            assert ev["total_time_ms"] == stream_s * 1000
+                            end_seen.set()
+
+            rx = threading.Thread(target=receiver, daemon=True)
+            rx.start()
+            t0 = time.perf_counter()
+            sock.sendall(hdr)
+            sent = 0
+            while sent < len(body):
+                block = body[sent : sent + block_bytes]
+                sock.sendall(block)
+                sent += len(block)
+                if sent % chunk_bytes == 0 or sent == len(body):
+                    chunk_done[(sent - 1) // chunk_bytes] = time.perf_counter()
+                # Pace: sleep until the wall time this byte offset
+                # corresponds to at 1× realtime.
+                target = t0 + (sent / 2) / sr
+                delay = target - time.perf_counter()
+                if delay > 0 and sent < len(body):
+                    time.sleep(delay)
+            sock.shutdown(socket.SHUT_WR)
+            end_seen.wait(timeout=300)
+            rx.join(timeout=60)
+            sock.close()
+            if end_seen.is_set():
+                walls[i] = time.perf_counter() - t0
+                with lat_lock:
+                    latencies.extend(my_lat)
+
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(width)
+        ]
+        t_rung = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=stream_s + 600)
+        ok = all(w is not None for w in walls) and not any(
+            t.is_alive() for t in threads
+        )
+        server.shutdown()
+        thread.join(timeout=30)
+
+        if not ok or not latencies:
+            print(
+                f"[bench] serve_live{width}: incomplete "
+                f"({sum(w is None for w in walls)} clients unfinished)",
+                file=sys.stderr,
+            )
+            break
+        lat_sorted = sorted(latencies)
+        p99 = lat_sorted[
+            min(len(lat_sorted) - 1, math.ceil(0.99 * len(lat_sorted)) - 1)
+        ]
+        p50 = lat_sorted[len(lat_sorted) // 2]
+        # Cadence slip: how far the worst station's end-to-end wall ran
+        # past the stream length (a 1×-paced station that keeps up
+        # finishes within one round-latency of the audio duration).
+        slip = max(w for w in walls) - stream_s
+        _EXTRA[f"serve_live{width}_events"] = len(latencies)
+        _EXTRA[f"serve_live{width}_p50_event_latency_s"] = round(p50, 3)
+        _EXTRA[f"serve_live{width}_p99_event_latency_s"] = round(p99, 3)
+        _EXTRA[f"serve_live{width}_slip_s"] = round(slip, 2)
+        print(
+            f"[bench] serve_live{width}: {len(latencies)} events, "
+            f"p50 {p50:.3f}s p99 {p99:.3f}s slip {slip:.2f}s "
+            f"({time.perf_counter() - t_rung:.0f}s rung)",
+            file=sys.stderr,
+        )
+        if p99 <= chunk_seconds and slip <= chunk_seconds:
+            capacity = width
+            _EXTRA["serve_live_p99_event_latency_s"] = round(p99, 3)
+        else:
+            break
+    return capacity
+
+
 def _measure_cold_start() -> "tuple[float, float]":
     """(first_run_s, warm_run_s) wall for a fresh-process one-pattern
     `match` over 120 s of WAV audio — the CLI deployment cold-start
@@ -601,11 +867,13 @@ def run_bench() -> dict:
         x, detections = run_streaming(15)
         return x
 
+    _fam_begin("streaming")
     _sample("streaming", _streaming_sample)
     _persist_partial(_stats("streaming")[0], detections)
 
     # ── Deep pipeline (3 chunks in flight): hides per-launch round trips ──
     _sample("deep_pipeline", lambda: run_streaming(15, depth=3)[0])
+    _fam_end("streaming")
 
     # ── Device-only: the jitted class step, h2d/unpack excluded ──
     import jax
@@ -643,7 +911,9 @@ def run_bench() -> dict:
         jax.block_until_ready(outs)
         return n_dev * chunk_seconds / (time.perf_counter() - t0)
 
+    _fam_begin("device_only")
     _sample("device_only", _device_sample)
+    _fam_end("device_only")
 
     # ── Batched offline scan (amortised launches) ──
     from audio_pattern_detector_tpu.models.detector import AudioPatternDetector
@@ -666,6 +936,7 @@ def run_bench() -> dict:
         det.find_clip_in_array(long_audio, batch_size=batch)
         return (len(long_audio) / sr) / (time.perf_counter() - t0)
 
+    _fam_begin("offline_batch")
     _sample("batched", _batched_sample)
 
     # ── Scanned offline (one launch per batch, chunks sequential on-device;
@@ -684,6 +955,7 @@ def run_bench() -> dict:
         return (len(scan_audio) / sr) / (time.perf_counter() - t0)
 
     _sample("scanned", _scanned_sample)
+    _fam_end("offline_batch")
 
     # ── Big-chunk configurations (first-class engine configs via
     # --chunk-seconds: larger chunks amortise per-launch round trips and
@@ -719,6 +991,7 @@ def run_bench() -> dict:
         for s in os.environ.get("APD_BENCH_BIG_CHUNKS", "120,240,480").split(",")
         if s
     ]
+    _fam_begin("chunk_combos")
     for _pass in range(3):
         for big_s in big_sizes:
             try:
@@ -839,7 +1112,9 @@ def run_bench() -> dict:
                 )
         except Exception as e:  # noqa: BLE001 — secondary metric only
             print(f"[bench] combo {spec} failed: {e}", file=sys.stderr)
+    _fam_end("chunk_combos")
 
+    _fam_begin("hit_bearing")
     # ── Hit-bearing stream (VERDICT r1 #1): every chunk carries one
     # normal hit and one marker-tone hit, so the lean tier's flag-2 path
     # (row-granular / class full-tier rerun) prices into the measurement —
@@ -872,20 +1147,24 @@ def run_bench() -> dict:
         _sample("hit_bearing", _hit_sample)
     except Exception as e:  # noqa: BLE001 — secondary metric only
         print(f"[bench] hit-bearing metric failed: {e}", file=sys.stderr)
+    _fam_end("hit_bearing")
 
     # ── Default CLI path (VERDICT r1 #2): plain
     # `match file.wav --pattern-file ...` with no tuning flags — file-mode
     # auto-perf chunk sizing must clear the target on its own. ──
+    _fam_begin("default_cli")
     try:
         _measure_default_cli(clips, chunks, sr, chunk_seconds)
     except Exception as e:  # noqa: BLE001 — secondary metric only
         print(f"[bench] default-CLI metric failed: {e}", file=sys.stderr)
+    _fam_end("default_cli")
 
     # ── Multi-stream serving (MultiStreamSession): N independent live
     # streams, one vmapped launch per feed round — a single chip serving
     # N stations concurrently. Aggregate audio-seconds per wall-second
     # (excluded from the single-stream headline max). ──
     n_ms = int(os.environ.get("APD_BENCH_MULTI_STREAMS", "8"))
+    _fam_begin("multi_stream")
     try:
         from audio_pattern_detector_tpu.models.multistream import (
             MultiStreamSession,
@@ -922,38 +1201,70 @@ def run_bench() -> dict:
         _sample(f"multi_stream{n_ms}", _ms_sample)
     except Exception as e:  # noqa: BLE001 — secondary metric only
         print(f"[bench] multi-stream metric failed: {e}", file=sys.stderr)
+    _fam_end("multi_stream")
 
     # ── TCP serve stack (VERDICT r2 #7): real loopback clients through
     # serve.py's selector loop — the deployment surface, measured. ──
+    _fam_begin("serve")
     try:
         _measure_serve(clips, bank, chunks, sr, chunk_seconds)
     except Exception as e:  # noqa: BLE001 — secondary metric only
         print(f"[bench] serve metric failed: {e}", file=sys.stderr)
+    _fam_end("serve")
 
     # ── Serving-capacity ladder (VERDICT r3 #3): N = 32/64/128 clients;
     # capacity = largest N sustaining >= 1x realtime per stream. ──
     serve_capacity: "int | None" = None
+    _fam_begin("serve_capacity")
     try:
         serve_capacity = _measure_serve_capacity(
             clips, bank, chunks, sr, chunk_seconds
         )
     except Exception as e:  # noqa: BLE001 — secondary metric only
         print(f"[bench] serve capacity ladder failed: {e}", file=sys.stderr)
+    _fam_end("serve_capacity")
+
+    # ── Paced-realtime serving (VERDICT r4 #2): clients stream at 1×
+    # with real detections per chunk; per-event latency p99 + cadence
+    # hold are the live-stations product claim, measured directly. ──
+    serve_live_capacity: "int | None" = None
+    # Each paced rung inherently costs one stream-length of wall (1×
+    # pacing); skip on the CPU smoke path unless explicitly requested.
+    _live_wanted = (
+        "APD_BENCH_LIVE_STEPS" in os.environ
+        or jax.devices()[0].platform != "cpu"
+    )
+    if _live_wanted:
+        _fam_begin("serve_live")
+        try:
+            serve_live_capacity = _measure_serve_live(
+                clips, bank, hit_chunks, sr, chunk_seconds
+            )
+        except Exception as e:  # noqa: BLE001 — secondary metric only
+            print(
+                f"[bench] paced live serving rung failed: {e}",
+                file=sys.stderr,
+            )
+        _fam_end("serve_live")
 
     # ── CLI cold start (VERDICT r3 #2): wall time of a fresh-process
     # one-pattern `match` on 120 s of audio, persistent compile cache
     # warm (the deployment-relevant figure; the first run also warms any
     # cold cache entries and is reported separately). ──
     cold_first = cold_warm = None
+    _fam_begin("cold_start")
     try:
         cold_first, cold_warm = _measure_cold_start()
     except Exception as e:  # noqa: BLE001 — secondary metric only
         print(f"[bench] cold-start metric failed: {e}", file=sys.stderr)
+    _fam_end("cold_start")
 
     # Final streaming sample (after the big compiles; widens the window
     # coverage of the headline path's spread).
+    _fam_begin("streaming_final")
     x, _ = run_streaming(15)
     _rec("streaming", x)
+    _fam_end("streaming_final")
     _persist_partial(_stats("streaming")[0], detections)
 
     platform = jax.devices()[0].platform
@@ -983,6 +1294,13 @@ def run_bench() -> dict:
     }
     if serve_capacity is not None:
         result["serve_capacity_streams"] = serve_capacity
+    if serve_live_capacity is not None:
+        result["serve_capacity_live_streams"] = serve_live_capacity
+    if _HEALTH:
+        result["window_health"] = dict(_HEALTH)
+        result["all_windows_healthy"] = all(
+            h["healthy"] for h in _HEALTH.values()
+        )
     result.update(_EXTRA)
     if cold_warm is not None:
         result["cold_start_seconds"] = round(cold_warm, 2)
@@ -1110,7 +1428,7 @@ def main() -> None:
         return
 
     env = dict(os.environ, APD_BENCH_INNER="1")
-    budget = float(os.environ.get("APD_BENCH_BUDGET_S", "4500"))
+    budget = float(os.environ.get("APD_BENCH_BUDGET_S", "5400"))
     deadline = time.monotonic() + budget
     attempt = 0
     sleep_healthy, sleep_degraded = 30.0, 240.0
@@ -1122,7 +1440,7 @@ def main() -> None:
         # Cap each attempt well below the whole budget: a window that
         # degrades MID-RUN (after the canary) would otherwise hang one
         # child for the entire budget with nothing persisted.
-        attempt_cap = float(os.environ.get("APD_BENCH_ATTEMPT_CAP_S", "2700"))
+        attempt_cap = float(os.environ.get("APD_BENCH_ATTEMPT_CAP_S", "3600"))
         timed_out = False
         r = None
         try:

@@ -114,15 +114,26 @@ def measure(clips, bank, width: int) -> dict:
     # Two passes: the second reuses recycled slots with everything warm,
     # separating steady-state serving cost from first-window effects
     # (shared-chip variance shows up as cold/warm disagreement).
+    from audio_pattern_detector_tpu.models.bank import (
+        dispatch_phase_seconds,
+    )
+
     cold = fleet()
     snap0 = dict(server.phase_seconds)
-    rounds0 = server._stat_rounds
+    dsnap0 = dict(dispatch_phase_seconds)
+    rounds0 = server.rounds_dispatched
+    rows0 = server.rows_dispatched
     warm = fleet()
     phases = {
         k: round(v - snap0.get(k, 0.0), 3)
         for k, v in server.phase_seconds.items()
     }
-    rounds = server._stat_rounds - rounds0
+    dphases = {
+        k: round(v - dsnap0.get(k, 0.0), 3)
+        for k, v in dispatch_phase_seconds.items()
+    }
+    rounds = server.rounds_dispatched - rounds0
+    rows = server.rows_dispatched - rows0
     server.shutdown()
     thread.join(timeout=30)
 
@@ -134,7 +145,10 @@ def measure(clips, bank, width: int) -> dict:
         "aggregate_x_realtime": round(total_audio / warm, 1),
         "per_stream_x_realtime": round(STREAM_SECONDS / warm, 1),
         "warm_rounds": rounds,
+        "warm_rows": rows,
+        "warm_rows_per_round": round(rows / max(rounds, 1), 2),
         "warm_phase_seconds": phases,
+        "warm_dispatch_stage_seconds": dphases,
     }
 
 

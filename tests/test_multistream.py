@@ -184,6 +184,44 @@ class TestMultiStreamSession:
             assert sess_t.total_time(i) == sess_u.total_time(i)
             assert sess_t.checkpoint(i).to_bytes() == sess_u.checkpoint(i).to_bytes()
 
+    def test_tiled_rounds_compact_to_active_rows(self, clips):
+        """A tiled round dispatches ONLY its active rows, decomposed
+        into width-ladder tiles (largest-fit over the tile's powers of
+        two) with no idle-row padding: device time and upload bytes
+        must scale with occupancy, not slot count (round 5 —
+        the serve64/128 collapse was full-width padded rounds at ~3-row
+        occupancy, scripts/dev/serve_probe.py)."""
+        det = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=CHUNK_S)
+        sess = MultiStreamSession(det, n_streams=16, tile=8)
+        assert sess._tile_widths == [8, 4, 2, 1]
+        rng = np.random.default_rng(5)
+
+        # Scattered slot assignment order (a fixed permutation) so the
+        # active set is non-contiguous — proves the gather order is slot
+        # order, not contiguity.
+        perm = [1, 14, 3, 8, 0, 11, 6, 13, 2, 9, 4, 15, 7, 10, 5, 12]
+
+        def round_widths(n_active):
+            chunks = [None] * 16
+            for i in perm[:n_active]:
+                chunks[i] = (
+                    0.05 * rng.standard_normal(CHUNK_S * SR)
+                ).astype(np.float32)
+            handle = sess.dispatch(chunks)
+            dispatched, _meta, active = handle
+            assert len(active) == n_active
+            widths = [d[0][3] for d in dispatched]  # b per tile launch
+            sess.collect(handle)
+            return widths
+
+        assert round_widths(0) == []
+        assert round_widths(1) == [1]
+        assert round_widths(3) == [2, 1]
+        assert round_widths(7) == [4, 2, 1]
+        assert round_widths(8) == [8]
+        assert round_widths(13) == [8, 4, 1]
+        assert round_widths(16) == [8, 8]
+
     def test_tile_validation(self, clips):
         det = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=CHUNK_S)
         with pytest.raises(ValueError, match="tile"):

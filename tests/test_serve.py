@@ -603,6 +603,137 @@ class TestPatternServer:
             thread.join(timeout=30)
             assert not thread.is_alive()
 
+    def test_serve_32_streams_paced_realtime(self, clips):
+        """Paced live serving (VERDICT r4 #2): 32 clients stream at 1×
+        realtime — sleep-paced writes at capture cadence, the actual
+        "live stations" product claim — with real detections. Every
+        client must hold cadence (wall ≈ audio duration, not longer by
+        more than a round latency) and receive each chunk's events
+        promptly after that chunk finished uploading."""
+        beep_audio = load_wave_file(corpus("rthk_section_with_beep.wav"), SR)
+        audio = np.concatenate([beep_audio[: 2 * CHUNK_S * SR]])
+        n_chunks = 2
+        stream_s = n_chunks * CHUNK_S
+        quantised = (
+            np.round(audio * 32768.0).clip(-32768, 32767)
+            / np.float32(32768.0)
+        ).astype(np.float32)
+        expected = serial_events_ms(clips, quantised)
+        assert expected, "paced test audio must carry detections"
+
+        payload = wav_payload(audio, "i16")
+        hdr, body = payload[:44], payload[44:]
+        chunk_bytes = CHUNK_S * SR * 2
+        block_bytes = SR // 2 * 2  # 0.25 s of audio per paced write
+
+        srv = PatternServer(
+            clips,
+            host="127.0.0.1",
+            port=0,
+            max_streams=32,
+            seconds_per_chunk=CHUNK_S,
+            pipeline_depth=2,
+        )
+        srv.warmup()
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        width = 32
+        results: list = [None] * width
+        latencies: list = [None] * width
+        walls: list = [None] * width
+        try:
+            port = srv.address[1]
+
+            def client(i):
+                time.sleep((i % 8) * 0.03)  # desynchronised phases
+                sock = socket.create_connection(("127.0.0.1", port), timeout=60)
+                chunk_done: dict[int, float] = {}
+                events: list = []
+                my_lat: list = []
+                done = threading.Event()
+
+                def receiver():
+                    sock.settimeout(120)
+                    buf = b""
+                    while True:
+                        try:
+                            d = sock.recv(1 << 16)
+                        except OSError:
+                            break
+                        if not d:
+                            break
+                        buf += d
+                        while b"\n" in buf:
+                            line, buf = buf.split(b"\n", 1)
+                            ev = json.loads(line)
+                            events.append(ev)
+                            if ev["type"] == "pattern_detected":
+                                t = time.perf_counter()
+                                k = ev["timestamp_ms"] // (CHUNK_S * 1000)
+                                if k in chunk_done:
+                                    my_lat.append(t - chunk_done[k])
+                            elif ev["type"] == "end":
+                                done.set()
+
+                rx = threading.Thread(target=receiver, daemon=True)
+                rx.start()
+                t0 = time.perf_counter()
+                sock.sendall(hdr)
+                sent = 0
+                while sent < len(body):
+                    sock.sendall(body[sent : sent + block_bytes])
+                    sent += min(block_bytes, len(body) - sent)
+                    if sent % chunk_bytes == 0 or sent == len(body):
+                        chunk_done[(sent - 1) // chunk_bytes] = (
+                            time.perf_counter()
+                        )
+                    target = t0 + (sent / 2) / SR
+                    delay = target - time.perf_counter()
+                    if delay > 0 and sent < len(body):
+                        time.sleep(delay)
+                sock.shutdown(socket.SHUT_WR)
+                done.wait(timeout=120)
+                rx.join(timeout=30)
+                sock.close()
+                walls[i] = time.perf_counter() - t0
+                results[i] = events
+                latencies[i] = my_lat
+
+            threads = [
+                threading.Thread(target=client, args=(i,))
+                for i in range(width)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=300)
+                assert not t.is_alive()
+        finally:
+            srv.shutdown()
+            thread.join(timeout=30)
+            assert not thread.is_alive()
+
+        all_lat: list = []
+        for i in range(width):
+            events = results[i]
+            assert events is not None and events[-1]["type"] == "end", (
+                f"client {i}: {events and events[-1]}"
+            )
+            assert events[-1]["total_time_ms"] == stream_s * 1000
+            assert events_by_clip(events) == expected, f"client {i}"
+            # Cadence held: the 1×-paced stream finished within one
+            # chunk period of the audio duration (loose CPU-safe bound
+            # — on TPU the tail is one round latency, ≪ a chunk).
+            assert walls[i] < stream_s + 2 * CHUNK_S, (
+                f"client {i} slipped: {walls[i]:.2f}s for {stream_s}s"
+            )
+            all_lat.extend(latencies[i])
+        # Per-event latency: events landed after their chunk completed
+        # (causality) and within a chunk period of it.
+        assert all_lat, "no event latencies measured"
+        assert min(all_lat) > 0
+        assert max(all_lat) < 2 * CHUNK_S, sorted(all_lat)[-5:]
+
     def test_wrong_sample_rate_rejected(self, server):
         port = server.address[1]
         bad = bytearray(wav_payload(np.zeros(16, dtype=np.float32)))
