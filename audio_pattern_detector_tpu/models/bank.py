@@ -34,6 +34,7 @@ from audio_pattern_detector_tpu.ops.correlate import (
     CorrelationBankConsts,
     bank_correlate,
     bank_correlate_abs,
+    bank_correlate_abs_multi,
     bank_correlate_multi,
     build_correlation_bank,
     class_overlap_save_geometry,
@@ -234,6 +235,17 @@ class PatternBank:
         # measured on the target backend; the Pallas scan takes
         # precedence when both are set.
         self._blocked = _os.environ.get("APD_BLOCK_LEAN") == "1"
+        # Merged-irfft geometry (one inverse transform for ALL groups of
+        # a class): measured SLOWER in streaming (round 3) and re-tested
+        # as a static program variant under the scan-batch default
+        # (scripts/dev/merged_irfft_ab.py). Opt-in; a static jit arg so
+        # A/Bs toggle it without retracing games.
+        self._merged = _os.environ.get("APD_MERGED_IRFFT") == "1"
+        # Donate the uploaded payload buffer to the batch program
+        # (_DONATING_JITS): opt-in pending measurement
+        # (scripts/dev/donate_ab.py); CPU backends warn on donation, so
+        # the flag is never defaulted on off-TPU.
+        self._donate = _os.environ.get("APD_DONATE_UPLOAD") == "1"
 
         # ── Group clips by (sliding_window, clip_len, strategy) ──
         grouped: dict[tuple[int, int, str], list[str]] = {}
@@ -453,6 +465,7 @@ class PatternBank:
                 height_min=self.height_min,
                 pallas=pallas,
                 blocked=self._blocked,
+                merged=self._merged,
             )
         else:
             flat = _class_step_fused_jit(
@@ -464,6 +477,7 @@ class PatternBank:
                 height_min=self.height_min,
                 pallas=pallas,
                 blocked=self._blocked,
+                merged=self._merged,
             )
         _host_prefetch(flat)
         return flat
@@ -914,6 +928,8 @@ class PatternBank:
                 assert sections is not None  # float fallback built above
                 payload_np = sections
                 pool_rec = (("f32", b, S), sections)
+            if self._donate and sharding is None:
+                step_jit = _DONATING_JITS[(mode, packed_rows is not None)]
             if sharding is not None:
                 # Mesh placement: rows land on their owning devices at
                 # upload; the jitted program compiles against the sharded
@@ -962,6 +978,7 @@ class PatternBank:
                     )
                 ),
                 blocked=self._blocked,
+                merged=self._merged,
             )
             _t4 = _time.perf_counter()
             dispatch_phase_seconds["launch"] += _t4 - _t3
@@ -1464,6 +1481,7 @@ def _class_step(
     pallas: bool = False,
     wide: bool = False,
     blocked: bool = False,
+    merged: bool = False,
 ) -> list[dict[str, jnp.ndarray]]:
     """The full per-chunk device program for one sliding-window class.
 
@@ -1519,19 +1537,24 @@ def _class_step(
     if lean_packed and pallas:
         # Pallas lean path: raw |corr| only; the single-pass candidate
         # scan derives the observed max itself (ops/pallas_peaks.py).
-        correlations = [
-            bank_correlate_abs(norm, n_valid, c, shared_spec)
-            for c, _ in group_consts
-        ]
+        # APD_MERGED_IRFFT composes here too (one irfft for all groups,
+        # raw-|corr| outputs) so the merged geometry can be A/B'd under
+        # the scan-batch Pallas default (scripts/dev/merged_irfft_ab.py).
+        if shared_spec is not None and merged:
+            correlations = bank_correlate_abs_multi(
+                n_valid, [c for c, _ in group_consts], shared_spec
+            )
+        else:
+            correlations = [
+                bank_correlate_abs(norm, n_valid, c, shared_spec)
+                for c, _ in group_consts
+            ]
     # NOTE a single merged irfft for all groups (bank_correlate_multi) was
     # measured SLOWER on the target backend (15.8 ms vs 13.0 ms same-window
     # head-to-head): its FFT cost is non-monotonic in batch, so merging
     # ops does not pay the way the fixed-cost model predicts. Opt in with
     # APD_MERGED_IRFFT=1 for runtimes where it wins.
-    elif (
-        shared_spec is not None
-        and _os.environ.get("APD_MERGED_IRFFT") == "1"
-    ):
+    elif shared_spec is not None and merged:
         correlations = bank_correlate_multi(
             n_valid, [c for c, _ in group_consts], shared_spec
         )
@@ -1684,7 +1707,7 @@ def _class_step(
 # shape + static metas, so repeated detector construction (tests, CLI runs
 # in one process) reuses compiled programs.
 _class_step_jit = jax.jit(
-    _class_step, static_argnames=("metas", "height_min", "lean", "pallas", "wide", "blocked")
+    _class_step, static_argnames=("metas", "height_min", "lean", "pallas", "wide", "blocked", "merged")
 )
 
 
@@ -1693,18 +1716,18 @@ _class_step_jit = jax.jit(
 # remote runtimes) per class per chunk.
 def _class_step_fused(
     section, n_valid, loud, group_consts, *, metas, height_min, pallas=False,
-    blocked=False,
+    blocked=False, merged=False,
 ):
     outs = _class_step(
         section, n_valid, loud, group_consts,
         metas=metas, height_min=height_min, lean=True, pallas=pallas,
-        blocked=blocked,
+        blocked=blocked, merged=merged,
     )
     return jnp.concatenate([o["packed"].reshape(-1) for o in outs])
 
 
 _class_step_fused_jit = jax.jit(
-    _class_step_fused, static_argnames=("metas", "height_min", "pallas", "blocked")
+    _class_step_fused, static_argnames=("metas", "height_min", "pallas", "blocked", "merged")
 )
 
 
@@ -1713,31 +1736,32 @@ _class_step_fused_jit = jax.jit(
 # per-chunk h2d bytes, bit-exact when the pack succeeded host-side.
 def _class_step_fused_packed(
     packed_section, n_valid, loud, group_consts, *, metas, height_min,
-    pallas=False, blocked=False,
+    pallas=False, blocked=False, merged=False,
 ):
     from audio_pattern_detector_tpu.ops.packing import unpack_pcm16
 
     return _class_step_fused(
         unpack_pcm16(packed_section), n_valid, loud, group_consts,
         metas=metas, height_min=height_min, pallas=pallas, blocked=blocked,
+        merged=merged,
     )
 
 
 _class_step_fused_packed_jit = jax.jit(
-    _class_step_fused_packed, static_argnames=("metas", "height_min", "pallas", "blocked")
+    _class_step_fused_packed, static_argnames=("metas", "height_min", "pallas", "blocked", "merged")
 )
 
 
 # Batched variant: vmap over (section, n_valid); constants broadcast.
 def _class_step_batch(
     sections, n_valids, loud, group_consts, *, metas, height_min,
-    pallas=False, blocked=False,
+    pallas=False, blocked=False, merged=False,
 ):
     import functools
 
     step = functools.partial(
         _class_step_fused, metas=metas, height_min=height_min, pallas=pallas,
-        blocked=blocked,
+        blocked=blocked, merged=merged,
     )
     return jax.vmap(step, in_axes=(0, 0, None, None))(
         sections, n_valids, loud, group_consts
@@ -1745,7 +1769,7 @@ def _class_step_batch(
 
 
 _class_step_batch_jit = jax.jit(
-    _class_step_batch, static_argnames=("metas", "height_min", "pallas", "blocked")
+    _class_step_batch, static_argnames=("metas", "height_min", "pallas", "blocked", "merged")
 )
 
 
@@ -1754,13 +1778,14 @@ _class_step_batch_jit = jax.jit(
 # _class_step_fused_packed, same bit-exactness contract).
 def _class_step_batch_packed(
     packed_sections, n_valids, loud, group_consts, *, metas, height_min,
-    pallas=False, blocked=False,
+    pallas=False, blocked=False, merged=False,
 ):
     import functools
 
     step = functools.partial(
         _class_step_fused_packed,
         metas=metas, height_min=height_min, pallas=pallas, blocked=blocked,
+        merged=merged,
     )
     return jax.vmap(step, in_axes=(0, 0, None, None))(
         packed_sections, n_valids, loud, group_consts
@@ -1768,7 +1793,7 @@ def _class_step_batch_packed(
 
 
 _class_step_batch_packed_jit = jax.jit(
-    _class_step_batch_packed, static_argnames=("metas", "height_min", "pallas", "blocked")
+    _class_step_batch_packed, static_argnames=("metas", "height_min", "pallas", "blocked", "merged")
 )
 
 
@@ -1783,14 +1808,14 @@ _SCAN_UNROLL_CAP = 32
 
 def _class_step_scan_packed(
     packed_sections, n_valids, loud, group_consts, *, metas, height_min,
-    pallas=False, blocked=False,
+    pallas=False, blocked=False, merged=False,
 ):
     def body(carry, inp):
         packed_section, n_valid = inp
         flat = _class_step_fused_packed(
             packed_section, n_valid, loud, group_consts,
             metas=metas, height_min=height_min, pallas=pallas,
-            blocked=blocked,
+            blocked=blocked, merged=merged,
         )
         return carry, flat
 
@@ -1807,7 +1832,7 @@ def _class_step_scan_packed(
 
 
 _class_step_scan_packed_jit = jax.jit(
-    _class_step_scan_packed, static_argnames=("metas", "height_min", "pallas", "blocked")
+    _class_step_scan_packed, static_argnames=("metas", "height_min", "pallas", "blocked", "merged")
 )
 
 
@@ -1818,14 +1843,14 @@ _class_step_scan_packed_jit = jax.jit(
 # runtimes where each execution costs a round trip.
 def _class_step_scan(
     sections, n_valids, loud, group_consts, *, metas, height_min,
-    pallas=False, blocked=False,
+    pallas=False, blocked=False, merged=False,
 ):
     def body(carry, inp):
         section, n_valid = inp
         flat = _class_step_fused(
             section, n_valid, loud, group_consts,
             metas=metas, height_min=height_min, pallas=pallas,
-            blocked=blocked,
+            blocked=blocked, merged=merged,
         )
         return carry, flat
 
@@ -1848,5 +1873,36 @@ def _class_step_scan(
 
 
 _class_step_scan_jit = jax.jit(
-    _class_step_scan, static_argnames=("metas", "height_min", "pallas", "blocked")
+    _class_step_scan, static_argnames=("metas", "height_min", "pallas", "blocked", "merged")
 )
+
+# Donating twins of the four batch/scan programs: the payload (arg 0) is
+# donated so XLA may alias its HBM buffer for outputs instead of holding
+# both live (VERDICT r4 #4 "buffer donation on section uploads"). The
+# dispatch path never re-reads the uploaded array, so donation is
+# side-effect-free for results; kept as separate executables (donation
+# is a compile-time property) selected by PatternBank._donate so A/Bs
+# can alternate within one process.
+_DONATING_JITS = {
+    ("scan", True): jax.jit(
+        _class_step_scan_packed,
+        static_argnames=("metas", "height_min", "pallas", "blocked", "merged"),
+        donate_argnums=(0,),
+    ),
+    ("scan", False): jax.jit(
+        _class_step_scan,
+        static_argnames=("metas", "height_min", "pallas", "blocked", "merged"),
+        donate_argnums=(0,),
+    ),
+    ("vmap", True): jax.jit(
+        _class_step_batch_packed,
+        static_argnames=("metas", "height_min", "pallas", "blocked", "merged"),
+        donate_argnums=(0,),
+    ),
+    ("vmap", False): jax.jit(
+        _class_step_batch,
+        static_argnames=("metas", "height_min", "pallas", "blocked", "merged"),
+        donate_argnums=(0,),
+    ),
+}
+

@@ -232,13 +232,16 @@ class PatternServer:
         # are partitioned across devices: N chips serve N× the streams at
         # identical per-stream semantics (models/multistream.py).
         #
-        # ``tile``: for wide servers (max_streams ≳ 32), a round's rows
-        # dispatch as fixed-width tiles of ONE compiled program rather
-        # than one huge batch — compile time and device memory are
-        # bounded by the tile (models/multistream.py). Default: 16-row
-        # tiles once the slot count exceeds 16, full-width below that.
-        if tile is None and mesh is None and max_streams > 16:
-            tile = 16
+        # ``tile``: a round's rows dispatch as a compacted width-ladder
+        # decomposition of tiles (models/multistream.py) rather than one
+        # fixed full-width batch — compile time and device memory are
+        # bounded by the tile, and device time + upload bytes scale with
+        # round OCCUPANCY (live paced stations, fleet arrival, stream
+        # tails), not slot count. Default: 16-row tiles (the slot count
+        # caps the tile below 16); meshes need the static full-width
+        # row→device layout instead.
+        if tile is None and mesh is None:
+            tile = min(16, max_streams)
         self.session = MultiStreamSession(
             self.detector, max_streams, mesh=mesh, tile=tile
         )
