@@ -1317,6 +1317,22 @@ def _lean_tail(
 
     if wide and kv > _SMALL_TIER:
         accept = _two_tier_accept(verify_accept, vpos, valive, kv)
+    elif not wide:
+        # Candidate-free groups skip the verify compute entirely: when no
+        # lane is alive, ``sel = valive & accept`` is all-zero whatever
+        # ``accept`` holds, and pos/flag/overflow are verify-independent
+        # — so substituting zeros is bit-identical by construction. On a
+        # marker-watch stream (hits rare), this drops the ~3 ms fixed
+        # verify tail from almost every chunk; hit-bearing chunks take
+        # the true branch and pay exactly the old cost. XLA:TPU lowers
+        # scalar-predicate lax.cond to a real conditional (only the
+        # taken branch executes); under vmap batching it becomes a
+        # select (both run — same cost as before, still exact).
+        accept = jax.lax.cond(
+            jnp.any(valive),
+            lambda: verify_accept(vpos, valive),
+            lambda: jnp.zeros(valive.shape, dtype=bool),
+        )
     else:
         accept = verify_accept(vpos, valive)
 
