@@ -1328,11 +1328,19 @@ def _lean_tail(
         # scalar-predicate lax.cond to a real conditional (only the
         # taken branch executes); under vmap batching it becomes a
         # select (both run — same cost as before, still exact).
-        accept = jax.lax.cond(
-            jnp.any(valive),
-            lambda: verify_accept(vpos, valive),
-            lambda: jnp.zeros(valive.shape, dtype=bool),
-        )
+        # Design-rule tension: docs/scaling.md recorded "no lax.cond in
+        # the hot program" for DATA-dependent per-launch costs on this
+        # runtime; this cond is measured the other way
+        # (scripts/dev/verify_skip_probe.py) — APD_SKIP_EMPTY_VERIFY=0
+        # restores the unconditional tail if a runtime disagrees.
+        if _os.environ.get("APD_SKIP_EMPTY_VERIFY", "1") != "0":
+            accept = jax.lax.cond(
+                jnp.any(valive),
+                lambda: verify_accept(vpos, valive),
+                lambda: jnp.zeros(valive.shape, dtype=bool),
+            )
+        else:
+            accept = verify_accept(vpos, valive)
     else:
         accept = verify_accept(vpos, valive)
 
