@@ -298,3 +298,43 @@ def test_match_pattern_rejects_non_positive_pipeline_depth():
             match_pattern(
                 None, ["x.wav"], from_stdin=True, pipeline_depth=bad
             )
+
+
+def test_payload_staging_buffers_recycle():
+    """The dispatch staging pool (bank._payload_pool) must actually
+    recycle: repeated batch scans reuse page-warm buffers instead of
+    fresh multi-MB np.empty every round (round 5 — fresh allocation
+    paid full mmap first-touch page faults per round). Pooling is gated
+    on the jnp.asarray-copies probe, which holds on this backend."""
+    from audio_pattern_detector_tpu.models.bank import (
+        upload_copies_host_buffer,
+    )
+
+    assert upload_copies_host_buffer(), (
+        "jnp.asarray aliased the host buffer — pooling must be off and "
+        "this test's premise is gone"
+    )
+    rng = np.random.default_rng(9)
+    clip = AudioClip(
+        name="c",
+        audio=(0.4 * rng.standard_normal(SR)).astype(np.float32),
+        sample_rate=SR,
+    )
+    det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=5)
+    bank = det._ensure_bank()
+    audio = (0.01 * rng.standard_normal(30 * SR)).astype(np.float32)
+    audio[12 * SR : 13 * SR] += clip.audio
+
+    r1 = det.find_clip_in_array(audio, batch_size=3)
+    assert bank._payload_pool, "no staging buffers returned to the pool"
+    pooled = {k: [id(b) for b in v] for k, v in bank._payload_pool.items()}
+    r2 = det.find_clip_in_array(audio, batch_size=3)
+    assert r2 == r1
+    # At least one buffer object from the first scan was reused by the
+    # second (identity — the same ndarray cycled through the pool).
+    reused = any(
+        id(b) in ids
+        for k, ids in pooled.items()
+        for b in bank._payload_pool.get(k, [])
+    )
+    assert reused, "second scan did not reuse any pooled staging buffer"
