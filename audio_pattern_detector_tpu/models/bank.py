@@ -70,29 +70,13 @@ from audio_pattern_detector_tpu.ops.verify import (
 
 _BIG = np.int32(2**30)
 
-_UPLOAD_COPIES: "bool | None" = None
-
-
-def upload_copies_host_buffer() -> bool:
-    """One-per-process probe: does ``jnp.asarray`` COPY a host numpy
-    buffer at the call site (vs aliasing it)? Staging-buffer reuse
-    (PatternBank._payload_pool) is only sound under copy semantics — an
-    aliasing backend would read recycled bytes from an in-flight
-    program's input. The tunnel/TPU path always copies (synchronous h2d
-    RPC, docs/scaling.md); CPU backends have copied in every tested
-    version, but this is configuration-dependent, so probe instead of
-    assuming. Failure of the probe (backend init error) disables
-    pooling — plain per-round allocation is always correct."""
-    global _UPLOAD_COPIES
-    if _UPLOAD_COPIES is None:
-        try:
-            probe = np.full(256 * 1024, 1.0, dtype=np.float32)  # 1 MB
-            dev = jnp.asarray(probe)
-            probe[0] = 2.0
-            _UPLOAD_COPIES = float(np.asarray(dev)[0]) == 1.0
-        except Exception:
-            _UPLOAD_COPIES = False
-    return _UPLOAD_COPIES
+# Candidate-free groups skip the verify tail via lax.cond (_lean_tail).
+# Read ONCE at import: the flag shapes traced programs but is not part of
+# the jit cache key, so a mid-process env flip would silently reuse stale
+# executables — import-time capture makes the semantics process-stable
+# (A/B probes toggle it across processes: scripts/dev/verify_skip_probe.py
+# driver script).
+_SKIP_EMPTY_VERIFY = _os.environ.get("APD_SKIP_EMPTY_VERIFY", "1") != "0"
 
 
 # Cumulative wall seconds per dispatch_chunks_batch host stage, process-
@@ -220,14 +204,18 @@ class PatternBank:
         # (measured 40-130 ms for a 15 MB buffer vs 1-2 ms warm — the
         # dominant term of a serving round's host time, round-5
         # serve_probe decomposition). Buffers are keyed by
-        # (kind, b, S) and recycled at COLLECT time, when the program
-        # has provably consumed its input. Reuse is only sound when the
-        # upload COPIES the numpy buffer (a backend that aliases it —
-        # some CPU zero-copy configurations — would read recycled
-        # bytes), so it is gated on a one-per-process aliasing probe,
-        # same pattern as packed_upload_supported.
+        # (kind, b, S) and recycled at COLLECT time — only after
+        # _host_rows has materialised that dispatch's results, i.e.
+        # after the program provably finished executing. That timing
+        # makes reuse sound on EVERY backend, including CPU zero-copy
+        # configurations where jnp.asarray may ALIAS the host buffer
+        # (measured: per-buffer and alignment-dependent on jax 0.9 CPU,
+        # so a one-shot process-level probe cannot gate this): an
+        # aliasing program reads the buffer during execution, and the
+        # buffer is never refilled until after that execution completed.
+        # (jax does not cache device arrays by host-buffer identity —
+        # refilled buffers upload fresh values; probed explicitly.)
         self._payload_pool: dict[tuple, list] = {}
-        self._pool_uploads = upload_copies_host_buffer()
 
         # Block-summary lean tier (ops/peaks.py::greedy_survivors_rederive):
         # bitwise-identical survivors with no (G, L) scored/mask buffers —
@@ -757,17 +745,14 @@ class PatternBank:
         self, key: tuple, shape: tuple, dtype: Any
     ) -> NDArray[Any]:
         """A recycled (page-warm) staging buffer for ``key``, or a fresh
-        allocation. Pooling is disabled on the CPU backend (see
-        _payload_pool in __init__), where this is plain np.empty."""
-        if self._pool_uploads:
-            lst = self._payload_pool.get(key)
-            if lst:
-                return lst.pop()
+        allocation (see _payload_pool in __init__ for the soundness
+        argument)."""
+        lst = self._payload_pool.get(key)
+        if lst:
+            return lst.pop()
         return np.empty(shape, dtype=dtype)
 
     def _pool_put(self, key: tuple, buf: NDArray[Any]) -> None:
-        if not self._pool_uploads:
-            return
         lst = self._payload_pool.setdefault(key, [])
         if len(lst) < 4:  # bound: pipeline depth + margin per size class
             lst.append(buf)
@@ -779,7 +764,7 @@ class PatternBank:
         mode: str = "vmap",
         prev_tails: "list[NDArray[np.float32] | None] | None" = None,
         sharding: Any = None,
-    ) -> list[tuple[int, Any, list[NDArray[np.float32]], int]]:
+    ) -> "list[tuple[int, Any, list[NDArray[np.float32]], int, tuple | None]]":
         """Enqueue a chunk batch (async); pair with collect_chunks_batch.
 
         The split lets offline scans double-buffer: dispatch batch i+1
@@ -989,7 +974,8 @@ class PatternBank:
         return dispatched
 
     def collect_chunks_batch(
-        self, dispatched: list[tuple[int, Any, list[NDArray[np.float32]], int]]
+        self,
+        dispatched: "list[tuple[int, Any, list[NDArray[np.float32]], int, tuple | None]]",
     ) -> list[dict[str, list[int]]]:
         """Block on a dispatched chunk batch; per-chunk result dicts."""
         if not dispatched:
@@ -1333,7 +1319,7 @@ def _lean_tail(
         # runtime; this cond is measured the other way
         # (scripts/dev/verify_skip_probe.py) — APD_SKIP_EMPTY_VERIFY=0
         # restores the unconditional tail if a runtime disagrees.
-        if _os.environ.get("APD_SKIP_EMPTY_VERIFY", "1") != "0":
+        if _SKIP_EMPTY_VERIFY:
             accept = jax.lax.cond(
                 jnp.any(valive),
                 lambda: verify_accept(vpos, valive),

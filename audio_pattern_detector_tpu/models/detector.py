@@ -54,8 +54,8 @@ def _dispatched_ready(dispatched: list) -> bool:
 
     Accepts both dispatch record shapes — ``dispatch_chunk``'s
     ``(sw, flat, raws)`` and ``dispatch_chunks_batch``'s
-    ``(sw, flat, raws, b)`` — the payload whose transfer readiness gates
-    collection is ``rec[1]`` in both."""
+    ``(sw, flat, raws, b, pool_rec)`` — the payload whose transfer
+    readiness gates collection is ``rec[1]`` in both."""
     for rec in dispatched:
         ready = getattr(rec[1], "is_ready", None)
         if ready is None or not ready():

@@ -290,6 +290,8 @@ class PatternServer:
         }
         # Cumulative dispatched round count / active-row count — read by
         # probes to attribute round occupancy (rows/round vs slots).
+        # Deliberately separate from _stat_rounds, which RESETS every
+        # stats window when --stats-interval is set.
         self.rounds_dispatched = 0
         self.rows_dispatched = 0
 

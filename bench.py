@@ -669,7 +669,17 @@ def _measure_serve_live(
                         ev = json.loads(line)
                         if ev["type"] == "pattern_detected":
                             t = time.perf_counter()
-                            k = ev["timestamp_ms"] // (chunk_seconds * 1000)
+                            k, r = divmod(
+                                ev["timestamp_ms"], chunk_seconds * 1000
+                            )
+                            # Boundary-ambiguous events are excluded: a
+                            # hit whose clip extends past its chunk's end
+                            # is detected while processing the NEXT chunk
+                            # (lookback), so chunk-k attribution would
+                            # inflate its latency by a whole chunk. 2 s
+                            # covers every shipped clip length.
+                            if chunk_seconds * 1000 - r <= 2000:
+                                continue
                             done = chunk_done.get(k)
                             if done is not None:
                                 my_lat.append(t - done)

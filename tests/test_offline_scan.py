@@ -302,18 +302,13 @@ def test_match_pattern_rejects_non_positive_pipeline_depth():
 
 def test_payload_staging_buffers_recycle():
     """The dispatch staging pool (bank._payload_pool) must actually
-    recycle: repeated batch scans reuse page-warm buffers instead of
-    fresh multi-MB np.empty every round (round 5 — fresh allocation
-    paid full mmap first-touch page faults per round). Pooling is gated
-    on the jnp.asarray-copies probe, which holds on this backend."""
-    from audio_pattern_detector_tpu.models.bank import (
-        upload_copies_host_buffer,
-    )
-
-    assert upload_copies_host_buffer(), (
-        "jnp.asarray aliased the host buffer — pooling must be off and "
-        "this test's premise is gone"
-    )
+    recycle — repeated batch scans reuse page-warm buffers instead of
+    fresh multi-MB np.empty every round (round 5: fresh allocation paid
+    full mmap first-touch page faults per round) — and recycled buffers
+    must carry each scan's OWN samples: the second scan uses different
+    audio with a hit at a different offset, so a stale-content bug
+    (aliasing misuse or a host-buffer identity cache) would move or
+    lose detections, not pass silently."""
     rng = np.random.default_rng(9)
     clip = AudioClip(
         name="c",
@@ -322,16 +317,22 @@ def test_payload_staging_buffers_recycle():
     )
     det = AudioPatternDetector(audio_clips=[clip], seconds_per_chunk=5)
     bank = det._ensure_bank()
-    audio = (0.01 * rng.standard_normal(30 * SR)).astype(np.float32)
-    audio[12 * SR : 13 * SR] += clip.audio
+    audio1 = (0.01 * rng.standard_normal(30 * SR)).astype(np.float32)
+    audio1[12 * SR : 13 * SR] += clip.audio
+    audio2 = (0.01 * rng.standard_normal(30 * SR)).astype(np.float32)
+    audio2[21 * SR : 22 * SR] += clip.audio
 
-    r1 = det.find_clip_in_array(audio, batch_size=3)
+    r1, _ = det.find_clip_in_array(audio1, batch_size=3)
     assert bank._payload_pool, "no staging buffers returned to the pool"
     pooled = {k: [id(b) for b in v] for k, v in bank._payload_pool.items()}
-    r2 = det.find_clip_in_array(audio, batch_size=3)
-    assert r2 == r1
-    # At least one buffer object from the first scan was reused by the
-    # second (identity — the same ndarray cycled through the pool).
+    r2, _ = det.find_clip_in_array(audio2, batch_size=3)
+    # Fresh contents flowed through the recycled buffers: each scan
+    # found its own hit where it was embedded.
+    assert any(abs(t - 12.0) < 0.01 for t in r1["c"]), r1
+    assert any(abs(t - 21.0) < 0.01 for t in r2["c"]), r2
+    assert not any(abs(t - 12.0) < 0.01 for t in r2["c"]), r2
+    # And at least one buffer object from the first scan was reused by
+    # the second (identity — the same ndarray cycled through the pool).
     reused = any(
         id(b) in ids
         for k, ids in pooled.items()

@@ -621,6 +621,9 @@ class TestPatternServer:
         expected = serial_events_ms(clips, quantised)
         assert expected, "paced test audio must carry detections"
 
+        # Chunk-edge ambiguity margin: longest clip in this bank rounds
+        # to <= 1 s of lookback at these fixtures' sliding windows.
+        _CLIP_MARGIN_MS = 1000
         payload = wav_payload(audio, "i16")
         hdr, body = payload[:44], payload[44:]
         chunk_bytes = CHUNK_S * SR * 2
@@ -669,8 +672,20 @@ class TestPatternServer:
                             events.append(ev)
                             if ev["type"] == "pattern_detected":
                                 t = time.perf_counter()
-                                k = ev["timestamp_ms"] // (CHUNK_S * 1000)
-                                if k in chunk_done:
+                                k, r = divmod(
+                                    ev["timestamp_ms"], CHUNK_S * 1000
+                                )
+                                # Exclude boundary-ambiguous events: a
+                                # clip straddling the chunk edge is
+                                # detected by the NEXT chunk (lookback),
+                                # so chunk-k attribution would inflate
+                                # its latency by ~a chunk (bench.py
+                                # applies the same rule).
+                                near_edge = (
+                                    CHUNK_S * 1000 - r
+                                    <= _CLIP_MARGIN_MS
+                                )
+                                if not near_edge and k in chunk_done:
                                     my_lat.append(t - chunk_done[k])
                             elif ev["type"] == "end":
                                 done.set()
