@@ -331,10 +331,12 @@ def main() -> None:
         type=int,
         default=None,
         help=(
-            "rows per device launch for wide servers: each round's "
-            "max-streams rows dispatch as fixed-size tiles of one "
-            "compiled program, bounding compile time and device memory "
-            "(default: 16 when max-streams > 16, full-width otherwise)"
+            "max rows per device launch: each round's ACTIVE rows "
+            "compact into a greedy width-ladder decomposition of tiles "
+            "(the tile width plus every power of two below it), so "
+            "device time and upload bytes scale with round occupancy "
+            "while compile time and device memory stay bounded by the "
+            "tile (default: min(16, max-streams))"
         ),
     )
     serve_parser.add_argument(
