@@ -1303,7 +1303,7 @@ def _lean_tail(
 
     if wide and kv > _SMALL_TIER:
         accept = _two_tier_accept(verify_accept, vpos, valive, kv)
-    elif not wide:
+    elif not wide and _SKIP_EMPTY_VERIFY:
         # Candidate-free groups skip the verify compute entirely: when no
         # lane is alive, ``sel = valive & accept`` is all-zero whatever
         # ``accept`` holds, and pos/flag/overflow are verify-independent
@@ -1319,14 +1319,11 @@ def _lean_tail(
         # runtime; this cond is measured the other way
         # (scripts/dev/verify_skip_probe.py) — APD_SKIP_EMPTY_VERIFY=0
         # restores the unconditional tail if a runtime disagrees.
-        if _SKIP_EMPTY_VERIFY:
-            accept = jax.lax.cond(
-                jnp.any(valive),
-                lambda: verify_accept(vpos, valive),
-                lambda: jnp.zeros(valive.shape, dtype=bool),
-            )
-        else:
-            accept = verify_accept(vpos, valive)
+        accept = jax.lax.cond(
+            jnp.any(valive),
+            lambda: verify_accept(vpos, valive),
+            lambda: jnp.zeros(valive.shape, dtype=bool),
+        )
     else:
         accept = verify_accept(vpos, valive)
 

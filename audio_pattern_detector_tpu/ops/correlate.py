@@ -243,18 +243,15 @@ def bank_correlate_abs(
     return corr, valid_len
 
 
-def bank_correlate_abs_multi(
-    n_valid: jnp.ndarray,
+def _multi_group_abs(
     consts_list: "list[CorrelationBankConsts] | tuple",
-    seg_spec: jnp.ndarray,  # (ns, N//2+1) shared section segment spectra
-) -> list[tuple[jnp.ndarray, jnp.ndarray]]:
-    """bank_correlate_multi's one-irfft grouping for the PALLAS lean
-    path: raw |corr| per group (no normalise/reduce — the single-pass
-    candidate scan derives the observed max itself). Lets the
-    merged-irfft geometry (APD_MERGED_IRFFT) compose with the scan-batch
-    Pallas default so the round-3 streaming negative can be re-tested
-    under the batch schedule. Same shared-class-geometry contract as
-    bank_correlate_multi."""
+    seg_spec: jnp.ndarray,
+):
+    """Shared core of the merged-irfft variants: ONE batched inverse
+    transform for every group of a shared-geometry class, yielding each
+    group's raw |corr| slab. Requires identical class geometry
+    (fft_len/step/num_segments), which ``PatternBank`` guarantees via
+    ``class_overlap_save_geometry``."""
     first = consts_list[0]
     N, ns, step = first.fft_len, first.num_segments, first.step
     assert step > 0 and ns > 1
@@ -269,18 +266,32 @@ def bank_correlate_abs_multi(
     )  # (sum G, ns, N)
     flat = y[:, :, :step].reshape(y.shape[0], ns * step)
 
-    results = []
     g0 = 0
     for c in consts_list:
         g = c.bank_rfft_conj_ri.shape[1]
         off = c.out_offset
-        corr = jnp.abs(flat[g0 : g0 + g, off : off + c.full_len])
-        valid_len = jnp.asarray(n_valid).astype(jnp.int32) + (
-            c.clip_len - 1
-        )
-        results.append((corr, valid_len))
+        yield c, jnp.abs(flat[g0 : g0 + g, off : off + c.full_len])
         g0 += g
-    return results
+
+
+def bank_correlate_abs_multi(
+    n_valid: jnp.ndarray,
+    consts_list: "list[CorrelationBankConsts] | tuple",
+    seg_spec: jnp.ndarray,  # (ns, N//2+1) shared section segment spectra
+) -> list[tuple[jnp.ndarray, jnp.ndarray]]:
+    """bank_correlate_multi's one-irfft grouping for the PALLAS lean
+    path: raw |corr| per group (no normalise/reduce — the single-pass
+    candidate scan derives the observed max itself). Lets the
+    merged-irfft geometry (APD_MERGED_IRFFT) compose with the scan-batch
+    Pallas default so the round-3 streaming negative can be re-tested
+    under the batch schedule."""
+    return [
+        (
+            corr,
+            jnp.asarray(n_valid).astype(jnp.int32) + (c.clip_len - 1),
+        )
+        for c, corr in _multi_group_abs(consts_list, seg_spec)
+    ]
 
 
 def bank_correlate_multi(
@@ -294,30 +305,9 @@ def bank_correlate_multi(
     independent of batch (measured: irfft over 672×32k = 5.7 ms ≈ irfft
     over 336×32k; scripts/dev/fft_probe.py), so the per-chunk win comes
     from fusing the groups' inverse transforms into a single op, not from
-    shrinking any one of them. Requires every group to carry the identical
-    class geometry (fft_len/step/pad_left/num_segments), which
-    ``PatternBank`` guarantees via ``class_overlap_save_geometry``.
+    shrinking any one of them.
     """
-    first = consts_list[0]
-    N, ns, step = first.fft_len, first.num_segments, first.step
-    assert step > 0 and ns > 1
-    for c in consts_list:
-        assert (c.fft_len, c.step, c.num_segments) == (N, step, ns)
-
-    cat = jnp.concatenate(
-        [_bank_spec(c) for c in consts_list], axis=0
-    )  # (sum G, N//2+1)
-    y = jnp.fft.irfft(
-        seg_spec[None, :, :] * cat[:, None, :], n=N, axis=2
-    )  # (sum G, ns, N)
-    flat = y[:, :, :step].reshape(y.shape[0], ns * step)
-
-    results = []
-    g0 = 0
-    for c in consts_list:
-        g = c.bank_rfft_conj_ri.shape[1]
-        off = c.out_offset
-        corr = jnp.abs(flat[g0 : g0 + g, off : off + c.full_len])
-        results.append(_finalize_correlation(corr, n_valid, c))
-        g0 += g
-    return results
+    return [
+        _finalize_correlation(corr, n_valid, c)
+        for c, corr in _multi_group_abs(consts_list, seg_spec)
+    ]

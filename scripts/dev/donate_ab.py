@@ -2,91 +2,32 @@
 
 VERDICT r4 #4's third lever: donate the uploaded (B, S) payload to the
 batch program (donate_argnums=(0,)) so XLA may alias its HBM buffer for
-outputs instead of holding both live. Donation is a compile-time
-property, so the donating program is a separate executable
-(models/bank.py::_DONATING_JITS) selected by ``bank._donate`` — both
-variants compile once here and alternate windows cleanly.
+outputs. Donation is a compile-time property, so the donating program
+is a separate executable (models/bank.py::_DONATING_JITS) selected by
+``bank._donate`` — both variants compile once and alternate windows
+cleanly (harness: _scanbatch_ab.py).
+
+MEASURED (2026-08-21, on-chip): structural NO-OP — XLA warns "Some
+donated buffers were not usable" (the tiny decision payload cannot
+alias the (B, S) input); the A/B's apparent ±6% is window noise around
+an identical executable. Stays off.
 
 Run on TPU: python scripts/dev/donate_ab.py
 """
 
 from __future__ import annotations
 
-import json
 import os
-import statistics
 import sys
-import time
 
-sys.path.insert(
-    0,
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import numpy as np
-
-import jax
-
-from __graft_entry__ import _make_bank
-
-SR = 8000
-CHUNK_S = 60
-WINDOWS = int(os.environ.get("APD_PROBE_WINDOWS", "5"))
-SCAN_B = int(os.environ.get("APD_PROBE_B", "16"))
+from _scanbatch_ab import run_scan_batch_ab
 
 
-def main() -> None:
-    bank, clips = _make_bank(num_normal=32, num_marker=32, chunk_seconds=CHUNK_S)
-    from audio_pattern_detector_tpu.models.detector import AudioPatternDetector
-
-    det = AudioPatternDetector(audio_clips=clips, seconds_per_chunk=CHUNK_S)
-    det._bank = bank
-
-    rng = np.random.default_rng(7)
-    raw = [0.05 * rng.standard_normal(CHUNK_S * SR) for _ in range(4)]
-    normal = clips[0].audio
-    marker = clips[-1].audio
-    raw[0][3 * SR : 3 * SR + len(normal)] += normal
-    raw[1][11 * SR : 11 * SR + len(marker)] += 0.8 * marker
-    ci16 = [
-        np.clip(np.round(np.asarray(c) * 32768), -32768, 32767).astype(np.int16)
-        for c in raw
-    ]
-    audio = np.concatenate([ci16[i % 4] for i in range(SCAN_B * 2)])
-
-    bank._donate = False
-    r_base = det.find_clip_in_array(audio, batch_size=SCAN_B)
-    n_hits = sum(len(v) for v in r_base[0].values())
-    assert n_hits > 0, "probe audio must carry real detections"
-    bank._donate = True
-    r_donate = det.find_clip_in_array(audio, batch_size=SCAN_B)
-    assert r_donate == r_base, "donating program results diverge"
-    print(f"identity gate: {n_hits} detections, equal", file=sys.stderr)
-
-    def window(donate: bool) -> float:
-        bank._donate = donate
-        t0 = time.perf_counter()
-        det.find_clip_in_array(audio, batch_size=SCAN_B)
-        return (len(audio) / SR) / (time.perf_counter() - t0)
-
-    fa, fb = [], []
-    for w in range(WINDOWS):
-        first, second = (False, True) if w % 2 == 0 else (True, False)
-        x1, x2 = window(first), window(second)
-        (fa if not first else fb).append(x1)
-        (fb if not first else fa).append(x2)
-        print(f"[w{w}] base {fa[-1]:.0f}x  donate {fb[-1]:.0f}x", file=sys.stderr)
-    out = {
-        "platform": jax.devices()[0].platform,
-        "scan_b": SCAN_B,
-        "base_x": round(statistics.median(fa), 1),
-        "donate_x": round(statistics.median(fb), 1),
-        "speedup_pct": round(
-            100 * (statistics.median(fb) / statistics.median(fa) - 1), 1
-        ),
-    }
-    print(json.dumps(out))
+def _set(bank, on: bool) -> None:
+    bank._donate = on
 
 
 if __name__ == "__main__":
-    main()
+    run_scan_batch_ab("donate", _set)
