@@ -113,14 +113,15 @@ def main() -> None:
         default=None,
         help=(
             "seconds per chunk for sliding window. Default: 60 for stdin "
-            "(live) streams; for whole files the engine auto-sizes chunks "
-            "up to 120 s from the file duration (identical detections — "
-            "results are chunk-size-invariant — but fewer, larger device "
-            "launches; since a file scan emits as it processes, the only "
-            "latency cost is up to 120 s between event flushes). Pass an "
-            'explicit value to override, or "auto" to use the minimum '
-            "chunk the patterns allow (integers < 1 also select that "
-            "minimum, matching the reference engine)"
+            "(live) streams; for whole files the engine keeps 60 s chunks "
+            "and auto-batches up to 8 consecutive chunks per device launch "
+            "(identical detections — results are chunk-size- and "
+            "batch-invariant — but fewer launches; since a file scan emits "
+            "as it processes, the only latency cost is up to 8 min between "
+            "event flushes). Pass an explicit value to disable auto-perf "
+            'sizing and batching, or "auto" to use the minimum chunk the '
+            "patterns allow (integers < 1 also select that minimum, "
+            "matching the reference engine)"
         ),
     )
     match_parser.add_argument(
@@ -174,11 +175,12 @@ def main() -> None:
         default=1,
         help=(
             "run N consecutive chunks per device launch in the streaming "
-            "loop (default: 1). Amortises per-launch round trips on remote "
-            "runtimes; identical results, but live emission is deferred to "
-            "batch boundaries — up to N x chunk-seconds of added latency "
-            "(e.g. 8 x 60 s = 8 min), so keep N=1 for latency-sensitive "
-            "live streams"
+            "loop (default: 1 for stdin; whole files auto-batch up to 8 "
+            "when --chunk-seconds is unset). Amortises per-launch round "
+            "trips on remote runtimes; identical results, but live "
+            "emission is deferred to batch boundaries — up to N x "
+            "chunk-seconds of added latency (e.g. 8 x 60 s = 8 min), so "
+            "keep N=1 for latency-sensitive live streams"
         ),
     )
     match_parser.add_argument(

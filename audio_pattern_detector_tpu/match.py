@@ -782,43 +782,57 @@ def _scan_sharded(
 # (docs/scaling.md "Device cost vs chunk size") explains why — the corr
 # stage is LINEAR in chunk seconds (~0.18 ms/s, worsening to ~0.28 past
 # 240 s) so launch amortisation is exhausted by 120 s and x_realtime
-# peaks there (2794x vs 2302x at 240 s). The smaller cap is both faster
-# AND halves worst-case event-flush latency.
+# peaks there (2794x vs 2302x at 240 s). Since round 5 the flag-free
+# file path amortises launches by SCAN-BATCHING 60 s chunks instead
+# (_auto_perf_plan below — strictly dominates big chunks, docs/scaling.md
+# "Round-4 close-out of the big-chunk question"); this cap still sizes
+# the mesh-time path and debug runs, where stream batching is unavailable.
 AUTO_PERF_MAX_CHUNK_SECONDS = 120
+
+# Launch-amortisation width for the flag-free file path: B consecutive
+# 60 s chunks per device launch via the in-launch sequential scan — the
+# same width the `--stream-batch 8` / `--offline-batch` recommendations
+# use (21.2-21.9 ms/chunk at every B on TPU, scripts/dev/batch_probe.py).
+AUTO_PERF_STREAM_BATCH = 8
+
+
+def _probe_duration_seconds(audio_source: str) -> float | None:
+    """Duration of a source file, or None when unprobeable.
+
+    Auto-perf sizing is an optimisation, so any probe failure (corrupt
+    header, missing ffprobe) degrades to "unknown" instead of raising."""
+    from audio_pattern_detector_tpu.utils.audio_io import get_audio_duration
+
+    if audio_source.lower().endswith(".wav"):
+        try:
+            with wave.open(audio_source, "rb") as w:
+                rate = w.getframerate()
+                return w.getnframes() / rate if rate else None
+        except (wave.Error, OSError):
+            return None
+    # get_audio_duration raises when ffprobe fails (or is missing).
+    try:
+        return get_audio_duration(audio_source)
+    except (ValueError, OSError):
+        return None
 
 
 def _auto_perf_chunk_seconds(
     audio_source: str, pattern_clips: list[AudioClip], sr: int
 ) -> int:
-    """File-mode default chunk size: as few launches as the file allows.
+    """Big-chunk default sizing: as few launches as the file allows.
 
     Detections are chunk-size-invariant (pinned by the offline-scan and
     big-chunk equivalence tests), but every chunk pays a fixed per-launch
-    cost on remote device runtimes — so for whole files the default sizes
-    chunks up to AUTO_PERF_MAX_CHUNK_SECONDS from the file duration
-    instead of shipping the live-stream 60 s default. Small files keep
-    60 s chunks (single launch anyway; also keeps behaviour identical to
-    the reference corpus flows). Falls back to 60 when the duration is
-    unprobeable."""
-    from audio_pattern_detector_tpu.utils.audio_io import get_audio_duration
-
-    duration: float | None = None
-    if audio_source.lower().endswith(".wav"):
-        try:
-            with wave.open(audio_source, "rb") as w:
-                rate = w.getframerate()
-                duration = w.getnframes() / rate if rate else None
-        except (wave.Error, OSError):
-            duration = None
-    else:
-        # get_audio_duration raises when ffprobe fails (or is missing);
-        # auto-perf sizing is an optimisation, so treat any probe failure
-        # as "unknown duration" and keep the 60 s default.
-        try:
-            duration = get_audio_duration(audio_source)
-        except (ValueError, OSError):
-            duration = None
-
+    cost on remote device runtimes — so this policy sizes chunks up to
+    AUTO_PERF_MAX_CHUNK_SECONDS from the file duration instead of
+    shipping the live-stream 60 s default. Small files keep 60 s chunks
+    (single launch anyway; also keeps behaviour identical to the
+    reference corpus flows). Falls back to 60 when the duration is
+    unprobeable. Used where in-launch chunk batching is unavailable
+    (mesh-time sharded scans, debug runs); everywhere else the file-mode
+    default is _auto_perf_plan's 60 s scan-batching."""
+    duration = _probe_duration_seconds(audio_source)
     if duration is None or duration <= 60:
         chunk = 60
     else:
@@ -830,6 +844,45 @@ def _auto_perf_chunk_seconds(
         default=1,
     )
     return max(chunk, 2 * max_sw)
+
+
+def _auto_perf_plan(
+    audio_source: str, pattern_clips: list[AudioClip], sr: int
+) -> tuple[int, int]:
+    """File-mode default launch plan: (seconds_per_chunk, stream_batch).
+
+    Round-4 measurement (docs/scaling.md, "Round-4 close-out of the
+    big-chunk question"): scan-batching B x 60 s chunks in one launch
+    strictly dominates big chunks as the launch amortiser — it pays the
+    per-launch round trip once per batch while KEEPING the 60 s
+    overlap-save geometry the FFT segment sweep picked (big chunks
+    amortise the launch but inflate the corr+mask slope). So since
+    round 5 the flag-free file path keeps the 60 s default chunk and
+    batches consecutive chunks per launch, instead of enlarging chunks
+    to 120 s (the pre-round-5 policy, still used by _auto_perf_chunk_
+    seconds for mesh-time/debug runs). Results are chunk-size- AND
+    batch-invariant (tests/test_stream_batch.py, tests/test_offline_scan.py).
+
+    The batch width is balanced across the file's launches so a short
+    final batch zero-pads as little as possible (padding rows compute
+    real FFTs before their results are discarded): 9 chunks run as 2
+    launches of 5, not 8 + 1-padded-to-8. Unknown duration keeps
+    (60, 1) — batching blind would pad up to B-1 zero chunks on a
+    sub-minute file. Clips longer than 30 s raise the chunk floor
+    (engine requires >= 2x the largest sliding window, reference:
+    audio_pattern_detector.py:122-136) and the batch re-balances on the
+    raised chunk."""
+    max_sw = max(
+        (max(1, int(np.ceil(c.clip_length_seconds()))) for c in pattern_clips),
+        default=1,
+    )
+    chunk = max(60, 2 * max_sw)
+    duration = _probe_duration_seconds(audio_source)
+    if duration is None or duration <= chunk:
+        return chunk, 1
+    n_chunks = int(np.ceil(duration / chunk))
+    n_launches = int(np.ceil(n_chunks / AUTO_PERF_STREAM_BATCH))
+    return chunk, int(np.ceil(n_chunks / n_launches))
 
 
 def match_pattern(
@@ -980,13 +1033,24 @@ def match_pattern_many(
         and opts.offline_batch is None
         and opts.mesh_time is None
     ):
-        # One chunk size for the whole run, sized from the longest file:
-        # every file then shares one compiled program set (results are
-        # chunk-size-invariant, so this changes throughput, not output).
-        opts.seconds_per_chunk = max(
-            _auto_perf_chunk_seconds(src, pattern_clips, sr)
-            for src in audio_sources
-        )
+        # One chunk size (and batch width) for the whole run, sized from
+        # the longest file: every file then shares one compiled program
+        # set (results are chunk-size- and batch-invariant, so this
+        # changes throughput, not output). Debug runs keep the big-chunk
+        # policy — the batched dispatch path has no artifact taps.
+        if opts.debug_mode:
+            opts.seconds_per_chunk = max(
+                _auto_perf_chunk_seconds(src, pattern_clips, sr)
+                for src in audio_sources
+            )
+        else:
+            plans = [
+                _auto_perf_plan(src, pattern_clips, sr)
+                for src in audio_sources
+            ]
+            opts.seconds_per_chunk = max(c for c, _ in plans)
+            if opts.stream_batch == 1:
+                opts.stream_batch = max(b for _, b in plans)
 
     # At most two detector variants: the reference contract drops
     # --height-min for ffmpeg (non-WAV) sources (_opts_for_source). Both
@@ -1386,9 +1450,14 @@ def _match_pattern_file(
         and opts.offline_batch is None
         and opts.mesh_time is None  # sharded scans size by the mesh instead
     ):
-        opts.seconds_per_chunk = _auto_perf_chunk_seconds(
+        opts.seconds_per_chunk, auto_batch = _auto_perf_plan(
             audio_source, pattern_clips, sr
         )
+        # Only upgrade the default: an explicit --stream-batch keeps the
+        # user's width (the 60 s chunk from the plan is the measured-best
+        # geometry for any width).
+        if opts.stream_batch == 1:
+            opts.stream_batch = auto_batch
     opts = _opts_for_source(opts, audio_source)
     return _scan_file_source(
         audio_source,

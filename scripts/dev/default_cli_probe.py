@@ -65,7 +65,7 @@ def main() -> None:
     audio = np.concatenate([chunks[i % len(chunks)] for i in range(n_chunks)])
 
     from audio_pattern_detector_tpu.match import (
-        _auto_perf_chunk_seconds,
+        _auto_perf_plan,
         _load_pattern_clips,
     )
     from audio_pattern_detector_tpu.models.detector import AudioPatternDetector
@@ -113,7 +113,7 @@ def main() -> None:
             t_load = time.perf_counter() - t0
 
             t0 = time.perf_counter()
-            cs = _auto_perf_chunk_seconds(audio_path, pattern_clips, sr)
+            cs, sb = _auto_perf_plan(audio_path, pattern_clips, sr)
             t_auto = time.perf_counter() - t0
 
             t0 = time.perf_counter()
@@ -132,13 +132,16 @@ def main() -> None:
                 name="stream", audio_stream=wrapper, sample_rate=sr
             )
             _, total_time = det.find_clip_in_audio(
-                stream, accumulate_results=False
+                stream,
+                accumulate_results=False,
+                pipeline_depth=3,
+                stream_batch=sb,
             )
             wrapper.close()
             t_scan = time.perf_counter() - t0
             elapsed = t_load + t_auto + t_init + t_scan
             print(
-                f"run{run}: chunk={cs}s load={t_load:.2f}s auto={t_auto:.2f}s "
+                f"run{run}: chunk={cs}s batch={sb} load={t_load:.2f}s auto={t_auto:.2f}s "
                 f"init={t_init:.2f}s scan={t_scan:.2f}s "
                 f"total={elapsed:.2f}s -> {total_time / elapsed:.0f}x",
                 flush=True,
