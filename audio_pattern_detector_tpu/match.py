@@ -922,6 +922,11 @@ def match_pattern(
     ``stream_batch`` runs that many consecutive chunks per device launch
     in the streaming loop (identical results; emission deferred to batch
     boundaries) — the live-stream launch amortiser.
+    ``chunk_seconds_auto_perf`` (the CLI's file-mode default) applies the
+    measured-best launch plan for whole files: 60 s chunks scan-batched
+    up to 8 per launch, width balanced across the file's launches
+    (_auto_perf_plan; an explicit ``stream_batch`` keeps the caller's
+    width, debug/mesh-time runs keep big-chunk sizing).
     ``checkpoint_file`` persists O(1) resume state after every chunk and
     resumes from the file when it exists (re-feed the same source; the
     already-processed prefix is skipped, and the resumed run's events
@@ -999,9 +1004,10 @@ def match_pattern_many(
     around each file, in order; ``on_pattern_detected`` is shared across
     files (re-key any per-file state from ``on_file_start``). All sources
     are validated up front, before any scan starts. With
-    ``chunk_seconds_auto_perf`` the chunk size is sized once from the
-    longest file so every file shares one compiled program set. Debug
-    mode is single-file only and not offered here.
+    ``chunk_seconds_auto_perf`` the launch plan (60 s chunks + balanced
+    scan-batch width, _auto_perf_plan) is sized once from the longest
+    file so every file shares one compiled program set. Debug mode is
+    single-file only and not offered here.
     """
     if not audio_sources:
         raise ValueError("No audio sources passed")
