@@ -123,6 +123,32 @@ class TestAutoPerfEndToEnd:
         assert auto == serial
         assert sum(len(v) for v in auto[0][0].values()) == 3
 
+    def test_flag_free_run_applies_plan_batch(self, tmp_path, monkeypatch):
+        """The flag-free default hands the engine the plan's batch width
+        (130 s file -> 3 chunks -> one launch of 3)."""
+        captured = {}
+        real = m.AudioPatternDetector.find_clip_in_audio
+
+        def spy(self, stream, **kwargs):
+            captured.update(kwargs)
+            return real(self, stream, **kwargs)
+
+        monkeypatch.setattr(m.AudioPatternDetector, "find_clip_in_audio", spy)
+        clip = _clip()
+        audio = np.zeros(130 * SR, dtype=np.float32)
+        wav = tmp_path / "s.wav"
+        _write_wav(wav, audio)
+        pat = tmp_path / "c.wav"
+        _write_wav(pat, clip.audio)
+        m.match_pattern(
+            str(wav),
+            [str(pat)],
+            accumulate_results=True,
+            chunk_seconds_auto_perf=True,
+        )
+        assert captured["stream_batch"] == 3
+        assert captured["pipeline_depth"] == 3
+
     def test_explicit_stream_batch_not_overridden(self, tmp_path, monkeypatch):
         """An explicit --stream-batch keeps the user's width; auto-perf
         only swaps the big-chunk policy for the 60 s geometry."""

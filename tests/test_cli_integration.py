@@ -507,9 +507,9 @@ class TestShowConfig:
 
 
 class TestAutoPerfChunking:
-    """File-mode default auto-sizes chunks from the file duration
-    (identical events, fewer launches); explicit --chunk-seconds and
-    stdin mode keep the reference behaviour."""
+    """File-mode default keeps 60 s chunks and scan-batches them per
+    launch (_auto_perf_plan; identical events, fewer launches); explicit
+    --chunk-seconds and stdin mode keep the reference behaviour."""
 
     @staticmethod
     def _long_wav(tmp_path, seconds=100):
@@ -554,9 +554,13 @@ class TestAutoPerfChunking:
             )
             return _json.loads(line[len("profile:") :])["chunks"]
 
-        # 100 s file: auto-perf scans it as ONE 100 s chunk; explicit 60
-        # keeps the reference chunking (2 launches).
-        assert chunks_of(r_auto.stderr) == 1
+        # 100 s file: the auto plan keeps the reference 60 s chunking
+        # (2 chunks, same as explicit --chunk-seconds 60) but scan-batches
+        # both chunks into ONE device launch (round-5 policy,
+        # match.py::_auto_perf_plan — the launch count isn't in the
+        # profile stats, so the batching itself is pinned by
+        # tests/test_auto_perf_plan.py's dispatch spy instead).
+        assert chunks_of(r_auto.stderr) == 2
         assert chunks_of(r_60.stderr) == 2
 
     def test_stdin_keeps_60s_chunks(self, tmp_path):
